@@ -1,0 +1,22 @@
+"""nans_clip_tpu — a TPU-native (JAX/XLA/Pallas) Chinese-CLIP framework.
+
+Brand-new implementation of the capabilities of the NanS-CLIP reference
+(an OFA-Sys Chinese-CLIP fork): dual-tower CLIP (ViT/ModifiedResNet vision +
+Chinese BERT text), WordPiece tokenizer, contrastive training with
+global-batch feature gathering over a device mesh, FLIP masking, LoRA,
+distillation, retrieval/zero-shot evaluation, and AOT-compiled serving.
+"""
+
+__version__ = "0.1.0"
+
+from nans_clip_tpu.api import (CLIPModel, available_models, create_model,
+                               image_transform, load, load_from_name)
+from nans_clip_tpu.configs import CLIPConfig, config_for_name, load_config
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.tokenizer import get_tokenizer, tokenize
+
+__all__ = [
+    "CLIPModel", "available_models", "create_model", "image_transform",
+    "load", "load_from_name", "CLIPConfig", "config_for_name", "load_config",
+    "ModelOptions", "get_tokenizer", "tokenize", "__version__",
+]

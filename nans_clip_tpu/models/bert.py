@@ -1,0 +1,107 @@
+"""Chinese BERT/RoBERTa text tower (functional, scan-over-layers).
+
+Behavioral twin of the reference's HF-lineage encoder
+(cn_clip/clip/modeling_bert.py): word+position+type embeddings with
+LayerNorm eps 1e-12 (modeling_bert.py:62-91), post-LN self-attention and
+MLP sub-blocks with erf-GELU, additive ``(1 - mask) * -10000`` padding bias
+(modeling_bert.py:450-458), pooler omitted (modeling_bert.py:427,480-481).
+The unused MLM/NSP pretraining heads are intentionally not carried over.
+
+TPU redesign: fused-QKV attention through the Pallas kernel, layers
+parameter-stacked under ``lax.scan`` with optional per-layer remat
+(reference modeling_bert.py:266-267 used torch checkpointing).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nans_clip_tpu.configs import TextConfig
+from nans_clip_tpu.models.common import ModelOptions, cast_tree, normal
+from nans_clip_tpu.ops import ACT2FN, dropout, layer_norm, mha
+
+
+def init_bert(rng: jax.Array, cfg: TextConfig) -> dict:
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    std = cfg.initializer_range
+    keys = jax.random.split(rng, 9)
+    return {
+        "embeddings": {
+            "word": normal(keys[0], (cfg.vocab_size, h), std),
+            "position": normal(keys[1], (cfg.max_position_embeddings, h), std),
+            "token_type": normal(keys[2], (cfg.type_vocab_size, h), std),
+            "ln": {"scale": jnp.ones((h,)), "bias": jnp.zeros((h,))},
+        },
+        "encoder": {
+            "attn": {
+                "wqkv": normal(keys[3], (L, h, 3 * h), std),
+                "bqkv": jnp.zeros((L, 3 * h)),
+                "wo": normal(keys[4], (L, h, h), std),
+                "bo": jnp.zeros((L, h)),
+            },
+            "attn_ln": {"scale": jnp.ones((L, h)), "bias": jnp.zeros((L, h))},
+            "mlp": {
+                "w1": normal(keys[5], (L, h, i), std),
+                "b1": jnp.zeros((L, i)),
+                "w2": normal(keys[6], (L, i, h), std),
+                "b2": jnp.zeros((L, h)),
+            },
+            "mlp_ln": {"scale": jnp.ones((L, h)), "bias": jnp.zeros((L, h))},
+        },
+    }
+
+
+def bert_features(params: dict, input_ids: jax.Array,
+                  attention_mask: Optional[jax.Array], cfg: TextConfig,
+                  options: ModelOptions = ModelOptions(),
+                  rng: Optional[jax.Array] = None,
+                  token_type_ids: Optional[jax.Array] = None) -> jax.Array:
+    """Sequence output [B, S, H]. ``attention_mask``: [B, S] 1=keep, 0=pad."""
+    params = cast_tree(params, options)
+    b, s = input_ids.shape
+    emb = params["embeddings"]
+
+    x = emb["word"][input_ids]
+    x = x + emb["position"][:s][None, :, :]
+    if token_type_ids is None:
+        x = x + emb["token_type"][0][None, None, :]
+    else:
+        x = x + emb["token_type"][token_type_ids]
+    x = layer_norm(x, **emb["ln"], eps=cfg.layer_norm_eps)
+
+    det = options.deterministic or rng is None
+    if not det:
+        rng, erng = jax.random.split(rng)
+        x = dropout(x, cfg.hidden_dropout_prob, erng, det)
+
+    key_bias = None
+    if attention_mask is not None:
+        key_bias = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+
+    act = ACT2FN[cfg.hidden_act]
+    heads = cfg.num_attention_heads
+    hd, ad = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
+
+    def layer(carry, lp):
+        x, idx = carry
+        if det:
+            a_rng = h1 = h2 = None
+        else:
+            lrng = jax.random.fold_in(rng, idx)
+            a_rng, h1, h2 = jax.random.split(lrng, 3)
+        a = mha(x, lp["attn"], heads, key_bias, impl=options.attn_impl,
+                dropout_rate=ad, dropout_rng=a_rng, deterministic=det)
+        a = dropout(a, hd, h1, det)
+        x = layer_norm(x + a, **lp["attn_ln"], eps=cfg.layer_norm_eps)
+        h = act(x @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
+        h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
+        h = dropout(h, hd, h2, det)
+        x = layer_norm(x + h, **lp["mlp_ln"], eps=cfg.layer_norm_eps)
+        return (x, idx + 1), None
+
+    body = jax.checkpoint(layer) if options.remat else layer
+    (x, _), _ = jax.lax.scan(body, (x, 0), params["encoder"])
+    return x

@@ -1,0 +1,47 @@
+"""Shared model utilities: options, param helpers."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelOptions:
+    """Static (hashable) knobs threaded through the towers.
+
+    One knob set replaces the reference's fp16/amp/fp32 x flash/no-flash
+    configuration matrix (training/main.py:102-113, params.py:141-199).
+    """
+
+    attn_impl: str = "auto"          # "auto" | "pallas" | "xla"
+    remat: bool = False              # per-block activation checkpointing
+    compute_dtype: Optional[str] = None  # None = param dtype; "bfloat16" for mixed precision
+    deterministic: bool = True       # disables dropout
+
+    def cast(self, x: jax.Array) -> jax.Array:
+        if self.compute_dtype is None:
+            return x
+        return x.astype(jnp.dtype(self.compute_dtype))
+
+
+def cast_tree(tree, options: ModelOptions):
+    if options.compute_dtype is None:
+        return tree
+    dt = jnp.dtype(options.compute_dtype)
+    return jax.tree.map(lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+
+def normal(rng, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.normal(rng, shape, dtype)
+
+
+def linear_params(rng, d_in, d_out, std=0.02):
+    return {"kernel": normal(rng, (d_in, d_out), std), "bias": jnp.zeros((d_out,))}
+
+
+def ln_params(d):
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}

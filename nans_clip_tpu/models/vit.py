@@ -1,0 +1,122 @@
+"""Vision Transformer tower (functional, scan-over-layers).
+
+Re-designs the reference ``VisualTransformer`` (clip/model.py:230-287) for
+TPU:
+
+* patch embedding is a single reshape + matmul (stride == kernel conv is
+  exactly a per-patch projection) so the whole op lands on the MXU as one
+  ``[B*N, p*p*3] @ [p*p*3, W]`` contraction instead of a convolution;
+* the transformer blocks are parameter-stacked and driven by ``lax.scan``
+  (one compiled block body instead of L unrolled ones) with optional
+  ``jax.checkpoint`` rematerialisation per block (reference used
+  torch.utils.checkpoint, clip/model.py:222-227);
+* attention runs through the fused Pallas kernel (ops/attention.py).
+
+FLIP random token masking (reference clip/model.py:252-266) keeps the CLS
+token plus a random ``(L-1)*(1-mask_ratio)`` subset of patch tokens,
+implemented with argsort-of-uniform + take_along_axis so it stays fully
+inside the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nans_clip_tpu.configs import VisionConfig
+from nans_clip_tpu.models.common import ModelOptions, cast_tree, ln_params, normal
+from nans_clip_tpu.ops import layer_norm, mha, quick_gelu
+
+
+def init_vit(rng: jax.Array, cfg: VisionConfig) -> dict:
+    """Initialize a ViT parameter pytree (CLIP init scheme)."""
+    w = cfg.width
+    keys = jax.random.split(rng, 8)
+    scale = w ** -0.5
+    proj_std = (w ** -0.5) * ((2 * cfg.layers) ** -0.5)
+    attn_std = w ** -0.5
+    fc_std = (2 * w) ** -0.5
+    L = cfg.layers
+
+    def stacked(key, shape, std):
+        return normal(key, (L,) + shape, std)
+
+    bkeys = jax.random.split(keys[4], 6)
+    blocks = {
+        "ln_1": {"scale": jnp.ones((L, w)), "bias": jnp.zeros((L, w))},
+        "attn": {
+            "wqkv": stacked(bkeys[0], (w, 3 * w), attn_std),
+            "bqkv": jnp.zeros((L, 3 * w)),
+            "wo": stacked(bkeys[1], (w, w), proj_std),
+            "bo": jnp.zeros((L, w)),
+        },
+        "ln_2": {"scale": jnp.ones((L, w)), "bias": jnp.zeros((L, w))},
+        "mlp": {
+            "w1": stacked(bkeys[2], (w, 4 * w), fc_std),
+            "b1": jnp.zeros((L, 4 * w)),
+            "w2": stacked(bkeys[3], (4 * w, w), proj_std),
+            "b2": jnp.zeros((L, w)),
+        },
+    }
+    return {
+        "conv1": {"kernel": normal(keys[0], (cfg.patch_size, cfg.patch_size, 3, w), scale)},
+        "class_embedding": normal(keys[1], (w,), scale),
+        "positional_embedding": normal(keys[2], (cfg.seq_len, w), scale),
+        "ln_pre": ln_params(w),
+        "transformer": blocks,
+        "ln_post": ln_params(w),
+        "proj": normal(keys[3], (w, cfg.embed_dim), scale),
+    }
+
+
+def random_masking(x: jax.Array, mask_ratio: float, rng: jax.Array) -> jax.Array:
+    """FLIP token dropping; keeps CLS + random subset (clip/model.py:252-266)."""
+    n, l, d = x.shape
+    len_keep = int((l - 1) * (1 - mask_ratio))
+    noise = jax.random.uniform(rng, (n, l - 1))
+    ids_keep = jnp.argsort(noise, axis=1)[:, :len_keep] + 1  # +1: skip CLS slot
+    x_masked = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+    return jnp.concatenate([x[:, :1, :], x_masked], axis=1)
+
+
+def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
+                 options: ModelOptions = ModelOptions(),
+                 mask_ratio: float = 0.0,
+                 rng: Optional[jax.Array] = None) -> jax.Array:
+    """Full ViT forward. images: [B, R, R, 3] NHWC. Returns [B, embed_dim]."""
+    params = cast_tree(params, options)
+    images = options.cast(images)
+    b = images.shape[0]
+    p, g, w = cfg.patch_size, cfg.grid_size, cfg.width
+
+    # Patch embed: [B, g, p, g, p, 3] -> [B, g*g, p*p*3] @ [p*p*3, W]
+    x = images.reshape(b, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
+    x = x @ params["conv1"]["kernel"].reshape(p * p * 3, w)
+
+    cls = jnp.broadcast_to(params["class_embedding"], (b, 1, w)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(x.dtype)
+
+    if mask_ratio > 0:
+        if rng is None:
+            raise ValueError("mask_ratio > 0 requires an rng")
+        x = random_masking(x, mask_ratio, rng)
+
+    x = layer_norm(x, **params["ln_pre"])
+
+    heads = cfg.heads
+
+    def block(x, lp):
+        x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=options.attn_impl)
+        h = layer_norm(x, **lp["ln_2"])
+        h = quick_gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
+        h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
+        return x + h
+
+    body = jax.checkpoint(block) if options.remat else block
+    x, _ = jax.lax.scan(lambda c, lp: (body(c, lp), None), x, params["transformer"])
+
+    x = layer_norm(x[:, 0, :], **params["ln_post"])
+    return x @ params["proj"]

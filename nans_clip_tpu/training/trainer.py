@@ -1,0 +1,216 @@
+"""Jitted contrastive train/eval steps over a device mesh.
+
+TPU redesign of reference ``training/train.py``/``main.py``:
+
+* one jitted ``train_step`` over a ``("data","model")`` mesh replaces
+  DDP + NCCL + AMP GradScaler (bf16 needs no loss scaling);
+* gradient accumulation with full global negatives
+  (training/train.py:206-253's two-pass feature-cache protocol) is a
+  ``lax.scan`` over microbatches with ``jax.checkpoint`` around the tower
+  forward: all features are produced for ONE global loss, and the backward
+  pass recomputes each microbatch's activations — mathematically the same
+  gradient as the reference (the sum of its per-chunk backwards decomposes
+  the global-loss gradient), with one fewer forward pass;
+* AdamW with the reference's weight-decay exclusion (bn/ln/bias/logit_scale,
+  training/main.py:147-166), cosine schedule with linear warmup
+  (training/scheduler.py:10-20), logit_scale clamped to ln(100)
+  (training/train.py:261-262);
+* freeze-vision (training/main.py:122-130) via zeroed updates;
+* FLIP mask_ratio threading (training/train.py and clip/model.py:252-266);
+* distillation: frozen teacher encoder inside the step + cosine KD loss
+  (training/train.py:90-100,406-419).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nans_clip_tpu.configs import CLIPConfig
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import encode_image, encode_text, normalize
+from nans_clip_tpu.parallel.loss import clip_loss, kd_cosine_loss
+
+LOGIT_SCALE_MAX = math.log(100.0)
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 5e-5
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    wd: float = 0.001
+    warmup: int = 100
+    max_steps: int = 1000
+    mask_ratio: float = 0.0
+    accum_freq: int = 1
+    freeze_vision: bool = False
+    label_smoothing: float = 0.0
+    distillation: bool = False
+    kd_loss_weight: float = 0.5
+    grad_norm_clip: Optional[float] = None
+
+
+def no_decay_mask(params) -> Any:
+    """True where weight decay must NOT apply (reference exclusion:
+    'bn'/'ln'/'bias'/'logit_scale' in the torch param name)."""
+    bias_names = {"bias", "bqkv", "bo", "b1", "b2", "class_embedding"}
+
+    def is_excluded(path) -> bool:
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        for n in names:
+            if "ln" in n or "bn" in n or n == "logit_scale" or n in bias_names:
+                return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: is_excluded(p), params)
+
+
+def cosine_with_warmup(base_lr: float, warmup: int, total_steps: int) -> optax.Schedule:
+    """Reference cosine_lr semantics (training/scheduler.py:10-20)."""
+
+    def schedule(step):
+        warm = base_lr * (step + 1) / max(warmup, 1)
+        e = step - warmup
+        es = max(total_steps - warmup, 1)
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * e / es)) * base_lr
+        return jnp.where(step < warmup, warm, cos)
+
+    return schedule
+
+
+def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
+    schedule = cosine_with_warmup(tcfg.lr, tcfg.warmup, tcfg.max_steps)
+    mask = jax.tree.map(lambda excluded: not excluded, no_decay_mask(params))
+    chain = []
+    if tcfg.grad_norm_clip:
+        chain.append(optax.clip_by_global_norm(tcfg.grad_norm_clip))
+    chain.append(optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
+                             eps=tcfg.eps, weight_decay=tcfg.wd, mask=mask))
+    if tcfg.freeze_vision:
+        def zero_visual(updates):
+            return {**updates, "visual": jax.tree.map(jnp.zeros_like, updates["visual"])}
+        chain.append(optax.stateless(lambda u, p=None: zero_visual(u)))
+    return optax.chain(*chain)
+
+
+def create_train_state(params, batch_stats, tcfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(tcfg, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), batch_stats=batch_stats or {})
+
+
+def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
+    """Both-tower features, optionally scanning accum_freq microbatches with
+    remat (full-negative grad accumulation)."""
+    img_rng, txt_rng = jax.random.split(rng)
+    new_stats = batch_stats
+    if tcfg.accum_freq <= 1:
+        if cfg.is_resnet:
+            img_f, new_stats = encode_image(params, cfg, images, options,
+                                            batch_stats=batch_stats, training=True)
+        else:
+            img_f = encode_image(params, cfg, images, options,
+                                 mask_ratio=tcfg.mask_ratio, rng=img_rng)
+        txt_f = encode_text(params, cfg, texts, options, rng=txt_rng)
+        return img_f, txt_f, new_stats
+
+    b = images.shape[0]
+    m = tcfg.accum_freq
+    micro = b // m
+    assert micro * m == b, f"batch {b} not divisible by accum_freq {m}"
+    im = images.reshape(m, micro, *images.shape[1:])
+    tx = texts.reshape(m, micro, *texts.shape[1:])
+
+    def enc(_, mb):
+        j, im_j, tx_j = mb
+        r_i = jax.random.fold_in(img_rng, j)
+        r_t = jax.random.fold_in(txt_rng, j)
+        if cfg.is_resnet:
+            f_i = encode_image(params, cfg, im_j, options, batch_stats=batch_stats,
+                               training=False)
+        else:
+            f_i = encode_image(params, cfg, im_j, options,
+                               mask_ratio=tcfg.mask_ratio, rng=r_i)
+        f_t = encode_text(params, cfg, tx_j, options, rng=r_t)
+        return None, (f_i, f_t)
+
+    _, (img_f, txt_f) = jax.lax.scan(jax.checkpoint(enc), None,
+                                     (jnp.arange(m), im, tx))
+    return img_f.reshape(b, -1), txt_f.reshape(b, -1), new_stats
+
+
+def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
+                    teacher: Optional[Tuple[CLIPConfig, Any]] = None,
+                    constrain: bool = True) -> Callable:
+    """Build the jitted train step. ``teacher``: (teacher_cfg, teacher_params)
+    for distillation; teacher params are closed over (frozen)."""
+    tx = make_optimizer(tcfg, None if True else None)  # mask built per-call below
+    teacher_opts = ModelOptions(attn_impl=options.attn_impl)
+
+    def step_fn(state: TrainState, images, texts, rng):
+        tx = make_optimizer(tcfg, state.params)
+
+        def loss_fn(params):
+            img_f, txt_f, new_stats = _encode_all(params, cfg, options, images,
+                                                  texts, rng, tcfg, state.batch_stats)
+            img_n, txt_n = normalize(img_f), normalize(txt_f)
+            scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+            loss, metrics = clip_loss(img_n, txt_n, scale,
+                                      label_smoothing=tcfg.label_smoothing,
+                                      constrain=constrain)
+            if tcfg.distillation and teacher is not None:
+                t_cfg, t_params = teacher
+                t_feats = jax.lax.stop_gradient(
+                    encode_image(t_params, t_cfg, images, teacher_opts))
+                kd = kd_cosine_loss(t_feats, img_f)
+                loss = loss + tcfg.kd_loss_weight * kd
+                metrics = {**metrics, "kd_loss": kd}
+            metrics = {**metrics, "logit_scale": params["logit_scale"]}
+            return loss, (metrics, new_stats)
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # clamp logit_scale <= ln(100) (training/train.py:261-262)
+        params = {**params,
+                  "logit_scale": jnp.clip(params["logit_scale"], a_max=LOGIT_SCALE_MAX)}
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, batch_stats=new_stats)
+        return new_state, {"loss": loss, **metrics}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: CLIPConfig, options: ModelOptions, constrain: bool = True) -> Callable:
+    """In-batch validation loss/acc (reference evaluate(),
+    training/train.py:334-404); reductions are global under jit (the psum
+    analog of dist.all_reduce)."""
+    eval_options = dataclasses.replace(options, deterministic=True)
+
+    def step_fn(params, batch_stats, images, texts):
+        if cfg.is_resnet:
+            img_f = encode_image(params, cfg, images, eval_options, batch_stats=batch_stats)
+        else:
+            img_f = encode_image(params, cfg, images, eval_options)
+        txt_f = encode_text(params, cfg, texts, eval_options)
+        img_n, txt_n = normalize(img_f), normalize(txt_f)
+        scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+        loss, metrics = clip_loss(img_n, txt_n, scale, constrain=constrain)
+        return {"loss": loss, **metrics}
+
+    return jax.jit(step_fn)
