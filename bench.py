@@ -1,0 +1,94 @@
+"""Benchmark: ViT-B/16 dual-tower feature-extraction throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md, T4 TensorRT fp16 batch-1): image 3.58 ms + text
+1.54 ms per sample = 195.3 pairs/sec. The north star is >=2x that per chip.
+We serve batched + AOT-jitted in bf16 (the TPU way), not batch-1.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 1000.0 / (3.58 + 1.54)
+
+IMAGE_BATCH = 256
+TEXT_BATCH = 256
+ITERS = 30
+WARMUP = 5
+
+
+def main():
+    from nans_clip_tpu.configs import load_config
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip
+
+    cfg = load_config("ViT-B-16@RoBERTa-wwm-ext-base-chinese")
+    options = ModelOptions(attn_impl="auto", compute_dtype="bfloat16")
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    # NOTE: each call returns an fp32 scalar so `float(...)` forces full
+    # device execution. On the tunneled 'axon' platform block_until_ready
+    # does NOT actually block (measured 100x-over-speed-of-light numbers),
+    # and device->host transfer of bf16 arrays hangs; a summed fp32 scalar
+    # is the reliable sync on every backend.
+    img_fn = jax.jit(lambda p, x: jnp.sum(
+        encode_image(p, cfg, x, options).astype(jnp.float32)))
+    txt_fn = jax.jit(lambda p, t: jnp.sum(
+        encode_text(p, cfg, t, options).astype(jnp.float32)))
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(IMAGE_BATCH, 224, 224, 3), jnp.bfloat16)
+    texts = jnp.zeros((TEXT_BATCH, 52), jnp.int32)
+    texts = texts.at[:, 0].set(101)
+    texts = texts.at[:, 1:30].set(jnp.asarray(rs.randint(1000, 20000, (TEXT_BATCH, 29))))
+    texts = texts.at[:, 30].set(102)
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        float(img_fn(params, images))
+        float(txt_fn(params, texts))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        float(img_fn(params, images))
+    img_time = (time.perf_counter() - t0) / ITERS
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        float(txt_fn(params, texts))
+    txt_time = (time.perf_counter() - t0) / ITERS
+
+    imgs_per_sec = IMAGE_BATCH / img_time
+    txts_per_sec = TEXT_BATCH / txt_time
+    # throughput extracting matched image+text pairs
+    pairs_per_sec = 1.0 / (img_time / IMAGE_BATCH + txt_time / TEXT_BATCH)
+
+    result = {
+        "metric": "ViT-B/16 image+text feature pairs/sec/chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "detail": {
+            "images_per_sec": round(imgs_per_sec, 2),
+            "texts_per_sec": round(txts_per_sec, 2),
+            "image_ms_per_sample": round(1000 * img_time / IMAGE_BATCH, 4),
+            "text_ms_per_sample": round(1000 * txt_time / TEXT_BATCH, 4),
+            "batch": IMAGE_BATCH,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

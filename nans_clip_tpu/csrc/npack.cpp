@@ -1,0 +1,235 @@
+// npack: memory-mapped record store + threaded JPEG decode for the data
+// pipeline. Native replacement for the reference's external LMDB C library
+// (training/data.py:49-56) and PIL JPEG decode (training/data.py:110-111):
+// zero-copy mmap'd reads for many reader processes, binary-searched u64 key
+// index, and a libjpeg-turbo decode pool that emits fixed-size RGB batches
+// ready for the device.
+//
+// File layout (little-endian):
+//   [0]  magic  "NSPK1\0\0\0"                (8 bytes)
+//   [8]  u64 record count N
+//   [16] u64 index offset
+//   [24] record payloads (concatenated)
+//   [index_offset] N * { u64 key, u64 offset, u64 length }, sorted by key
+//
+// Build: g++ -O3 -shared -fPIC npack.cpp -o libnpack.so -ljpeg -pthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+#include <jpeglib.h>
+#include <csetjmp>
+
+extern "C" {
+
+struct IndexEntry {
+  uint64_t key;
+  uint64_t offset;
+  uint64_t length;
+};
+
+struct NPack {
+  int fd = -1;
+  const uint8_t* base = nullptr;
+  size_t size = 0;
+  uint64_t count = 0;
+  const IndexEntry* index = nullptr;
+};
+
+static const char kMagic[8] = {'N', 'S', 'P', 'K', '1', 0, 0, 0};
+
+NPack* npack_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 24) { ::close(fd); return nullptr; }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  if (base == MAP_FAILED) { ::close(fd); return nullptr; }
+  const uint8_t* b = static_cast<const uint8_t*>(base);
+  if (memcmp(b, kMagic, 8) != 0) { munmap(base, st.st_size); ::close(fd); return nullptr; }
+  auto* p = new NPack();
+  p->fd = fd;
+  p->base = b;
+  p->size = st.st_size;
+  memcpy(&p->count, b + 8, 8);
+  uint64_t index_off;
+  memcpy(&index_off, b + 16, 8);
+  p->index = reinterpret_cast<const IndexEntry*>(b + index_off);
+  // Readahead hint: training reads are sequential-ish after shuffling chunks.
+  madvise(const_cast<uint8_t*>(b), st.st_size, MADV_WILLNEED);
+  return p;
+}
+
+void npack_close(NPack* p) {
+  if (!p) return;
+  munmap(const_cast<uint8_t*>(p->base), p->size);
+  ::close(p->fd);
+  delete p;
+}
+
+uint64_t npack_count(const NPack* p) { return p ? p->count : 0; }
+
+// Binary search by key; returns 1 on hit and fills ptr/len (zero-copy).
+int npack_get(const NPack* p, uint64_t key, const uint8_t** ptr, uint64_t* len) {
+  if (!p) return 0;
+  uint64_t lo = 0, hi = p->count;
+  while (lo < hi) {
+    uint64_t mid = (lo + hi) / 2;
+    uint64_t k = p->index[mid].key;
+    if (k == key) {
+      *ptr = p->base + p->index[mid].offset;
+      *len = p->index[mid].length;
+      return 1;
+    }
+    if (k < key) lo = mid + 1; else hi = mid;
+  }
+  return 0;
+}
+
+// Positional access (cursor iteration analog).
+int npack_get_at(const NPack* p, uint64_t i, uint64_t* key, const uint8_t** ptr,
+                 uint64_t* len) {
+  if (!p || i >= p->count) return 0;
+  *key = p->index[i].key;
+  *ptr = p->base + p->index[i].offset;
+  *len = p->index[i].length;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG decode pool: decode + bilinear resize to out_h x out_w RGB uint8.
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+// Decode one JPEG into dst (out_h*out_w*3, RGB u8) with bilinear resize.
+// Returns 1 on success.
+static int decode_one(const uint8_t* data, size_t len, int out_h, int out_w,
+                      uint8_t* dst) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return 0; }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  // libjpeg DCT scaling: pick the smallest 1/1..1/8 scale still >= target.
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = 1;
+  for (int denom = 8; denom >= 1; --denom) {
+    if ((int)(cinfo.image_width / denom) >= out_w &&
+        (int)(cinfo.image_height / denom) >= out_h) {
+      cinfo.scale_denom = denom;
+      break;
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  std::vector<uint8_t> buf((size_t)w * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf.data() + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // Bilinear resize buf (h,w) -> dst (out_h,out_w).
+  const float sy = (float)h / out_h, sx = (float)w / out_w;
+  for (int oy = 0; oy < out_h; ++oy) {
+    float fy = (oy + 0.5f) * sy - 0.5f;
+    int y0 = fy < 0 ? 0 : (int)fy;
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    float wy = fy - y0;
+    if (wy < 0) wy = 0;
+    for (int ox = 0; ox < out_w; ++ox) {
+      float fx = (ox + 0.5f) * sx - 0.5f;
+      int x0 = fx < 0 ? 0 : (int)fx;
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float wx = fx - x0;
+      if (wx < 0) wx = 0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = buf[((size_t)y0 * w + x0) * 3 + c];
+        float v01 = buf[((size_t)y0 * w + x1) * 3 + c];
+        float v10 = buf[((size_t)y1 * w + x0) * 3 + c];
+        float v11 = buf[((size_t)y1 * w + x1) * 3 + c];
+        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                  v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[((size_t)oy * out_w + ox) * 3 + c] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
+  return 1;
+}
+
+// Decode a batch in parallel. offsets/lengths index into the pack's mmap by
+// key. out: [n, out_h, out_w, 3] u8. ok: [n] u8 success flags.
+void npack_decode_jpeg_batch(const NPack* p, const uint64_t* keys, int n,
+                             int out_h, int out_w, int num_threads,
+                             uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* ptr;
+      uint64_t len;
+      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+      if (npack_get(p, keys[i], &ptr, &len)) {
+        ok[i] = decode_one(ptr, len, out_h, out_w, dst);
+      } else {
+        ok[i] = 0;
+      }
+      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Standalone (non-pack) batch decode from raw buffers.
+void npack_decode_jpeg_raw(const uint8_t** datas, const uint64_t* lens, int n,
+                           int out_h, int out_w, int num_threads,
+                           uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+      ok[i] = decode_one(datas[i], lens[i], out_h, out_w, dst);
+      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+    }
+  };
+  std::vector<std::thread> threads;
+  int t_n = num_threads <= 1 ? 1 : num_threads;
+  for (int t = 0; t < t_n; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,155 @@
+"""Sharded, prefetched dataset over npack stores.
+
+Reference semantics preserved (training/data.py):
+* dataset padded (wrapping from the start) so length is a multiple of the
+  global batch (pad_dataset, data.py:118-121; asserted data.py:178);
+* deterministic epoch-seeded shuffling for train AND validation (the
+  reference shuffles val too, to avoid duplicate-text in-batch accuracy
+  bias — data.py:162-165);
+* per-process sharding by strided index (DistributedSampler equivalent);
+* text preprocessing: lowercase + CJK curly-quote normalization
+  (data.py:31-34), then WordPiece tokenization to ``context_length``.
+
+TPU redesign: instead of N torch worker processes doing PIL decode +
+augment, a background prefetch thread drives the C++ decode pool
+(csrc/npack.cpp) which emits fixed-size uint8 RGB batches; normalization
+and augmentation happen on device (data/augment.py) inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from nans_clip_tpu.data.npack import NPackReader, decode_pair
+from nans_clip_tpu.tokenizer import Tokenizer, get_tokenizer
+
+
+def preprocess_text(text: str) -> str:
+    """Adapt text to the Chinese BERT vocab (reference data.py:29-33)."""
+    return text.lower().replace("“", '"').replace("”", '"')
+
+
+class PairDataset:
+    """imgs.npack + pairs.npack under one directory."""
+
+    def __init__(self, path: str):
+        assert os.path.isdir(path), f"dataset dir {path} does not exist"
+        self.path = path
+        self.pairs = NPackReader(os.path.join(path, "pairs.npack"))
+        self.imgs = NPackReader(os.path.join(path, "imgs.npack"))
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
+        else:
+            self.meta = {"num_samples": len(self.pairs), "num_images": len(self.imgs)}
+        self.num_samples = self.meta["num_samples"]
+        self.num_images = self.meta["num_images"]
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def get_pair(self, i: int):
+        _, raw = self.pairs.get_at(i % self.num_samples)
+        return decode_pair(raw)
+
+
+@dataclass
+class Batch:
+    images: np.ndarray      # uint8 [B, S, S, 3]
+    texts: np.ndarray       # int32 [B, L]
+    image_ids: np.ndarray   # int64 [B]
+    text_ids: np.ndarray    # int64 [B]
+
+
+def pad_len(n: int, global_batch: int) -> int:
+    """Padded dataset length (reference pad_dataset, data.py:118-121)."""
+    return max(1, math.ceil(n / global_batch)) * global_batch
+
+
+class DataLoader:
+    """Epoch iterator yielding fixed-size host batches for one process."""
+
+    def __init__(self, dataset: PairDataset, batch_size: int,
+                 decode_size: int = 224, context_length: int = 52,
+                 shuffle: bool = True, seed: int = 123, epoch: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 tokenizer: Optional[Tokenizer] = None,
+                 num_threads: int = 8, prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.global_batch_size = batch_size * process_count
+        self.decode_size = decode_size
+        self.context_length = context_length
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = epoch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+        self.padded_len = pad_len(len(dataset), self.global_batch_size)
+        self.num_batches = self.padded_len // self.global_batch_size
+        self.num_samples = self.padded_len
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(self.padded_len) % len(self.ds)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(idx)
+        return idx[self.process_index::self.process_count]
+
+    def _make_batch(self, idx: np.ndarray) -> Batch:
+        pairs = [self.ds.get_pair(int(i)) for i in idx]
+        image_ids = np.asarray([p[0] for p in pairs], np.int64)
+        text_ids = np.asarray([p[1] for p in pairs], np.int64)
+        texts = np.zeros((len(pairs), self.context_length), np.int32)
+        tok = self.tokenizer
+        for j, (_, _, raw) in enumerate(pairs):
+            ids = [tok.cls_id] + tok.encode(preprocess_text(raw))[: self.context_length - 2] + [tok.sep_id]
+            texts[j, : len(ids)] = ids
+        images, ok = self.ds.imgs.decode_jpeg_batch(
+            image_ids.astype(np.uint64), self.decode_size, self.num_threads)
+        return Batch(images=images, texts=texts, image_ids=image_ids,
+                     text_ids=text_ids)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        indices = self._indices()
+        n = self.num_batches
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for b in range(n):
+                if stop.is_set():
+                    return
+                sl = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                q.put(self._make_batch(sl))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

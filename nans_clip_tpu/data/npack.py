@@ -1,0 +1,208 @@
+"""npack: the framework's record store (native reader + pure-Python writer).
+
+TPU-native replacement for the reference's LMDB envs
+(training/data.py:49-56, preprocess/build_lmdb_dataset.py): a memory-mapped
+pack file with a sorted u64-key index, read zero-copy through a C++ library
+(csrc/npack.cpp) that also provides a threaded libjpeg decode+resize pool.
+A pure-Python mmap reader is the fallback when the native lib can't build.
+
+Same dataset structure as the reference: an ``imgs`` pack (image_id ->
+JPEG bytes) and a ``pairs`` pack (index -> (image_id, text_id, raw_text)).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import struct
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+MAGIC = b"NSPK1\x00\x00\x00"
+_HEADER = struct.Struct("<8sQQ")
+_ENTRY = struct.Struct("<QQQ")
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libnpack.so")
+_lib = None
+_lib_tried = False
+
+
+def _build_native() -> bool:
+    src = os.path.join(_CSRC, "npack.cpp")
+    try:
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH,
+                        "-ljpeg", "-pthread"], check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def get_native_lib() -> Optional[ctypes.CDLL]:
+    """Load (building on first use) the native npack library, or None."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_LIB_PATH) and not _build_native():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.npack_open.restype = ctypes.c_void_p
+    lib.npack_open.argtypes = [ctypes.c_char_p]
+    lib.npack_close.argtypes = [ctypes.c_void_p]
+    lib.npack_count.restype = ctypes.c_uint64
+    lib.npack_count.argtypes = [ctypes.c_void_p]
+    lib.npack_get.restype = ctypes.c_int
+    lib.npack_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                              ctypes.POINTER(ctypes.c_void_p),
+                              ctypes.POINTER(ctypes.c_uint64)]
+    lib.npack_get_at.restype = ctypes.c_int
+    lib.npack_get_at.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                 ctypes.POINTER(ctypes.c_uint64),
+                                 ctypes.POINTER(ctypes.c_void_p),
+                                 ctypes.POINTER(ctypes.c_uint64)]
+    lib.npack_decode_jpeg_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+class NPackWriter:
+    """Streaming writer; records may arrive in any key order."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "wb")
+        self.f.write(_HEADER.pack(MAGIC, 0, 0))
+        self.entries = []
+        self.offset = _HEADER.size
+
+    def put(self, key: int, value: bytes):
+        self.f.write(value)
+        self.entries.append((int(key), self.offset, len(value)))
+        self.offset += len(value)
+
+    def close(self):
+        self.entries.sort(key=lambda e: e[0])
+        index_offset = self.offset
+        for key, off, length in self.entries:
+            self.f.write(_ENTRY.pack(key, off, length))
+        self.f.seek(0)
+        self.f.write(_HEADER.pack(MAGIC, len(self.entries), index_offset))
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class NPackReader:
+    """Reads a pack; native C++ fast path with pure-Python mmap fallback."""
+
+    def __init__(self, path: str, native: bool = True):
+        self.path = path
+        self._lib = get_native_lib() if native else None
+        self._handle = None
+        if self._lib is not None:
+            self._handle = self._lib.npack_open(path.encode())
+            if not self._handle:
+                self._lib = None
+        # Python mmap view (used by fallback paths and for raw bytes)
+        self._f = open(path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        magic, count, index_offset = _HEADER.unpack_from(self._mm, 0)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not an npack file")
+        self.count = count
+        self._index_offset = index_offset
+        idx = np.frombuffer(self._mm, dtype=np.uint64,
+                            count=3 * count, offset=index_offset).reshape(count, 3).copy()
+        self._keys = idx[:, 0]
+        self._offsets = idx[:, 1]
+        self._lengths = idx[:, 2]
+
+    def __len__(self) -> int:
+        return self.count
+
+    def keys(self) -> np.ndarray:
+        return self._keys
+
+    def get(self, key: int) -> Optional[bytes]:
+        i = int(np.searchsorted(self._keys, np.uint64(key)))
+        if i >= self.count or self._keys[i] != np.uint64(key):
+            return None
+        off, ln = int(self._offsets[i]), int(self._lengths[i])
+        return self._mm[off:off + ln]
+
+    def get_at(self, i: int) -> Tuple[int, bytes]:
+        off, ln = int(self._offsets[i]), int(self._lengths[i])
+        return int(self._keys[i]), self._mm[off:off + ln]
+
+    def __iter__(self) -> Iterator[Tuple[int, bytes]]:
+        for i in range(self.count):
+            yield self.get_at(i)
+
+    def decode_jpeg_batch(self, keys: np.ndarray, size: int,
+                          num_threads: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode JPEGs for ``keys`` -> ([N, size, size, 3] u8, ok flags)."""
+        keys = np.ascontiguousarray(keys, np.uint64)
+        n = len(keys)
+        out = np.empty((n, size, size, 3), np.uint8)
+        ok = np.empty((n,), np.uint8)
+        if self._lib is not None and self._handle:
+            self._lib.npack_decode_jpeg_batch(
+                self._handle,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+                size, size, num_threads,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            return out, ok.astype(bool)
+        # PIL fallback
+        from PIL import Image
+        import io
+        for i, key in enumerate(keys):
+            raw = self.get(int(key))
+            if raw is None:
+                out[i] = 0
+                ok[i] = 0
+                continue
+            try:
+                img = Image.open(io.BytesIO(raw)).convert("RGB").resize(
+                    (size, size), Image.BILINEAR)
+                out[i] = np.asarray(img)
+                ok[i] = 1
+            except Exception:
+                out[i] = 0
+                ok[i] = 0
+        return out, ok.astype(bool)
+
+    def close(self):
+        if self._lib is not None and self._handle:
+            self._lib.npack_close(self._handle)
+            self._handle = None
+        self._mm.close()
+        self._f.close()
+
+
+# -- pair record codec -------------------------------------------------------
+
+_PAIR = struct.Struct("<qq")
+
+
+def encode_pair(image_id: int, text_id: int, raw_text: str) -> bytes:
+    return _PAIR.pack(image_id, text_id) + raw_text.encode("utf-8")
+
+
+def decode_pair(raw: bytes) -> Tuple[int, int, str]:
+    image_id, text_id = _PAIR.unpack_from(raw, 0)
+    return image_id, text_id, raw[_PAIR.size:].decode("utf-8")

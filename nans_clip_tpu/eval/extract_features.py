@@ -1,0 +1,129 @@
+"""Feature extraction CLI — jsonl-compatible with the reference
+(eval/extract_features.py:165-203): normalized features written as
+``{"text_id": ..., "feature": [...]}`` / ``{"image_id": ..., "feature": [...]}``.
+
+TPU redesign: one jitted batched encoder per tower (padded final batch, so
+one compiled shape), images streamed from the npack store through the C++
+decode pool.
+
+Usage:
+  python -m nans_clip_tpu.eval.extract_features \
+      --extract-image-feats --extract-text-feats \
+      --image-data DATADIR/valid --text-data DATADIR/valid_texts.jsonl \
+      --resume ckpt.pt --vision-model ViT-B-16 \
+      --text-model RoBERTa-wwm-ext-base-chinese
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nans_clip_tpu.data import NPackReader, preprocess_images
+from nans_clip_tpu.eval.model_io import load_eval_model
+from nans_clip_tpu.models.clip import encode_image, encode_text
+from nans_clip_tpu.tokenizer import tokenize
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--extract-image-feats", action="store_true")
+    p.add_argument("--extract-text-feats", action="store_true")
+    p.add_argument("--image-data", default=None,
+                   help="npack dataset dir (uses imgs.npack)")
+    p.add_argument("--text-data", default=None, help="jsonl with text_id/text")
+    p.add_argument("--image-feat-output-path", default=None)
+    p.add_argument("--text-feat-output-path", default=None)
+    p.add_argument("--img-batch-size", type=int, default=64)
+    p.add_argument("--text-batch-size", type=int, default=64)
+    p.add_argument("--context-length", type=int, default=52)
+    p.add_argument("--resume", required=True)
+    p.add_argument("--vision-model", default="ViT-B-16")
+    p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--num-threads", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def extract_text_features(args, cfg, params, options, out_path):
+    txt_fn = jax.jit(lambda p, t: encode_text(p, cfg, t, options))
+    ids, texts = [], []
+    with open(args.text_data, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            ids.append(obj["text_id"])
+            texts.append(obj["text"])
+    n = len(ids)
+    bs = args.text_batch_size
+    written = 0
+    with open(out_path, "w") as fout:
+        for i in range(0, n, bs):
+            chunk = texts[i:i + bs]
+            tok = tokenize(chunk, args.context_length)
+            pad = bs - len(chunk)
+            if pad:
+                tok = np.concatenate([tok, np.zeros((pad, tok.shape[1]), tok.dtype)])
+            feats = txt_fn(params, jnp.asarray(tok))
+            feats = np.asarray(feats, np.float32)[: len(chunk)]
+            feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+            for tid, feat in zip(ids[i:i + bs], feats):
+                fout.write(json.dumps({"text_id": tid, "feature": feat.tolist()}) + "\n")
+                written += 1
+    print(f"{written} text features are stored in {out_path}")
+
+
+def extract_image_features(args, cfg, params, batch_stats, options, out_path):
+    resolution = cfg.vision.image_resolution
+
+    def img_forward(p, bs_, x):
+        x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
+        return encode_image(p, cfg, x, options,
+                            batch_stats=bs_ if cfg.is_resnet else None)
+
+    img_fn = jax.jit(img_forward)
+    imgs_path = os.path.join(args.image_data, "imgs.npack")
+    reader = NPackReader(imgs_path)
+    keys = reader.keys()
+    n = len(keys)
+    bs = args.img_batch_size
+    written = 0
+    with open(out_path, "w") as fout:
+        for i in range(0, n, bs):
+            chunk = keys[i:i + bs]
+            raw, ok = reader.decode_jpeg_batch(chunk, resolution, args.num_threads)
+            pad = bs - len(chunk)
+            if pad:
+                raw = np.concatenate([raw, np.zeros((pad,) + raw.shape[1:], raw.dtype)])
+            feats = img_fn(params, batch_stats, jnp.asarray(raw))
+            feats = np.asarray(feats, np.float32)[: len(chunk)]
+            feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+            for key, feat in zip(chunk.tolist(), feats):
+                fout.write(json.dumps({"image_id": int(key), "feature": feat.tolist()}) + "\n")
+                written += 1
+    reader.close()
+    print(f"{written} image features are stored in {out_path}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg, params, batch_stats, options = load_eval_model(
+        args.vision_model, args.text_model, args.resume, args.precision)
+
+    if args.extract_text_feats:
+        out = args.text_feat_output_path or f"{args.text_data[:-6]}.txt_feat.jsonl"
+        extract_text_features(args, cfg, params, options, out)
+    if args.extract_image_feats:
+        out = args.image_feat_output_path or os.path.join(
+            args.image_data, "imgs.img_feat.jsonl")
+        extract_image_features(args, cfg, params, batch_stats, options, out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Training entry point.
+
+TPU-native twin of reference training/main.py: one launch command per host
+(``jax.distributed`` handles multi-host; no torch.distributed.launch, no
+per-GPU ranks), a ("data","model") mesh instead of DDP, Orbax auto-resume,
+optional distillation teacher, and reference-compatible flags
+(training/params.py).
+
+Example (single host):
+  python -m nans_clip_tpu.training.main \
+      --train-data DATADIR/train --val-data DATADIR/valid \
+      --vision-model ViT-B-16 --text-model RoBERTa-wwm-ext-base-chinese \
+      --batch-size 128 --max-epochs 3 --lr 5e-5 --warmup 100
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nans_clip_tpu.configs import load_config
+from nans_clip_tpu.data import DataLoader, PairDataset, preprocess_images
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import init_clip
+from nans_clip_tpu.parallel import batch_sharding, create_mesh, shard_params
+from nans_clip_tpu.training.params import parse_args
+from nans_clip_tpu.training.trainer import (TrainConfig, create_train_state,
+                                            make_eval_step, make_train_step)
+from nans_clip_tpu.utils.checkpoint import (latest_exists, restore_checkpoint,
+                                            save_checkpoint)
+from nans_clip_tpu.utils.torch_interop import (load_torch_state_dict,
+                                               merge_pretrained,
+                                               params_from_state_dict)
+
+
+def setup_logging(log_dir: str, name: str) -> str:
+    os.makedirs(os.path.join(log_dir, name), exist_ok=True)
+    ts = time.strftime("%Y-%m-%d-%H-%M-%S")
+    log_path = os.path.join(log_dir, name, f"out_{ts}.log")
+    handlers = [logging.FileHandler(log_path), logging.StreamHandler()]
+    logging.basicConfig(level=logging.INFO, handlers=handlers,
+                        format=f"%(asctime)s | proc {jax.process_index()} | %(levelname)s | %(message)s",
+                        force=True)
+    return log_path
+
+
+def build_model(args):
+    cfg = load_config(f"{args.vision_model}@{args.text_model}")
+    compute_dtype = None if args.precision == "fp32" else "bfloat16"
+    train_options = ModelOptions(attn_impl=args.attn_impl,
+                                 remat=args.grad_checkpointing,
+                                 compute_dtype=compute_dtype,
+                                 deterministic=False)
+    params, batch_stats = init_clip(jax.random.PRNGKey(args.seed), cfg)
+    if args.clip_weight_path or args.bert_weight_path:
+        clip_sd = load_torch_state_dict(args.clip_weight_path) if args.clip_weight_path else None
+        bert_sd = load_torch_state_dict(args.bert_weight_path) if args.bert_weight_path else None
+        params = jax.tree.map(np.asarray, params)
+        params, batch_stats = merge_pretrained(params, batch_stats, cfg, clip_sd, bert_sd)
+        logging.info("loaded pretrained weights (clip=%s, bert=%s)",
+                     args.clip_weight_path, args.bert_weight_path)
+    return cfg, params, batch_stats, train_options
+
+
+def build_teacher(args):
+    if not args.distillation:
+        return None
+    assert args.teacher_model_name, "--distillation needs --teacher-model-name"
+    t_cfg = load_config(args.teacher_model_name)
+    t_params, _ = init_clip(jax.random.PRNGKey(0), t_cfg)
+    if args.teacher_weight_path:
+        sd = load_torch_state_dict(args.teacher_weight_path)
+        loaded, _ = params_from_state_dict(sd, t_cfg)
+        t_params.update(loaded)
+    t_params = jax.tree.map(jnp.asarray, t_params)
+    return (t_cfg, t_params)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    log_path = setup_logging(args.logs, args.name)
+    logging.info("devices: %s", jax.devices())
+
+    mesh = create_mesh(model=args.tp)
+    data_size = mesh.shape["data"]
+    logging.info("mesh: data=%d model=%d", data_size, args.tp)
+
+    cfg, params, batch_stats, options = build_model(args)
+    resolution = cfg.vision.image_resolution
+
+    # hyperparam dump (reference main.py:179-185)
+    params_file = os.path.join(args.logs, args.name,
+                               f"params_{time.strftime('%Y%m%d%H%M%S')}.txt")
+    with open(params_file, "w") as f:
+        for k in sorted(vars(args)):
+            f.write(f"{k}: {getattr(args, k)}\n")
+
+    if args.mask_ratio > 0 and cfg.is_resnet:
+        logging.info("Note: mask_ratio > 0 (FLIP) only functions for ViT towers.")
+
+    # data ------------------------------------------------------------------
+    assert args.train_data, "--train-data is required"
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+    global_micro = args.batch_size * data_size
+    train_ds = PairDataset(args.train_data)
+    train_loader = DataLoader(
+        train_ds, batch_size=global_micro // proc_cnt, decode_size=resolution,
+        context_length=args.context_length, shuffle=True, seed=args.seed,
+        process_index=proc_idx, process_count=proc_cnt,
+        num_threads=args.num_workers)
+    val_loader = None
+    if args.val_data:
+        val_ds = PairDataset(args.val_data)
+        val_loader = DataLoader(
+            val_ds, batch_size=args.valid_batch_size * data_size // proc_cnt,
+            decode_size=resolution, context_length=args.context_length,
+            shuffle=True, seed=args.seed, process_index=proc_idx,
+            process_count=proc_cnt, num_threads=args.valid_num_workers)
+
+    num_batches = train_loader.num_batches
+    steps_per_epoch = num_batches // args.accum_freq
+    if args.max_steps is not None:
+        args.max_epochs = math.ceil(args.max_steps * args.accum_freq / num_batches)
+    else:
+        args.max_steps = steps_per_epoch * args.max_epochs
+    logging.info("train: %d pairs, %d batches/epoch, %d steps total",
+                 train_loader.num_samples, num_batches, args.max_steps)
+
+    tcfg = TrainConfig(
+        lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        wd=args.wd, warmup=args.warmup, max_steps=args.max_steps,
+        mask_ratio=args.mask_ratio, accum_freq=args.accum_freq,
+        freeze_vision=args.freeze_vision, label_smoothing=args.label_smoothing,
+        distillation=args.distillation, kd_loss_weight=args.kd_loss_weight,
+        grad_norm_clip=args.grad_norm_clip)
+
+    teacher = build_teacher(args)
+
+    ckpt_dir = os.path.join(args.logs, args.name, "checkpoints")
+
+    with jax.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        state = create_train_state(params, batch_stats, tcfg)
+
+        # auto-resume (reference main.py:201-237)
+        start_epoch, start_step = 0, 0
+        resume_tag = None
+        if args.resume:
+            resume_tag = args.resume
+        elif latest_exists(ckpt_dir):
+            resume_tag = "epoch_latest"
+        if resume_tag:
+            state, meta = restore_checkpoint(ckpt_dir, resume_tag, state,
+                                             reset_optimizer=args.reset_optimizer)
+            if meta:
+                start_step = meta.get("step", int(state.step))
+                if not args.reset_data_offset:
+                    start_epoch = meta.get("epoch", 0)
+                logging.info("resumed from %s (epoch %d, step %d)",
+                             resume_tag, start_epoch, start_step)
+
+        train_step = make_train_step(cfg, tcfg, options, teacher=teacher)
+        eval_step = make_eval_step(cfg, options)
+        b_shard = batch_sharding(mesh)
+        rng = jax.random.PRNGKey(args.seed)
+
+        def run_validation(state, epoch):
+            if val_loader is None:
+                return
+            tot = {"loss": 0.0, "i2t_acc": 0.0, "t2i_acc": 0.0}
+            n = 0
+            for batch in val_loader:
+                im = jax.device_put(batch.images, b_shard)
+                tx = jax.device_put(batch.texts, b_shard)
+                im = preprocess_images(jax.random.PRNGKey(0), im, resolution, augment=False)
+                m = eval_step(state.params, state.batch_stats, im, tx)
+                for k in tot:
+                    tot[k] += float(m[k])
+                n += 1
+            logging.info("VALID epoch %d | loss %.4f | i2t %.2f%% | t2i %.2f%%",
+                         epoch, tot["loss"] / n, 100 * tot["i2t_acc"] / n,
+                         100 * tot["t2i_acc"] / n)
+
+        step = start_step
+        for epoch in range(start_epoch, args.max_epochs):
+            train_loader.set_epoch(epoch)
+            micro_buf = []
+            t_data = time.time()
+            data_time = 0.0
+            for i, batch in enumerate(train_loader):
+                data_time += time.time() - t_data
+                micro_buf.append(batch)
+                if len(micro_buf) < args.accum_freq:
+                    t_data = time.time()
+                    continue
+                images = np.concatenate([b.images for b in micro_buf])
+                texts = np.concatenate([b.texts for b in micro_buf])
+                micro_buf = []
+
+                t0 = time.time()
+                im = jax.device_put(images, b_shard)
+                tx = jax.device_put(texts, b_shard)
+                rng, srng, arng = jax.random.split(rng, 3)
+                im = preprocess_images(arng, im, resolution, augment=args.use_augment)
+                state, metrics = train_step(state, im, tx, srng)
+                step += 1
+
+                if step % args.log_interval == 0:
+                    metrics = jax.tree.map(float, metrics)
+                    batch_time = time.time() - t0
+                    logging.info(
+                        "Epoch %d [%d/%d] | loss %.6f | i2t %.2f%% | t2i %.2f%% | "
+                        "data %.3fs | batch %.3fs | logit_scale %.3f | gbs %d",
+                        epoch, (i + 1), num_batches, metrics["loss"],
+                        100 * metrics["i2t_acc"], 100 * metrics["t2i_acc"],
+                        data_time, batch_time, metrics["logit_scale"],
+                        global_micro * args.accum_freq)
+                data_time = 0.0
+
+                if args.valid_step_interval and step % args.valid_step_interval == 0:
+                    run_validation(state, epoch)
+                if args.save_step_frequency > 0 and step % args.save_step_frequency == 0:
+                    meta = {"epoch": epoch, "step": step, "name": args.name}
+                    save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
+                                    args.save_torch_format, cfg)
+                if step >= args.max_steps:
+                    break
+                t_data = time.time()
+
+            if (epoch + 1) % args.valid_epoch_interval == 0:
+                run_validation(state, epoch)
+            meta = {"epoch": epoch + 1, "step": step, "name": args.name}
+            tag = f"epoch{epoch + 1}" if (epoch + 1) % args.save_epoch_frequency == 0 \
+                else "epoch_latest"
+            save_checkpoint(ckpt_dir, tag, state, meta, args.save_torch_format, cfg)
+            if step >= args.max_steps:
+                break
+
+    logging.info("done: %d steps. log: %s", step, log_path)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""LoRA finetuning CLI — behavioral twin of reference ``train_lora.py``.
+
+* frozen base model + ``logit_scale`` (train_lora.py:144-152); only the
+  adapter pytree is optimized (AdamW, no decay exclusions needed — LoRA
+  matrices want decay);
+* InfoNCE with label smoothing 0.05 (train_lora.py:96-110);
+* gradient accumulation keeps full-negative semantics: the reference
+  collects features across ``accum_freq`` microbatches and backprops one
+  concatenated loss (train_lora.py:242-269) — here that's the scan+remat
+  accumulation from the main trainer, which is the same gradient;
+* warmup-ratio + cosine schedule (train_lora.py:186-195);
+* best-val adapter-only checkpoints + ``training_log.csv``
+  (train_lora.py:210-321).
+
+Usage:
+  python -m nans_clip_tpu.training.train_lora \
+      --train-data DIR/train --val-data DIR/valid --resume ckpt.pt \
+      --vision-model ViT-B-16 --text-model RoBERTa-wwm-ext-base-chinese \
+      --lora-rank 4 --lora-alpha 16 --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nans_clip_tpu.data import DataLoader, PairDataset, preprocess_images
+from nans_clip_tpu.eval.model_io import load_eval_model
+from nans_clip_tpu.models.clip import encode_image, encode_text, normalize
+from nans_clip_tpu.models.lora import (count_lora_params, init_lora, load_lora,
+                                       merge_lora, save_lora)
+from nans_clip_tpu.parallel.loss import clip_loss
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-data", required=True)
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--resume", required=True, help="base model checkpoint (.pt or orbax dir)")
+    p.add_argument("--vision-model", default="ViT-B-16")
+    p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
+    p.add_argument("--output-dir", default="./lora_output")
+    p.add_argument("--lora-rank", type=int, default=4)
+    p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--text-only", action="store_true")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--accum-freq", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=0.01)
+    p.add_argument("--warmup-ratio", type=float, default=0.1)
+    p.add_argument("--label-smoothing", type=float, default=0.05)
+    p.add_argument("--context-length", type=int, default=52)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--num-threads", type=int, default=8)
+    p.add_argument("--precision", default="bf16")
+    return p.parse_args(argv)
+
+
+def make_lora_step(cfg, base_params, options, alpha, label_smoothing, accum, tx):
+    def encode_batch(adapters, images, texts, rng):
+        params = merge_lora(base_params, adapters, alpha)
+        b = images.shape[0]
+        if accum <= 1:
+            return (encode_image(params, cfg, images, options),
+                    encode_text(params, cfg, texts, options, rng=rng))
+        m, micro = accum, b // accum
+        im = images.reshape(m, micro, *images.shape[1:])
+        tx_r = texts.reshape(m, micro, *texts.shape[1:])
+
+        def enc(_, mb):
+            j, im_j, tx_j = mb
+            return None, (encode_image(params, cfg, im_j, options),
+                          encode_text(params, cfg, tx_j, options,
+                                      rng=jax.random.fold_in(rng, j)))
+        _, (fi, ft) = jax.lax.scan(jax.checkpoint(enc), None,
+                                   (jnp.arange(m), im, tx_r))
+        return fi.reshape(b, -1), ft.reshape(b, -1)
+
+    def loss_fn(adapters, images, texts, rng):
+        fi, ft = encode_batch(adapters, images, texts, rng)
+        scale = jnp.exp(base_params["logit_scale"].astype(jnp.float32))
+        loss, metrics = clip_loss(normalize(fi), normalize(ft), scale,
+                                  label_smoothing=label_smoothing,
+                                  constrain=False)
+        return loss, metrics
+
+    @jax.jit
+    def train_step(adapters, opt_state, images, texts, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            adapters, images, texts, rng)
+        updates, opt_state = tx.update(grads, opt_state, adapters)
+        adapters = optax.apply_updates(adapters, updates)
+        return adapters, opt_state, loss, metrics
+
+    @jax.jit
+    def eval_step(adapters, images, texts):
+        loss, metrics = loss_fn(adapters, images, texts, jax.random.PRNGKey(0))
+        return loss
+    return train_step, eval_step
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s | %(levelname)s | %(message)s")
+
+    cfg, params, batch_stats, options = load_eval_model(
+        args.vision_model, args.text_model, args.resume, args.precision)
+    assert not cfg.is_resnet, "LoRA targets transformer towers (ViT models)"
+
+    adapters = init_lora(jax.random.PRNGKey(args.seed), params,
+                         rank=args.lora_rank, text_only=args.text_only)
+    n_lora = count_lora_params(adapters)
+    n_total = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
+    logging.info("LoRA params: %d (%.4f%% of %d)", n_lora,
+                 100.0 * n_lora / n_total, n_total)
+
+    resolution = cfg.vision.image_resolution
+    train_ds = PairDataset(args.train_data)
+    micro = args.batch_size
+    loader = DataLoader(train_ds, batch_size=micro * args.accum_freq,
+                        decode_size=resolution, context_length=args.context_length,
+                        shuffle=True, seed=args.seed, num_threads=args.num_threads)
+    val_loader = None
+    if args.val_data:
+        val_loader = DataLoader(PairDataset(args.val_data), batch_size=micro,
+                                decode_size=resolution, shuffle=True,
+                                seed=args.seed, num_threads=args.num_threads)
+
+    total_steps = loader.num_batches * args.epochs
+    warmup_steps = max(1, int(total_steps * args.warmup_ratio))
+
+    def schedule(step):
+        warm = args.lr * step / warmup_steps
+        prog = (step - warmup_steps) / max(1, total_steps - warmup_steps)
+        cos = args.lr * 0.5 * (1 + jnp.cos(jnp.pi * prog))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    tx = optax.adamw(schedule, weight_decay=args.wd)
+    opt_state = tx.init(adapters)
+    train_step, eval_step = make_lora_step(cfg, params, options, args.lora_alpha,
+                                           args.label_smoothing, args.accum_freq, tx)
+
+    log_path = os.path.join(args.output_dir, "training_log.csv")
+    with open(log_path, "w") as f:
+        f.write("epoch,train_loss,val_loss,lr,is_best\n")
+
+    rng = jax.random.PRNGKey(args.seed)
+    best_val = float("inf")
+    step = 0
+    for epoch in range(args.epochs):
+        loader.set_epoch(epoch)
+        losses = []
+        for batch in loader:
+            rng, arng, srng = jax.random.split(rng, 3)
+            im = preprocess_images(arng, jnp.asarray(batch.images), resolution,
+                                   augment=False)
+            adapters, opt_state, loss, metrics = train_step(
+                adapters, opt_state, im, jnp.asarray(batch.texts), srng)
+            losses.append(float(loss))
+            step += 1
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+
+        val_loss = float("nan")
+        if val_loader is not None:
+            vl = []
+            for batch in val_loader:
+                im = preprocess_images(jax.random.PRNGKey(0),
+                                       jnp.asarray(batch.images), resolution,
+                                       augment=False)
+                vl.append(float(eval_step(adapters, im, jnp.asarray(batch.texts))))
+            val_loss = float(np.mean(vl)) if vl else float("nan")
+
+        is_best = val_loss < best_val if val_loader is not None else True
+        if is_best:
+            best_val = val_loss if val_loader is not None else train_loss
+            save_lora(os.path.join(args.output_dir, "best_lora.npz"), adapters,
+                      {"epoch": epoch, "val_loss": val_loss, "rank": args.lora_rank,
+                       "alpha": args.lora_alpha})
+        lr_now = float(schedule(step))
+        with open(log_path, "a") as f:
+            f.write(f"{epoch},{train_loss:.6f},{val_loss:.6f},{lr_now:.8f},{int(is_best)}\n")
+        logging.info("epoch %d | train %.4f | val %.4f | lr %.2e | best=%s",
+                     epoch, train_loss, val_loss, lr_now, is_best)
+
+    save_lora(os.path.join(args.output_dir, "last_lora.npz"), adapters,
+              {"epoch": args.epochs - 1, "rank": args.lora_rank,
+               "alpha": args.lora_alpha})
+    logging.info("done. best val loss %.4f; adapters in %s", best_val, args.output_dir)
+    return adapters
+
+
+if __name__ == "__main__":
+    main()

@@ -159,7 +159,6 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
                     constrain: bool = True) -> Callable:
     """Build the jitted train step. ``teacher``: (teacher_cfg, teacher_params)
     for distillation; teacher params are closed over (frozen)."""
-    tx = make_optimizer(tcfg, None if True else None)  # mask built per-call below
     teacher_opts = ModelOptions(attn_impl=options.attn_impl)
 
     def step_fn(state: TrainState, images, texts, rng):
@@ -188,7 +187,7 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
         params = optax.apply_updates(state.params, updates)
         # clamp logit_scale <= ln(100) (training/train.py:261-262)
         params = {**params,
-                  "logit_scale": jnp.clip(params["logit_scale"], a_max=LOGIT_SCALE_MAX)}
+                  "logit_scale": jnp.clip(params["logit_scale"], max=LOGIT_SCALE_MAX)}
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, batch_stats=new_stats)
         return new_state, {"loss": loss, **metrics}

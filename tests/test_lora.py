@@ -1,0 +1,82 @@
+"""LoRA tests: zero-init identity, gradient flow, adapter save/load."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip, normalize
+from nans_clip_tpu.models.lora import (count_lora_params, init_lora, load_lora,
+                                       merge_lora, save_lora)
+from nans_clip_tpu.parallel.loss import clip_loss
+from tests.test_trainer import TINY, _batch
+
+OPTS = ModelOptions(attn_impl="xla")
+
+
+def test_lora_zero_init_is_identity():
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    adapters = init_lora(jax.random.PRNGKey(1), params, rank=4)
+    merged = merge_lora(params, adapters, alpha=16.0)
+    images, texts = _batch(4)
+    a = encode_image(params, TINY, jnp.asarray(images), OPTS)
+    b = encode_image(merged, TINY, jnp.asarray(images), OPTS)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    at = encode_text(params, TINY, jnp.asarray(texts), OPTS)
+    bt = encode_text(merged, TINY, jnp.asarray(texts), OPTS)
+    np.testing.assert_allclose(np.asarray(at), np.asarray(bt), atol=1e-6)
+
+
+def test_lora_structure():
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    adapters = init_lora(jax.random.PRNGKey(1), params, rank=4)
+    assert "visual" in adapters and "bert" in adapters
+    L = TINY.vision.layers
+    assert adapters["visual"]["wqkv"]["a"].shape == (L, 3, 4, TINY.vision.width)
+    # text_only
+    t_only = init_lora(jax.random.PRNGKey(1), params, rank=4, text_only=True)
+    assert "visual" not in t_only and "bert" in t_only
+    assert count_lora_params(adapters) > count_lora_params(t_only)
+
+
+def test_lora_grads_flow_and_train():
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    adapters = init_lora(jax.random.PRNGKey(1), params, rank=2)
+    images, texts = _batch(8)
+    im, tx = jnp.asarray(images), jnp.asarray(texts)
+
+    def loss_fn(ad):
+        merged = merge_lora(params, ad, alpha=16.0)
+        fi = encode_image(merged, TINY, im, OPTS)
+        ft = encode_text(merged, TINY, tx, OPTS)
+        scale = jnp.exp(params["logit_scale"])
+        loss, _ = clip_loss(normalize(fi), normalize(ft), scale,
+                            label_smoothing=0.05, constrain=False)
+        return loss
+
+    l0, grads = jax.value_and_grad(loss_fn)(adapters)
+    # b matrices are zero-init: their grads must be nonzero (via a),
+    # and a's grads are zero at init (since b is zero) -- standard LoRA.
+    gb = float(jnp.abs(grads["visual"]["wqkv"]["b"]).max())
+    assert gb > 0, "no gradient reaches LoRA b matrices"
+    # a sufficiently small SGD step decreases the loss (first-order check)
+    gnorm2 = sum(float(jnp.vdot(g, g)) for g in jax.tree.leaves(grads))
+    lr = 0.01 / np.sqrt(gnorm2)
+    ad2 = jax.tree.map(lambda p, g: p - lr * g, adapters, grads)
+    l1 = loss_fn(ad2)
+    assert float(l1) < float(l0), (float(l0), float(l1), gnorm2)
+
+
+def test_lora_save_load(tmp_path):
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    adapters = init_lora(jax.random.PRNGKey(1), params, rank=4)
+    # make them non-trivial
+    adapters = jax.tree.map(lambda x: x + 0.01, adapters)
+    path = str(tmp_path / "lora.npz")
+    save_lora(path, adapters, {"rank": 4, "alpha": 16.0})
+    template = init_lora(jax.random.PRNGKey(2), params, rank=4)
+    restored, meta = load_lora(path, template)
+    assert meta["rank"] == 4
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                        adapters, restored)
+    assert all(jax.tree.leaves(same))

@@ -91,10 +91,11 @@ def test_pallas_attention_tower_parity():
     attn_mod._pick_impl = lambda impl: "pallas"
     try:
         opts = ModelOptions(attn_impl="pallas")
-        import functools
         pallas_orig = attn_mod.attention_pallas
-        attn_mod.attention_pallas = functools.partial(pallas_orig, interpret=True) \
-            if jax.default_backend() != "tpu" else pallas_orig
+        if jax.default_backend() != "tpu":
+            def forced(q, k, v, key_bias=None, block_q=128, interpret=False):
+                return pallas_orig(q, k, v, key_bias, block_q, interpret=True)
+            attn_mod.attention_pallas = forced
         ours_img = np.asarray(encode_image(params, cfg, jnp.asarray(img.transpose(0, 2, 3, 1)), opts))
         ours_txt = np.asarray(encode_text(params, cfg, jnp.asarray(txt.astype(np.int32)), opts))
     finally:
