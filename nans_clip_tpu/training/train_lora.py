@@ -64,8 +64,10 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def make_lora_step(cfg, base_params, options, alpha, label_smoothing, accum, tx):
-    def encode_batch(adapters, images, texts, rng):
+def make_lora_step(cfg, options, alpha, label_smoothing, accum, tx):
+    # NOTE: base params are a traced ARGUMENT, never a closure — closing over
+    # a 188M-param pytree embeds it as XLA constants and the compile explodes.
+    def encode_batch(base_params, adapters, images, texts, rng):
         params = merge_lora(base_params, adapters, alpha)
         b = images.shape[0]
         if accum <= 1:
@@ -84,8 +86,8 @@ def make_lora_step(cfg, base_params, options, alpha, label_smoothing, accum, tx)
                                    (jnp.arange(m), im, tx_r))
         return fi.reshape(b, -1), ft.reshape(b, -1)
 
-    def loss_fn(adapters, images, texts, rng):
-        fi, ft = encode_batch(adapters, images, texts, rng)
+    def loss_fn(adapters, base_params, images, texts, rng):
+        fi, ft = encode_batch(base_params, adapters, images, texts, rng)
         scale = jnp.exp(base_params["logit_scale"].astype(jnp.float32))
         loss, metrics = clip_loss(normalize(fi), normalize(ft), scale,
                                   label_smoothing=label_smoothing,
@@ -93,16 +95,16 @@ def make_lora_step(cfg, base_params, options, alpha, label_smoothing, accum, tx)
         return loss, metrics
 
     @jax.jit
-    def train_step(adapters, opt_state, images, texts, rng):
+    def train_step(base_params, adapters, opt_state, images, texts, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            adapters, images, texts, rng)
+            adapters, base_params, images, texts, rng)
         updates, opt_state = tx.update(grads, opt_state, adapters)
         adapters = optax.apply_updates(adapters, updates)
         return adapters, opt_state, loss, metrics
 
     @jax.jit
-    def eval_step(adapters, images, texts):
-        loss, metrics = loss_fn(adapters, images, texts, jax.random.PRNGKey(0))
+    def eval_step(base_params, adapters, images, texts):
+        loss, _ = loss_fn(adapters, base_params, images, texts, jax.random.PRNGKey(0))
         return loss
     return train_step, eval_step
 
@@ -147,7 +149,7 @@ def main(argv=None):
 
     tx = optax.adamw(schedule, weight_decay=args.wd)
     opt_state = tx.init(adapters)
-    train_step, eval_step = make_lora_step(cfg, params, options, args.lora_alpha,
+    train_step, eval_step = make_lora_step(cfg, options, args.lora_alpha,
                                            args.label_smoothing, args.accum_freq, tx)
 
     log_path = os.path.join(args.output_dir, "training_log.csv")
@@ -165,7 +167,7 @@ def main(argv=None):
             im = preprocess_images(arng, jnp.asarray(batch.images), resolution,
                                    augment=False)
             adapters, opt_state, loss, metrics = train_step(
-                adapters, opt_state, im, jnp.asarray(batch.texts), srng)
+                params, adapters, opt_state, im, jnp.asarray(batch.texts), srng)
             losses.append(float(loss))
             step += 1
         train_loss = float(np.mean(losses)) if losses else float("nan")
@@ -177,7 +179,7 @@ def main(argv=None):
                 im = preprocess_images(jax.random.PRNGKey(0),
                                        jnp.asarray(batch.images), resolution,
                                        augment=False)
-                vl.append(float(eval_step(adapters, im, jnp.asarray(batch.texts))))
+                vl.append(float(eval_step(params, adapters, im, jnp.asarray(batch.texts))))
             val_loss = float(np.mean(vl)) if vl else float("nan")
 
         is_best = val_loss < best_val if val_loader is not None else True

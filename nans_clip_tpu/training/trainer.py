@@ -158,10 +158,14 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
                     teacher: Optional[Tuple[CLIPConfig, Any]] = None,
                     constrain: bool = True) -> Callable:
     """Build the jitted train step. ``teacher``: (teacher_cfg, teacher_params)
-    for distillation; teacher params are closed over (frozen)."""
-    teacher_opts = ModelOptions(attn_impl=options.attn_impl)
+    for distillation. Teacher params are threaded as a traced argument —
+    closing a large pytree into the jaxpr embeds it as XLA constants and
+    blows up compile time."""
+    teacher_opts = ModelOptions(attn_impl=options.attn_impl,
+                                compute_dtype=options.compute_dtype)
+    teacher_cfg = teacher[0] if teacher is not None else None
 
-    def step_fn(state: TrainState, images, texts, rng):
+    def step_fn(state: TrainState, images, texts, rng, teacher_params):
         tx = make_optimizer(tcfg, state.params)
 
         def loss_fn(params):
@@ -172,10 +176,9 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
             loss, metrics = clip_loss(img_n, txt_n, scale,
                                       label_smoothing=tcfg.label_smoothing,
                                       constrain=constrain)
-            if tcfg.distillation and teacher is not None:
-                t_cfg, t_params = teacher
+            if tcfg.distillation and teacher_params is not None:
                 t_feats = jax.lax.stop_gradient(
-                    encode_image(t_params, t_cfg, images, teacher_opts))
+                    encode_image(teacher_params, teacher_cfg, images, teacher_opts))
                 kd = kd_cosine_loss(t_feats, img_f)
                 loss = loss + tcfg.kd_loss_weight * kd
                 metrics = {**metrics, "kd_loss": kd}
@@ -192,7 +195,13 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
                                opt_state=opt_state, batch_stats=new_stats)
         return new_state, {"loss": loss, **metrics}
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    teacher_params = teacher[1] if teacher is not None else None
+
+    def step(state, images, texts, rng):
+        return jitted(state, images, texts, rng, teacher_params)
+
+    return step
 
 
 def make_eval_step(cfg: CLIPConfig, options: ModelOptions, constrain: bool = True) -> Callable:
