@@ -21,8 +21,10 @@ BASELINE_PAIRS_PER_SEC = 1000.0 / (3.58 + 1.54)
 
 IMAGE_BATCH = 256
 TEXT_BATCH = 256
-ITERS = 30
-WARMUP = 5
+ITERS = 8        # host-visible timing iterations
+INNER = 8        # forwards per jitted call (amortizes the tunnel RTT,
+                 # measured ~27.5 ms fixed per dispatch on the axon relay)
+WARMUP = 2
 
 
 def main():
@@ -40,11 +42,21 @@ def main():
     # device execution. On the tunneled 'axon' platform block_until_ready
     # does NOT actually block (measured 100x-over-speed-of-light numbers),
     # and device->host transfer of bf16 arrays hangs; a summed fp32 scalar
-    # is the reliable sync on every backend.
-    img_fn = jax.jit(lambda p, x: jnp.sum(
-        encode_image(p, cfg, x, options).astype(jnp.float32)))
-    txt_fn = jax.jit(lambda p, t: jnp.sum(
-        encode_text(p, cfg, t, options).astype(jnp.float32)))
+    # is the reliable sync on every backend. INNER forwards run inside one
+    # jitted call (fori_loop) so the tunnel RTT amortizes away.
+    def _loop(fn):
+        # acc feeds back into the input (x + acc*1e-12): a loop-carried data
+        # dependency so XLA cannot hoist the forward out of the loop.
+        def run(p, x):
+            def body(i, acc):
+                return acc + fn(p, x, acc)
+            return jax.lax.fori_loop(0, INNER, body, jnp.zeros((), jnp.float32))
+        return jax.jit(run)
+
+    img_fn = _loop(lambda p, x, acc: jnp.sum(
+        encode_image(p, cfg, x + (acc * 1e-12).astype(x.dtype), options).astype(jnp.float32)))
+    txt_fn = _loop(lambda p, t, acc: jnp.sum(
+        encode_text(p, cfg, t + (acc * 1e-12).astype(t.dtype), options).astype(jnp.float32)))
 
     rs = np.random.RandomState(0)
     images = jnp.asarray(rs.randn(IMAGE_BATCH, 224, 224, 3), jnp.bfloat16)
@@ -61,12 +73,12 @@ def main():
     t0 = time.perf_counter()
     for _ in range(ITERS):
         float(img_fn(params, images))
-    img_time = (time.perf_counter() - t0) / ITERS
+    img_time = (time.perf_counter() - t0) / (ITERS * INNER)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         float(txt_fn(params, texts))
-    txt_time = (time.perf_counter() - t0) / ITERS
+    txt_time = (time.perf_counter() - t0) / (ITERS * INNER)
 
     imgs_per_sec = IMAGE_BATCH / img_time
     txts_per_sec = TEXT_BATCH / txt_time

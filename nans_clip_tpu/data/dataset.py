@@ -95,6 +95,12 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.tokenizer = tokenizer or get_tokenizer()
+        # Native WordPiece (exact parity, ~8x faster) when buildable; only
+        # for the default vocab — custom tokenizers use the Python path.
+        self._fast_tok = None
+        if tokenizer is None:
+            from nans_clip_tpu.data.fast_tokenizer import get_fast_tokenizer
+            self._fast_tok = get_fast_tokenizer()
         self.num_threads = num_threads
         self.prefetch = prefetch
 
@@ -116,11 +122,15 @@ class DataLoader:
         pairs = [self.ds.get_pair(int(i)) for i in idx]
         image_ids = np.asarray([p[0] for p in pairs], np.int64)
         text_ids = np.asarray([p[1] for p in pairs], np.int64)
-        texts = np.zeros((len(pairs), self.context_length), np.int32)
-        tok = self.tokenizer
-        for j, (_, _, raw) in enumerate(pairs):
-            ids = [tok.cls_id] + tok.encode(preprocess_text(raw))[: self.context_length - 2] + [tok.sep_id]
-            texts[j, : len(ids)] = ids
+        raw_texts = [preprocess_text(p[2]) for p in pairs]
+        if self._fast_tok is not None:
+            texts = self._fast_tok.encode_batch(raw_texts, self.context_length)
+        else:
+            texts = np.zeros((len(pairs), self.context_length), np.int32)
+            tok = self.tokenizer
+            for j, raw in enumerate(raw_texts):
+                ids = [tok.cls_id] + tok.encode(raw)[: self.context_length - 2] + [tok.sep_id]
+                texts[j, : len(ids)] = ids
         images, ok = self.ds.imgs.decode_jpeg_batch(
             image_ids.astype(np.uint64), self.decode_size, self.num_threads)
         return Batch(images=images, texts=texts, image_ids=image_ids,

@@ -47,11 +47,22 @@ def parse_args(argv=None):
     p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
     p.add_argument("--precision", default="bf16")
     p.add_argument("--num-threads", type=int, default=8)
+    # serialized-artifact backend — the extract_features_{onnx,tensorrt}
+    # analog (reference eval/extract_features_onnx.py:121-138): run towers
+    # from exported StableHLO instead of live-jitted code.
+    p.add_argument("--backend", choices=["jit", "stablehlo"], default="jit")
+    p.add_argument("--image-artifact", default=None)
+    p.add_argument("--text-artifact", default=None)
     return p.parse_args(argv)
 
 
 def extract_text_features(args, cfg, params, options, out_path):
-    txt_fn = jax.jit(lambda p, t: encode_text(p, cfg, t, options))
+    if args.backend == "stablehlo":
+        from nans_clip_tpu.deploy.aot import load_stablehlo
+        assert args.text_artifact, "--backend stablehlo needs --text-artifact"
+        txt_fn = load_stablehlo(args.text_artifact)
+    else:
+        txt_fn = jax.jit(lambda p, t: encode_text(p, cfg, t, options))
     ids, texts = [], []
     with open(args.text_data, encoding="utf-8") as f:
         for line in f:
@@ -82,12 +93,21 @@ def extract_text_features(args, cfg, params, options, out_path):
 def extract_image_features(args, cfg, params, batch_stats, options, out_path):
     resolution = cfg.vision.image_resolution
 
-    def img_forward(p, bs_, x):
-        x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
-        return encode_image(p, cfg, x, options,
-                            batch_stats=bs_ if cfg.is_resnet else None)
+    if args.backend == "stablehlo":
+        from nans_clip_tpu.deploy.aot import load_stablehlo
+        assert args.image_artifact, "--backend stablehlo needs --image-artifact"
+        artifact_fn = load_stablehlo(args.image_artifact)
 
-    img_fn = jax.jit(img_forward)
+        def img_fn(p, bs_, x):
+            x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
+            return artifact_fn(p, x)
+    else:
+        def img_forward(p, bs_, x):
+            x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
+            return encode_image(p, cfg, x, options,
+                                batch_stats=bs_ if cfg.is_resnet else None)
+
+        img_fn = jax.jit(img_forward)
     imgs_path = os.path.join(args.image_data, "imgs.npack")
     reader = NPackReader(imgs_path)
     keys = reader.keys()

@@ -43,7 +43,13 @@ MAX_PALLAS_SEQ = 1024
 def _pick_impl(impl: str) -> str:
     if impl != "auto":
         return impl
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Measured on v5e (ViT-B/16, S=197, bs=256): XLA's batched attention
+    # out-runs this full-row kernel 1.6x device-side — at CLIP's short
+    # sequence lengths the [S,S] matrix is small enough that XLA's fusion
+    # wins and the flash-style memory saving is irrelevant. The kernel is
+    # kept opt-in (impl="pallas") for the long-sequence / memory-bound
+    # regime and as the target for further kernel work.
+    return "xla"
 
 
 # --------------------------------------------------------------------------
