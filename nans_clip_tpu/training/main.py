@@ -19,6 +19,7 @@ import json
 import logging
 import math
 import os
+import signal
 import time
 from typing import Optional
 
@@ -189,6 +190,18 @@ def main(argv=None):
                          epoch, tot["loss"] / n, 100 * tot["i2t_acc"] / n,
                          100 * tot["t2i_acc"] / n)
 
+        # Preemption safety (beyond the reference): on SIGTERM/SIGINT finish
+        # the current step, checkpoint, and exit cleanly so auto-resume
+        # continues from the exact step after rescheduling.
+        preempted = {"flag": False}
+
+        def _handle(signum, frame):
+            logging.warning("signal %s received - checkpointing and exiting", signum)
+            preempted["flag"] = True
+
+        signal.signal(signal.SIGTERM, _handle)
+        signal.signal(signal.SIGINT, _handle)
+
         step = start_step
         for epoch in range(start_epoch, args.max_epochs):
             train_loader.set_epoch(epoch)
@@ -231,6 +244,12 @@ def main(argv=None):
                     meta = {"epoch": epoch, "step": step, "name": args.name}
                     save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
                                     args.save_torch_format, cfg)
+                if preempted["flag"]:
+                    meta = {"epoch": epoch, "step": step, "name": args.name}
+                    save_checkpoint(ckpt_dir, f"preempt_step_{step}", state, meta,
+                                    args.save_torch_format, cfg)
+                    logging.info("preemption checkpoint saved at step %d", step)
+                    return state
                 if step >= args.max_steps:
                     break
                 t_data = time.time()
