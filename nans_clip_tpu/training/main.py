@@ -55,6 +55,17 @@ def setup_logging(log_dir: str, name: str) -> str:
 
 def build_model(args):
     cfg = load_config(f"{args.vision_model}@{args.text_model}")
+    if getattr(args, "tiny_model", False):
+        import dataclasses
+
+        from nans_clip_tpu import configs as C
+        cfg = C.CLIPConfig(
+            embed_dim=64,
+            vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                                  width=64, patch_size=16, head_width=32),
+            text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                              num_attention_heads=4, intermediate_size=128),
+            name="tiny")
     compute_dtype = None if args.precision == "fp32" else "bfloat16"
     train_options = ModelOptions(attn_impl=args.attn_impl,
                                  remat=args.grad_checkpointing,
@@ -87,6 +98,11 @@ def build_teacher(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as e:
+            logging.warning("could not set platform %s: %s", args.platform, e)
     log_path = setup_logging(args.logs, args.name)
     logging.info("devices: %s", jax.devices())
 

@@ -91,7 +91,12 @@ def parse_args(argv=None):
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis size")
     # misc
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform (the axon sitecustomize hook "
+                        "overrides JAX_PLATFORMS env, so do it via config)")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--tiny-model", action="store_true",
+                   help="shrink towers to a test-size config (CI/integration tests)")
     p.add_argument("--seed", type=int, default=123)
     # distillation
     p.add_argument("--distillation", action="store_true")

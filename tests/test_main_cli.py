@@ -1,0 +1,53 @@
+"""End-to-end training CLI integration test (tiny model, 8-device CPU mesh):
+build dataset -> train 1 epoch -> checkpoint -> auto-resume -> continue."""
+
+import base64
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nans_clip_tpu.preprocess.build_dataset import build_split
+from nans_clip_tpu.training.main import main as train_main
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("clidata")
+    rs = np.random.RandomState(0)
+    with open(root / "train_imgs.tsv", "w") as f:
+        for i in range(32):
+            buf = io.BytesIO()
+            Image.fromarray(rs.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+                buf, format="JPEG")
+            f.write(f"{i}\t{base64.urlsafe_b64encode(buf.getvalue()).decode()}\n")
+    with open(root / "train_texts.jsonl", "w", encoding="utf-8") as f:
+        for t in range(32):
+            f.write(json.dumps({"text_id": t, "text": f"图{t}",
+                                "image_ids": [t]}, ensure_ascii=False) + "\n")
+    build_split(str(root), "train")
+    return str(root / "train")
+
+
+def test_train_resume_cycle(data_dir, tmp_path):
+    logs = str(tmp_path / "logs")
+    common = [
+        "--train-data", data_dir, "--val-data", data_dir,
+        "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+        "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+        "--log-interval", "1", "--logs", logs, "--name", "cli_test",
+        "--num-workers", "2", "--valid-num-workers", "2",
+    ]
+    state = train_main(common + ["--max-epochs", "1"])
+    assert int(state.step) == 2  # 32 pairs / global batch 16 = 2 steps
+    ckpt_dir = os.path.join(logs, "cli_test", "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch1"))
+    assert os.path.exists(os.path.join(ckpt_dir, "LATEST"))
+
+    # auto-resume continues (no --resume flag needed)
+    state2 = train_main(common + ["--max-epochs", "2"])
+    assert int(state2.step) == 4
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch2"))
