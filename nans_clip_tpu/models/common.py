@@ -17,7 +17,9 @@ class ModelOptions:
     configuration matrix (training/main.py:102-113, params.py:141-199).
     """
 
-    attn_impl: str = "auto"          # "auto" | "pallas" | "xla"
+    attn_impl: str = "auto"          # "auto" | "xla" | "pallas" | "fused"
+                                     # fused = whole-attention-sub-block Pallas
+                                     # kernel (ViT towers, width<=1024)
     remat: bool = False              # per-block activation checkpointing
     compute_dtype: Optional[str] = None  # None = param dtype; "bfloat16" for mixed precision
     deterministic: bool = True       # disables dropout

@@ -107,9 +107,20 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     x = layer_norm(x, **params["ln_pre"])
 
     heads = cfg.heads
+    use_fused = options.attn_impl == "fused"
+    if use_fused:
+        from nans_clip_tpu.ops.fused_block import (fits_fused,
+                                                   fused_attention_block)
+        use_fused = fits_fused(x.shape[1], cfg.width)
 
     def block(x, lp):
-        x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=options.attn_impl)
+        if use_fused:
+            x = fused_attention_block(x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                                      lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+                                      lp["attn"]["wo"], lp["attn"]["bo"], heads)
+        else:
+            impl = "xla" if options.attn_impl == "fused" else options.attn_impl
+            x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)
         h = layer_norm(x, **lp["ln_2"])
         h = quick_gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
         h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]

@@ -82,7 +82,8 @@ def parse_args(argv=None):
     p.add_argument("--use-bn-sync", action="store_true", help="no-op: always synced on TPU")
     p.add_argument("--use-flash-attention", action="store_true",
                    help="no-op: Pallas fused attention is the default on TPU")
-    p.add_argument("--attn-impl", choices=["auto", "pallas", "xla"], default="auto")
+    p.add_argument("--attn-impl", choices=["auto", "pallas", "xla", "fused"],
+                   default="auto")
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--gather-with-grad", action="store_true", help="no-op on TPU (always)")
     p.add_argument("--skip-aggregate", action="store_true", help="no-op on TPU")
