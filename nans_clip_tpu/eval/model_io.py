@@ -22,17 +22,14 @@ def load_eval_model(vision_model: str, text_model: str, resume: str,
     params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
     if resume:
         assert os.path.exists(resume), f"checkpoint {resume} does not exist"
-        if os.path.isdir(resume):  # orbax save dir
+        if os.path.isdir(resume):  # orbax save dir (full TrainState tree)
             import orbax.checkpoint as ocp
             ckptr = ocp.StandardCheckpointer()
-            tree = {"params": params, "opt_state": None, "batch_stats": batch_stats,
-                    "step": jnp.zeros((), jnp.int32)}
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-                if hasattr(x, "dtype") else x, tree)
-            restored = ckptr.restore(os.path.abspath(resume), abstract)
+            # restore with the on-disk structure (we don't know the optimizer
+            # state's shape here), then take the subtrees we need
+            restored = ckptr.restore(os.path.abspath(resume))
             params = restored["params"]
-            batch_stats = restored["batch_stats"]
+            batch_stats = restored.get("batch_stats") or batch_stats
         else:
             sd = load_torch_state_dict(resume)
             loaded, loaded_stats = params_from_state_dict(sd, cfg)
