@@ -85,6 +85,16 @@ def bert_features(params: dict, input_ids: jax.Array,
     heads = cfg.num_attention_heads
     hd, ad = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
 
+    # Fused attention sub-block (Pallas) when dropout is off: LN/QKV/probs/
+    # ctx stay in VMEM (see ops/fused_block.py); dropout training uses the
+    # unfused path.
+    use_fused = det and (options.attn_impl == "fused" or (
+        options.attn_impl == "auto" and jax.default_backend() == "tpu"))
+    if use_fused:
+        from nans_clip_tpu.ops.fused_block import (fits_fused,
+                                                   fused_bert_attention_block)
+        use_fused = fits_fused(s, cfg.hidden_size)
+
     def layer(carry, lp):
         x, idx = carry
         if det:
@@ -92,10 +102,18 @@ def bert_features(params: dict, input_ids: jax.Array,
         else:
             lrng = jax.random.fold_in(rng, idx)
             a_rng, h1, h2 = jax.random.split(lrng, 3)
-        a = mha(x, lp["attn"], heads, key_bias, impl=options.attn_impl,
-                dropout_rate=ad, dropout_rng=a_rng, deterministic=det)
-        a = dropout(a, hd, h1, det)
-        x = layer_norm(x + a, **lp["attn_ln"], eps=cfg.layer_norm_eps)
+        if use_fused:
+            x = fused_bert_attention_block(
+                x, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+                lp["attn"]["wo"], lp["attn"]["bo"], key_bias, heads,
+                cfg.layer_norm_eps)
+        else:
+            impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
+            a = mha(x, lp["attn"], heads, key_bias, impl=impl,
+                    dropout_rate=ad, dropout_rng=a_rng, deterministic=det)
+            a = dropout(a, hd, h1, det)
+            x = layer_norm(x + a, **lp["attn_ln"], eps=cfg.layer_norm_eps)
         h = act(x @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
         h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
         h = dropout(h, hd, h2, det)

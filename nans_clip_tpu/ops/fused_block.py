@@ -34,33 +34,43 @@ MAX_FUSED_SEQ = 640
 
 
 def _reference_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads: int,
-                     eps: float):
-    """Plain-XLA twin (oracle + backward path)."""
+                     eps: float, key_bias=None, post_ln: bool = False):
+    """Plain-XLA twin (oracle + backward path).
+
+    pre-LN (ViT):  x + proj(MHA(LN(x)))
+    post-LN (BERT): LN(x + proj(MHA(x)))  — mask via additive key_bias
+    """
     from nans_clip_tpu.ops.attention import attention_xla, merge_heads, split_heads
     from nans_clip_tpu.ops.layernorm import layer_norm
 
-    xn = layer_norm(x, ln_scale, ln_bias, eps)
+    xn = x if post_ln else layer_norm(x, ln_scale, ln_bias, eps)
     qkv = xn @ wqkv + bqkv
     q, k, v = jnp.split(qkv, 3, axis=-1)
     ctx = merge_heads(attention_xla(split_heads(q, heads), split_heads(k, heads),
-                                    split_heads(v, heads)))
-    return x + (ctx @ wo + bo)
+                                    split_heads(v, heads), key_bias))
+    out = x + (ctx @ wo + bo)
+    return layer_norm(out, ln_scale, ln_bias, eps) if post_ln else out
 
 
-def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
-            *, heads: int, eps: float, seq: int):
+def _ln(xf, scale_ref, bias_ref, eps):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+
+
+def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+            kb_ref, o_ref, *, heads: int, eps: float, seq: int,
+            post_ln: bool, masked: bool):
     x = x_ref[0]                                   # [S, W] input dtype
     w = x.shape[-1]
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
 
-    # LayerNorm, fp32 statistics
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * s1_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
-    xn = xn.astype(x.dtype)
+    if post_ln:
+        xn = x
+    else:
+        xn = _ln(x.astype(jnp.float32), s1_ref, b1_ref, eps).astype(x.dtype)
 
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:].astype(jnp.float32)    # [S, 3W] fp32
@@ -72,6 +82,8 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
         v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if masked:
+            s = s + kb_ref[0]                      # [1, S] additive key bias
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -81,50 +93,80 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
 
     out = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    if post_ln:
+        out = _ln(out, s1_ref, b1_ref, eps)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps, interpret):
+def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
+                heads, eps, post_ln, interpret):
     b, s, w = x.shape
+    masked = key_bias is not None
+    if key_bias is None:
+        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32).reshape(b, 1, s)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads, eps=eps, seq=s),
+        functools.partial(_kernel, heads=heads, eps=eps, seq=s,
+                          post_ln=post_ln, masked=masked),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vec(w), vec(w), mat(w, 3 * w), vec(3 * w), mat(w, w), vec(w),
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
+                 heads: int, eps: float, post_ln: bool, interpret: bool):
+    return _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
+                       heads, eps, post_ln, interpret)
+
+
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, heads, eps,
+         post_ln, interpret):
+    out = _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
+                      heads, eps, post_ln, interpret)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias)
+
+
+def _bwd(heads, eps, post_ln, interpret, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_block(*a, heads=heads, eps=eps,
+                                    key_bias=key_bias, post_ln=post_ln),
+        x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+    grads = vjp(g)
+    return grads + (None,)
+
+
+_fused_block.defvjp(_fwd, _bwd)
+
+
 def fused_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                           heads: int, eps: float = 1e-5,
                           interpret: bool = False):
-    """x: [B, S, W]. Returns x + out_proj(MHA(LN(x))). ViT pre-LN layout."""
-    return _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
-                       interpret)
+    """ViT pre-LN layout: x + out_proj(MHA(LN(x))). x: [B, S, W]."""
+    return _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, None,
+                        heads, eps, False, interpret)
 
 
-def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps, interpret):
-    out = _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
-                      interpret)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
-
-
-def _bwd(heads, eps, interpret, res, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo = res
-    _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=heads, eps=eps),
-                     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
-    return vjp(g)
-
-
-fused_attention_block.defvjp(_fwd, _bwd)
+def fused_bert_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                               key_bias, heads: int, eps: float = 1e-12,
+                               interpret: bool = False):
+    """BERT post-LN layout: LN(x + out_proj(MHA(x))) with padding mask.
+    (attention-prob dropout not supported — training with dropout uses the
+    unfused path.)"""
+    return _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
+                        heads, eps, True, interpret)
 
 
 def fits_fused(seq: int, width: int) -> bool:

@@ -218,6 +218,12 @@ def main(argv=None):
         signal.signal(signal.SIGTERM, _handle)
         signal.signal(signal.SIGINT, _handle)
 
+        profile_range = None
+        if args.profile_steps:
+            lo, hi = args.profile_steps.split(":")
+            profile_range = (int(lo), int(hi))
+            profile_dir = os.path.join(args.logs, args.name, "profile")
+
         step = start_step
         for epoch in range(start_epoch, args.max_epochs):
             train_loader.set_epoch(epoch)
@@ -239,8 +245,14 @@ def main(argv=None):
                 tx = jax.device_put(texts, b_shard)
                 rng, srng, arng = jax.random.split(rng, 3)
                 im = preprocess_images(arng, im, resolution, augment=args.use_augment)
+                if profile_range and step == profile_range[0]:
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = train_step(state, im, tx, srng)
                 step += 1
+                if profile_range and step == profile_range[1]:
+                    jax.profiler.stop_trace()
+                    logging.info("profiler trace written to %s", profile_dir)
+                    profile_range = None
 
                 if step % args.log_interval == 0:
                     metrics = jax.tree.map(float, metrics)

@@ -96,6 +96,9 @@ def parse_args(argv=None):
                    help="force the jax platform (the axon sitecustomize hook "
                         "overrides JAX_PLATFORMS env, so do it via config)")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile-steps", default=None,
+                   help="capture a jax.profiler trace over steps 'START:END' "
+                        "into <logs>/<name>/profile (open with XProf)")
     p.add_argument("--tiny-model", action="store_true",
                    help="shrink towers to a test-size config (CI/integration tests)")
     p.add_argument("--seed", type=int, default=123)
