@@ -10,10 +10,8 @@ batches straight from the decode pool:
   semantics via ``jax.image.scale_and_translate`` (continuous crop box, no
   intermediate gather);
 * horizontal flip p=0.5 (timm default);
-* a random pointwise color op per image (brightness / contrast / solarize /
-  posterize / identity) — the VPU-cheap subset of the AutoAugment
-  'original' policy. The geometric AutoAugment ops (rotate/shear) are not
-  yet ported; this is a documented approximation, not a silent drop.
+* the FULL AutoAugment 'original' ImageNet policy (data/autoaugment.py),
+  every op PIL-golden-tested, including the geometric ops;
 * OpenAI-CLIP mean/std normalization.
 """
 
@@ -87,6 +85,8 @@ def preprocess_images(rng: jax.Array, raw: jax.Array, out_size: int,
     x = raw.astype(jnp.float32)
 
     if augment:
+        from nans_clip_tpu.data.autoaugment import auto_augment
+
         n = raw.shape[0]
         rngs = jax.random.split(rng, n * 3).reshape(n, 3, 2)
 
@@ -95,7 +95,7 @@ def preprocess_images(rng: jax.Array, raw: jax.Array, out_size: int,
             img = jnp.clip(img, 0.0, 255.0)
             flip = jax.random.bernoulli(r[1])
             img = jnp.where(flip, img[:, ::-1, :], img)
-            return _color_op(r[2], img)
+            return auto_augment(r[2], img)
 
         x = jax.vmap(one)(rngs, x)
     elif raw.shape[1] != out_size or raw.shape[2] != out_size:
