@@ -48,36 +48,6 @@ def _random_resized_crop(rng, img_f, out_size: int,
         jnp.stack([sy, sx]), translation, method="cubic")
 
 
-def _color_op(rng, img):
-    """One random pointwise op on [0,255] floats."""
-    k_op, k_mag = jax.random.split(rng)
-    op = jax.random.randint(k_op, (), 0, 5)
-    mag = jax.random.uniform(k_mag, ())
-
-    def identity(x):
-        return x
-
-    def brightness(x):
-        return x * (0.6 + 0.8 * mag)
-
-    def contrast(x):
-        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-        return (x - mean) * (0.6 + 0.8 * mag) + mean
-
-    def solarize(x):
-        thresh = 256.0 - 128.0 * mag
-        return jnp.where(x >= thresh, 255.0 - x, x)
-
-    def posterize(x):
-        bits = (8 - (mag * 4)).astype(jnp.int32)
-        shift = (8 - bits).astype(jnp.uint8)
-        xi = x.astype(jnp.uint8)
-        return ((xi >> shift) << shift).astype(x.dtype)
-
-    return jnp.clip(jax.lax.switch(op, [identity, brightness, contrast,
-                                        solarize, posterize], img), 0.0, 255.0)
-
-
 @functools.partial(jax.jit, static_argnames=("out_size", "augment"))
 def preprocess_images(rng: jax.Array, raw: jax.Array, out_size: int,
                       augment: bool = False) -> jax.Array:
