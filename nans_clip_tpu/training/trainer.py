@@ -67,8 +67,9 @@ class TrainConfig:
 
 def no_decay_mask(params) -> Any:
     """True where weight decay must NOT apply (reference exclusion:
-    'bn'/'ln'/'bias'/'logit_scale' in the torch param name)."""
-    bias_names = {"bias", "bqkv", "bo", "b1", "b2", "class_embedding"}
+    'bn'/'ln'/'bias'/'logit_scale' in the torch param name — note the
+    reference DECAYS class/positional embeddings, so we do too)."""
+    bias_names = {"bias", "bqkv", "bo", "b1", "b2"}
 
     def is_excluded(path) -> bool:
         names = [p.key if hasattr(p, "key") else str(p) for p in path]
