@@ -90,9 +90,14 @@ def bert_features(params: dict, input_ids: jax.Array,
     # unfused path.
     use_fused = det and (options.attn_impl == "fused" or (
         options.attn_impl == "auto" and jax.default_backend() == "tpu"))
+    use_fused_mlp = False
     if use_fused:
-        from nans_clip_tpu.ops.fused_block import (fits_fused,
-                                                   fused_bert_attention_block)
+        from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
+                                                   fused_bert_attention_block,
+                                                   fused_mlp_block)
+        use_fused_mlp = (fits_fused_mlp(s, cfg.hidden_size)
+                         and cfg.intermediate_size <= 4 * cfg.hidden_size
+                         and cfg.hidden_act == "gelu")
         use_fused = fits_fused(s, cfg.hidden_size)
 
     def layer(carry, lp):
@@ -114,10 +119,16 @@ def bert_features(params: dict, input_ids: jax.Array,
                     dropout_rate=ad, dropout_rng=a_rng, deterministic=det)
             a = dropout(a, hd, h1, det)
             x = layer_norm(x + a, **lp["attn_ln"], eps=cfg.layer_norm_eps)
-        h = act(x @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
-        h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
-        h = dropout(h, hd, h2, det)
-        x = layer_norm(x + h, **lp["mlp_ln"], eps=cfg.layer_norm_eps)
+        if use_fused_mlp:
+            x = fused_mlp_block(x, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
+                                lp["mlp"]["w1"], lp["mlp"]["b1"],
+                                lp["mlp"]["w2"], lp["mlp"]["b2"],
+                                "gelu", cfg.layer_norm_eps, True)
+        else:
+            h = act(x @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
+            h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
+            h = dropout(h, hd, h2, det)
+            x = layer_norm(x + h, **lp["mlp_ln"], eps=cfg.layer_norm_eps)
         return (x, idx + 1), None
 
     body = jax.checkpoint(layer) if options.remat else layer

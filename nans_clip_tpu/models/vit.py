@@ -112,9 +112,12 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # on v5e) by keeping LN/QKV/probs/ctx in VMEM.
     use_fused = options.attn_impl == "fused" or (
         options.attn_impl == "auto" and jax.default_backend() == "tpu")
+    use_fused_mlp = False
     if use_fused:
-        from nans_clip_tpu.ops.fused_block import (fits_fused,
-                                                   fused_attention_block)
+        from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
+                                                   fused_attention_block,
+                                                   fused_mlp_block)
+        use_fused_mlp = fits_fused_mlp(x.shape[1], cfg.width)
         use_fused = fits_fused(x.shape[1], cfg.width)
 
     def block(x, lp):
@@ -125,6 +128,11 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)
+        if use_fused_mlp:
+            return fused_mlp_block(x, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                                   lp["mlp"]["w1"], lp["mlp"]["b1"],
+                                   lp["mlp"]["w2"], lp["mlp"]["b2"],
+                                   "quick_gelu")
         h = layer_norm(x, **lp["ln_2"])
         h = quick_gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
         h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]

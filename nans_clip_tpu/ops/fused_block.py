@@ -171,3 +171,105 @@ def fused_bert_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
 
 def fits_fused(seq: int, width: int) -> bool:
     return width <= MAX_FUSED_WIDTH and seq <= MAX_FUSED_SEQ
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP sub-block: LN -> fc1 -> gelu -> fc2 -> residual (pre-LN), or
+# fc1 -> gelu -> fc2 -> residual -> LN (post-LN, BERT). Same VMEM-residency
+# rationale as the attention block; both fc weights must fit in VMEM, so
+# this is gated at width <= 768 (ViT-B / BERT-base).
+# ---------------------------------------------------------------------------
+
+MAX_FUSED_MLP_WIDTH = 768
+
+
+def fits_fused_mlp(seq: int, width: int) -> bool:
+    return width <= MAX_FUSED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
+
+
+def _reference_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str,
+                   eps: float, post_ln: bool):
+    from nans_clip_tpu.ops.activations import ACT2FN
+    from nans_clip_tpu.ops.layernorm import layer_norm
+
+    xn = x if post_ln else layer_norm(x, ln_scale, ln_bias, eps)
+    h = ACT2FN[act](xn @ w1 + b1)
+    out = x + (h @ w2 + b2)
+    return layer_norm(out, ln_scale, ln_bias, eps) if post_ln else out
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7 ~ fp32 exact).
+    Mosaic has no erf/erfc primitive, so the kernel carries its own."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *, act: str, eps: float, post_ln: bool):
+    x = x_ref[0]
+    if post_ln:
+        xn = x
+    else:
+        xn = _ln(x.astype(jnp.float32), s_ref, b_ref, eps).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:  # exact-erf gelu (BERT)
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = h.astype(x.dtype)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    if post_ln:
+        out = _ln(out, s_ref, b_ref, eps)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
+                    interpret):
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    vec = lambda d: pl.BlockSpec((d,), lambda idx: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, act=act, eps=eps, post_ln=post_ln),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w), mat(w, i), vec(i), mat(i, w), vec(w),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                    act: str = "quick_gelu", eps: float = 1e-5,
+                    post_ln: bool = False, interpret: bool = False):
+    return _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
+                           post_ln, interpret)
+
+
+def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln, interpret):
+    out = _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
+                          post_ln, interpret)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_bwd(act, eps, post_ln, interpret, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(lambda *a: _reference_mlp(*a, act=act, eps=eps,
+                                               post_ln=post_ln),
+                     x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_mlp_block.defvjp(_mlp_fwd, _mlp_bwd)

@@ -66,14 +66,19 @@ def test_vit_tower_with_fused_impl():
     images, _ = _batch(4)
     ref = encode_image(params, TINY, jnp.asarray(images), ModelOptions(attn_impl="xla"))
 
-    saved = fb.fused_attention_block
+    saved_attn = fb.fused_attention_block
+    saved_mlp = fb.fused_mlp_block
     if INTERPRET:
         fb.fused_attention_block = lambda x, s1, b1, wqkv, bqkv, wo, bo, heads: \
-            saved(x, s1, b1, wqkv, bqkv, wo, bo, heads, 1e-5, True)
+            saved_attn(x, s1, b1, wqkv, bqkv, wo, bo, heads, 1e-5, True)
+        fb.fused_mlp_block = lambda x, s, b, w1, b1_, w2, b2, act, eps=1e-5, \
+            post_ln=False, interpret=False: \
+            saved_mlp(x, s, b, w1, b1_, w2, b2, act, eps, post_ln, True)
     try:
         out = encode_image(params, TINY, jnp.asarray(images),
                            ModelOptions(attn_impl="fused"))
     finally:
-        fb.fused_attention_block = saved
+        fb.fused_attention_block = saved_attn
+        fb.fused_mlp_block = saved_mlp
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-4)

@@ -1,0 +1,45 @@
+"""Fused MLP sub-block kernel vs XLA oracle (interpret on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nans_clip_tpu.ops.fused_block import (_reference_mlp, fits_fused_mlp,
+                                           fused_mlp_block)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _args(seed, s, w, i):
+    rs = np.random.RandomState(seed)
+    return (jnp.asarray(rs.randn(2, s, w), jnp.float32),
+            jnp.asarray(1.0 + 0.1 * rs.randn(w), jnp.float32),
+            jnp.asarray(0.1 * rs.randn(w), jnp.float32),
+            jnp.asarray(0.1 * rs.randn(w, i), jnp.float32),
+            jnp.asarray(0.1 * rs.randn(i), jnp.float32),
+            jnp.asarray(0.1 * rs.randn(i, w), jnp.float32),
+            jnp.asarray(0.1 * rs.randn(w), jnp.float32))
+
+
+@pytest.mark.parametrize("act,post", [("quick_gelu", False), ("gelu", True)])
+def test_fused_mlp_matches_reference(act, post):
+    x, *args = _args(0, 52, 64, 256)
+    ref = _reference_mlp(x, *args, act=act, eps=1e-5, post_ln=post)
+    out = fused_mlp_block(x, *args, act, 1e-5, post, INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+    g1 = jax.grad(lambda x, *a: jnp.sum(jnp.sin(
+        fused_mlp_block(x, *a, act, 1e-5, post, INTERPRET))),
+        argnums=tuple(range(7)))(x, *args)
+    g2 = jax.grad(lambda x, *a: jnp.sum(jnp.sin(
+        _reference_mlp(x, *a, act=act, eps=1e-5, post_ln=post))),
+        argnums=tuple(range(7)))(x, *args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_fits_fused_mlp():
+    assert fits_fused_mlp(197, 768)
+    assert not fits_fused_mlp(197, 1024)  # ViT-L MLP weights exceed VMEM
