@@ -96,7 +96,6 @@ def bert_features(params: dict, input_ids: jax.Array,
                                                    fused_bert_attention_block,
                                                    fused_mlp_block)
         use_fused_mlp = (fits_fused_mlp(s, cfg.hidden_size)
-                         and cfg.intermediate_size <= 4 * cfg.hidden_size
                          and cfg.hidden_act == "gelu")
         use_fused = fits_fused(s, cfg.hidden_size)
 

@@ -117,6 +117,8 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
                                                    fused_attention_block,
                                                    fused_mlp_block)
+        # one-shot fused MLP only: the tiled variant measured SLOWER than
+        # XLA's batched MLP at ViT-L (578 vs 620 img/s) — see fused_block.py
         use_fused_mlp = fits_fused_mlp(x.shape[1], cfg.width)
         use_fused = fits_fused(x.shape[1], cfg.width)
 

@@ -250,10 +250,96 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
+# Tiled variant for wide towers (ViT-L/H): the fc weights don't fit VMEM at
+# once, so the intermediate dimension is processed in chunks; the grid is
+# (batch, chunk) with a VMEM scratch accumulator that persists across the
+# sequential chunk iterations of one batch cell.
+#
+# MEASURED SLOWER than XLA's batched MLP at ViT-L (578 vs 620 img/s @ bs64):
+# the per-sample grid re-streams every weight chunk once per batch element,
+# where XLA reads the weights once for the whole batched matmul. Kept as a
+# correct reference (tests cover it) but NOT routed by default; a batched
+# regrid (chunk-major with multi-sample cells) is the round-2 follow-up.
+
+def _mlp_tiled_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      o_ref, acc_ref, *, act: str, eps: float, post_ln: bool,
+                      n_chunks: int):
+    c = pl.program_id(1)
+    x = x_ref[0]
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if post_ln:
+        xn = x
+    else:
+        xn = _ln(x.astype(jnp.float32), s_ref, b_ref, eps).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = h.astype(x.dtype)
+    acc_ref[:] = acc_ref[:] + jnp.dot(h, w2_ref[:],
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = acc_ref[:] + b2_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+        if post_ln:
+            out = _ln(out, s_ref, b_ref, eps)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
+                          post_ln, interpret, chunk: int):
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    assert i % chunk == 0, (i, chunk)
+    n_chunks = i // chunk
+    vec = lambda d: pl.BlockSpec((d,), lambda bb, cc: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_tiled_kernel, act=act, eps=eps, post_ln=post_ln,
+                          n_chunks=n_chunks),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w),
+            pl.BlockSpec((w, chunk), lambda bb, cc: (0, cc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), lambda bb, cc: (cc,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, w), lambda bb, cc: (cc, 0), memory_space=pltpu.VMEM),
+            vec(w),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda bb, cc: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((s, w), jnp.float32)],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+MAX_TILED_MLP_WIDTH = 2048
+
+
+def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
+    return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
                     act: str = "quick_gelu", eps: float = 1e-5,
                     post_ln: bool = False, interpret: bool = False):
+    w = x.shape[-1]
+    if w > MAX_FUSED_MLP_WIDTH:
+        # chunk so each weight tile is <= ~2MB bf16
+        i = w1.shape[-1]
+        chunk = i
+        while w * chunk * 2 > 2 * 1024 * 1024 and chunk % 2 == 0:
+            chunk //= 2
+        return _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                     act, eps, post_ln, interpret, chunk)
     return _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
                            post_ln, interpret)
 

@@ -41,5 +41,19 @@ def test_fused_mlp_matches_reference(act, post):
 
 
 def test_fits_fused_mlp():
+    from nans_clip_tpu.ops.fused_block import fits_fused_mlp_tiled
     assert fits_fused_mlp(197, 768)
-    assert not fits_fused_mlp(197, 1024)  # ViT-L MLP weights exceed VMEM
+    assert not fits_fused_mlp(197, 1024)  # ViT-L MLP weights exceed VMEM...
+    assert fits_fused_mlp_tiled(257, 1024)  # ...but the tiled variant fits
+    assert fits_fused_mlp_tiled(257, 1280)  # ViT-H too
+    assert not fits_fused_mlp_tiled(197, 768)  # small widths use the 1-shot
+
+
+@pytest.mark.parametrize("act,post", [("quick_gelu", False), ("gelu", True)])
+def test_tiled_mlp_matches_reference(act, post):
+    from nans_clip_tpu.ops.fused_block import _fused_mlp_tiled_call
+    x, *args = _args(1, 36, 256, 1024)
+    ref = _reference_mlp(x, *args, act=act, eps=1e-5, post_ln=post)
+    out = _fused_mlp_tiled_call(x, *args, act, 1e-5, post, INTERPRET, 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
