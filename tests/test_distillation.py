@@ -1,0 +1,47 @@
+"""Distillation train-step test: frozen teacher, cosine KD loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nans_clip_tpu import configs as C
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import init_clip
+from nans_clip_tpu.training import TrainConfig, create_train_state, make_train_step
+from tests.test_trainer import TINY, _batch
+
+# teacher with a different embed dim exercises the bilinear resize in the
+# KD loss (reference cosineSimilarityLoss, training/train.py:406-419)
+TEACHER = C.CLIPConfig(
+    embed_dim=32,
+    vision=C.VisionConfig(embed_dim=32, image_resolution=32, layers=2,
+                          width=64, patch_size=16, head_width=32),
+    text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128),
+    name="teacher")
+
+
+def test_distillation_step():
+    student, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    teacher_params, _ = init_clip(jax.random.PRNGKey(1), TEACHER)
+    tcfg = TrainConfig(lr=1e-4, warmup=2, max_steps=10,
+                       distillation=True, kd_loss_weight=0.5)
+    state = create_train_state(student, {}, tcfg)
+    step = make_train_step(TINY, tcfg, ModelOptions(attn_impl="xla"),
+                           teacher=(TEACHER, teacher_params), constrain=False)
+    images, texts = _batch(8)
+    t_before = jax.tree.map(np.asarray, teacher_params)
+    losses = []
+    for i in range(3):
+        state, m = step(state, jnp.asarray(images), jnp.asarray(texts),
+                        jax.random.PRNGKey(i))
+        assert "kd_loss" in m
+        assert np.isfinite(float(m["kd_loss"]))
+        losses.append(float(m["loss"]))
+    # teacher stays frozen
+    same = jax.tree.map(lambda a, b: np.array_equal(a, np.asarray(b)),
+                        t_before, teacher_params)
+    assert all(jax.tree.leaves(same))
+    # total loss includes KD: loss > plain contrastive component alone is
+    # hard to assert; instead check KD decreases as student aligns
+    assert losses[-1] <= losses[0] + 1e-3
