@@ -140,6 +140,30 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, heads, eps,
 
 def _bwd(heads, eps, post_ln, interpret, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias = res
+    if not post_ln and key_bias is None and jax.default_backend() == "tpu":
+        # Fused backward: per-sample recompute + attention bwd + dx in one
+        # Pallas kernel; weight grads as batched XLA contractions.
+        from nans_clip_tpu.ops.fused_block_bwd import fused_attention_block_bwd
+
+        dx, xn, ctx, dqkv = fused_attention_block_bwd(
+            x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, eps, interpret)
+        gf = g.astype(jnp.float32)
+        dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv,
+                           preferred_element_type=jnp.float32).astype(wqkv.dtype)
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).astype(bqkv.dtype)
+        dwo = jnp.einsum("bsw,bsu->wu", ctx, g,
+                         preferred_element_type=jnp.float32).astype(wo.dtype)
+        dbo = jnp.sum(gf, axis=(0, 1)).astype(bo.dtype)
+        # LN param grads (cheap elementwise recompute in XLA)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+        dxn = jnp.einsum("bsu,wu->bsw", dqkv.astype(jnp.float32),
+                         wqkv.astype(jnp.float32))
+        d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
+        d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
+        return (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo, None)
     _, vjp = jax.vjp(
         lambda *a: _reference_block(*a, heads=heads, eps=eps,
                                     key_bias=key_bias, post_ln=post_ln),
