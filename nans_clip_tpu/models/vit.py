@@ -113,13 +113,21 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     use_fused = options.attn_impl == "fused" or (
         options.attn_impl == "auto" and jax.default_backend() == "tpu")
     use_fused_mlp = False
+    use_wide = False
     if use_fused:
         from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
+                                                   fits_fused_wide,
                                                    fused_attention_block,
+                                                   fused_attention_block_wide,
                                                    fused_mlp_block)
         # one-shot fused MLP only: the tiled variant measured SLOWER than
         # XLA's batched MLP at ViT-L (578 vs 620 img/s) — see fused_block.py
         use_fused_mlp = fits_fused_mlp(x.shape[1], cfg.width)
+        # head-chunked wide kernel measured ~6% SLOWER than XLA at ViT-H
+        # (211 vs 224 img/s): re-streaming weight chunks per sample loses,
+        # like the tiled MLP. Explicit opt-in only.
+        use_wide = (options.attn_impl == "fused"
+                    and fits_fused_wide(x.shape[1], cfg.width))
         use_fused = fits_fused(x.shape[1], cfg.width)
 
     def block(x, lp):
@@ -127,6 +135,11 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
             x = fused_attention_block(x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                                       lp["attn"]["wqkv"], lp["attn"]["bqkv"],
                                       lp["attn"]["wo"], lp["attn"]["bo"], heads)
+        elif use_wide:
+            x = fused_attention_block_wide(
+                x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+                lp["attn"]["wo"], lp["attn"]["bo"], heads)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)

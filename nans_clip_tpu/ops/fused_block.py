@@ -198,6 +198,120 @@ def fits_fused(seq: int, width: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Wide variant (ViT-H, width 1280): the fused-QKV weight alone (~10MB bf16)
+# blows the single-cell VMEM budget, so heads are processed in chunks. The
+# caller re-lays wqkv as [H, W, 3*dh] so each chunk's q/k/v columns are one
+# contiguous block; a VMEM scratch accumulates the per-head context across
+# the sequential chunk iterations, and the last chunk applies the output
+# projection + residual.
+# ---------------------------------------------------------------------------
+
+MAX_WIDE_WIDTH = 2048
+
+
+def fits_fused_wide(seq: int, width: int) -> bool:
+    return MAX_FUSED_WIDTH < width <= MAX_WIDE_WIDTH and seq <= MAX_FUSED_SEQ
+
+
+def _wide_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                 o_ref, ctx_ref, *, heads_per_chunk: int, n_chunks: int,
+                 dh: int, eps: float):
+    c = pl.program_id(1)
+    x = x_ref[0]
+    scale = 1.0 / math.sqrt(dh)
+
+    xn = _ln(x.astype(jnp.float32), s1_ref, b1_ref, eps).astype(x.dtype)
+
+    for j in range(heads_per_chunk):
+        wj = wqkv_ref[j]                          # [W, 3*dh]
+        bj = bqkv_ref[j, 0].astype(jnp.float32)   # [3*dh]
+        qkv = jnp.dot(xn, wj, preferred_element_type=jnp.float32) + bj
+        q = qkv[:, :dh].astype(x.dtype)
+        k = qkv[:, dh:2 * dh].astype(x.dtype)
+        v = qkv[:, 2 * dh:].astype(x.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx_h = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        # scratch is [H, S, dh]: dynamic index on the leading (untiled) dim —
+        # lane-dim offsets would need 128-alignment, which dh=80 isn't.
+        h_global = c * heads_per_chunk + j
+        ctx_ref[h_global] = ctx_h
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        heads = n_chunks * heads_per_chunk
+        out = bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+        for h in range(heads):  # static; wo row offsets h*dh are 8-aligned
+            out = out + jnp.dot(ctx_ref[h].astype(x.dtype),
+                                wo_ref[h * dh:(h + 1) * dh, :],
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
+                     interpret, heads_per_chunk: int):
+    b, s, w = x.shape
+    dh = w // heads
+    assert heads % heads_per_chunk == 0
+    n_chunks = heads // heads_per_chunk
+    # re-lay fused [W, 3W] -> per-head [H, W, 3*dh] (one XLA transpose)
+    wqkv_h = wqkv.reshape(w, 3, heads, dh).transpose(2, 0, 1, 3).reshape(heads, w, 3 * dh)
+    # [H, 1, 3*dh]: the singleton dim keeps the block shape tile-legal
+    bqkv_h = bqkv.reshape(3, heads, dh).transpose(1, 0, 2).reshape(heads, 1, 3 * dh)
+    vec = lambda d: pl.BlockSpec((d,), lambda bb, cc: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_wide_kernel, heads_per_chunk=heads_per_chunk,
+                          n_chunks=n_chunks, dh=dh, eps=eps),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w),
+            pl.BlockSpec((heads_per_chunk, w, 3 * dh),
+                         lambda bb, cc: (cc, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads_per_chunk, 1, 3 * dh), lambda bb, cc: (cc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda bb, cc: (0, 0), memory_space=pltpu.VMEM),
+            vec(w),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda bb, cc: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((heads, s, dh), jnp.float32)],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attention_block_wide(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                               heads: int, eps: float = 1e-5,
+                               heads_per_chunk: int = 4,
+                               interpret: bool = False):
+    """ViT pre-LN attention sub-block, head-chunked for width > 1024."""
+    return _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
+                            eps, interpret, heads_per_chunk)
+
+
+def _wide_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
+              heads_per_chunk, interpret):
+    out = _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
+                           eps, interpret, heads_per_chunk)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+
+
+def _wide_bwd(heads, eps, heads_per_chunk, interpret, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo = res
+    _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=heads, eps=eps),
+                     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+    return vjp(g)
+
+
+fused_attention_block_wide.defvjp(_wide_fwd, _wide_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused MLP sub-block: LN -> fc1 -> gelu -> fc2 -> residual (pre-LN), or
 # fc1 -> gelu -> fc2 -> residual -> LN (post-LN, BERT). Same VMEM-residency
 # rationale as the attention block; both fc weights must fit in VMEM, so
