@@ -19,6 +19,7 @@ and augmentation happen on device (data/augment.py) inside the jitted step.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import queue
@@ -78,6 +79,8 @@ def pad_len(n: int, global_batch: int) -> int:
 class DataLoader:
     """Epoch iterator yielding fixed-size host batches for one process."""
 
+    MAX_DECODE_RETRIES = 2
+
     def __init__(self, dataset: PairDataset, batch_size: int,
                  decode_size: int = 224, context_length: int = 52,
                  shuffle: bool = True, seed: int = 123, epoch: int = 0,
@@ -107,6 +110,7 @@ class DataLoader:
         self.padded_len = pad_len(len(dataset), self.global_batch_size)
         self.num_batches = self.padded_len // self.global_batch_size
         self.num_samples = self.padded_len
+        self.decode_failures = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -118,21 +122,52 @@ class DataLoader:
             idx = rng.permutation(idx)
         return idx[self.process_index::self.process_count]
 
+    def _tokenize(self, raw_texts) -> np.ndarray:
+        if self._fast_tok is not None:
+            return self._fast_tok.encode_batch(raw_texts, self.context_length)
+        texts = np.zeros((len(raw_texts), self.context_length), np.int32)
+        tok = self.tokenizer
+        for j, raw in enumerate(raw_texts):
+            ids = [tok.cls_id] + tok.encode(raw)[: self.context_length - 2] + [tok.sep_id]
+            texts[j, : len(ids)] = ids
+        return texts
+
     def _make_batch(self, idx: np.ndarray) -> Batch:
+        idx = np.array(idx)
         pairs = [self.ds.get_pair(int(i)) for i in idx]
         image_ids = np.asarray([p[0] for p in pairs], np.int64)
         text_ids = np.asarray([p[1] for p in pairs], np.int64)
         raw_texts = [preprocess_text(p[2]) for p in pairs]
-        if self._fast_tok is not None:
-            texts = self._fast_tok.encode_batch(raw_texts, self.context_length)
-        else:
-            texts = np.zeros((len(pairs), self.context_length), np.int32)
-            tok = self.tokenizer
-            for j, raw in enumerate(raw_texts):
-                ids = [tok.cls_id] + tok.encode(raw)[: self.context_length - 2] + [tok.sep_id]
-                texts[j, : len(ids)] = ids
         images, ok = self.ds.imgs.decode_jpeg_batch(
             image_ids.astype(np.uint64), self.decode_size, self.num_threads)
+        # Corrupt/missing JPEGs: resample the whole pair (image AND caption,
+        # keeping the pairing consistent) from a deterministically shifted
+        # index; counted + logged rather than silently trained on zeros.
+        for attempt in range(1, self.MAX_DECODE_RETRIES + 1):
+            bad = np.flatnonzero(~ok)
+            if bad.size == 0:
+                break
+            self.decode_failures += int(bad.size)
+            failed_ids = image_ids[bad].tolist()
+            idx[bad] = (idx[bad] + attempt * 9973) % len(self.ds)
+            for j in bad:
+                p = self.ds.get_pair(int(idx[j]))
+                image_ids[j], text_ids[j] = p[0], p[1]
+                raw_texts[j] = preprocess_text(p[2])
+            re_imgs, re_ok = self.ds.imgs.decode_jpeg_batch(
+                image_ids[bad].astype(np.uint64), self.decode_size,
+                self.num_threads)
+            images[bad] = re_imgs
+            ok[bad] = re_ok
+            logging.warning(
+                "decode failed for image_ids %s; resampled (%d total failures)",
+                failed_ids[:8], self.decode_failures)
+        if not ok.all():
+            logging.warning("decode still failing after %d retries for "
+                            "image_ids %s; training on zero images",
+                            self.MAX_DECODE_RETRIES,
+                            image_ids[~ok][:8].tolist())
+        texts = self._tokenize(raw_texts)
         return Batch(images=images, texts=texts, image_ids=image_ids,
                      text_ids=text_ids)
 
@@ -146,12 +181,15 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            for b in range(n):
-                if stop.is_set():
-                    return
-                sl = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(self._make_batch(sl))
-            q.put(None)
+            try:
+                for b in range(n):
+                    if stop.is_set():
+                        return
+                    sl = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(self._make_batch(sl))
+                q.put(None)
+            except BaseException as e:  # surface in the consumer, don't hang it
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -160,6 +198,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

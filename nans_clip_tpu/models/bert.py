@@ -90,6 +90,8 @@ def bert_features(params: dict, input_ids: jax.Array,
     # unfused path.
     use_fused = det and (options.attn_impl == "fused" or (
         options.attn_impl == "auto" and jax.default_backend() == "tpu"))
+    # explicit "fused" off-TPU (CPU test meshes) runs in interpreter mode
+    fused_interpret = jax.default_backend() != "tpu"
     use_fused_mlp = False
     if use_fused:
         from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
@@ -111,7 +113,7 @@ def bert_features(params: dict, input_ids: jax.Array,
                 x, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
                 lp["attn"]["wo"], lp["attn"]["bo"], key_bias, heads,
-                cfg.layer_norm_eps)
+                cfg.layer_norm_eps, interpret=fused_interpret)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             a = mha(x, lp["attn"], heads, key_bias, impl=impl,
@@ -122,7 +124,8 @@ def bert_features(params: dict, input_ids: jax.Array,
             x = fused_mlp_block(x, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
                                 lp["mlp"]["w1"], lp["mlp"]["b1"],
                                 lp["mlp"]["w2"], lp["mlp"]["b2"],
-                                "gelu", cfg.layer_norm_eps, True)
+                                "gelu", cfg.layer_norm_eps, True,
+                                fused_interpret)
         else:
             h = act(x @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
             h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]

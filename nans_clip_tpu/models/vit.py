@@ -112,6 +112,9 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # on v5e) by keeping LN/QKV/probs/ctx in VMEM.
     use_fused = options.attn_impl == "fused" or (
         options.attn_impl == "auto" and jax.default_backend() == "tpu")
+    # explicit "fused" off-TPU (CPU test meshes) runs the kernels in
+    # interpreter mode instead of failing to lower
+    fused_interpret = jax.default_backend() != "tpu"
     use_fused_mlp = False
     use_wide = False
     if use_fused:
@@ -134,12 +137,14 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         if use_fused:
             x = fused_attention_block(x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                                       lp["attn"]["wqkv"], lp["attn"]["bqkv"],
-                                      lp["attn"]["wo"], lp["attn"]["bo"], heads)
+                                      lp["attn"]["wo"], lp["attn"]["bo"], heads,
+                                      interpret=fused_interpret)
         elif use_wide:
             x = fused_attention_block_wide(
                 x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
-                lp["attn"]["wo"], lp["attn"]["bo"], heads)
+                lp["attn"]["wo"], lp["attn"]["bo"], heads,
+                interpret=fused_interpret)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)
@@ -147,7 +152,7 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
             return fused_mlp_block(x, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
                                    lp["mlp"]["w1"], lp["mlp"]["b1"],
                                    lp["mlp"]["w2"], lp["mlp"]["b2"],
-                                   "quick_gelu")
+                                   "quick_gelu", interpret=fused_interpret)
         h = layer_norm(x, **lp["ln_2"])
         h = quick_gelu(h @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
         h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]

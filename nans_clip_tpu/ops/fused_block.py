@@ -465,10 +465,11 @@ def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
     return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                    act: str = "quick_gelu", eps: float = 1e-5,
-                    post_ln: bool = False, interpret: bool = False):
+def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
+                  interpret):
+    """Width-based kernel routing, shared by the custom_vjp primal AND its
+    fwd rule (they must agree: the one-shot kernel's fc weights exceed VMEM
+    at widths the tiled variant exists for)."""
     w = x.shape[-1]
     if w > MAX_FUSED_MLP_WIDTH:
         # chunk so each weight tile is <= ~2MB bf16
@@ -482,9 +483,17 @@ def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
                            post_ln, interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                    act: str = "quick_gelu", eps: float = 1e-5,
+                    post_ln: bool = False, interpret: bool = False):
+    return _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
+                         post_ln, interpret)
+
+
 def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln, interpret):
-    out = _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
-                          post_ln, interpret)
+    out = _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
+                        post_ln, interpret)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 

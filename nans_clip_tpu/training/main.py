@@ -31,7 +31,8 @@ from nans_clip_tpu.configs import load_config
 from nans_clip_tpu.data import DataLoader, PairDataset, preprocess_images
 from nans_clip_tpu.models import ModelOptions
 from nans_clip_tpu.models.clip import init_clip
-from nans_clip_tpu.parallel import batch_sharding, create_mesh, shard_params
+from nans_clip_tpu.parallel import create_mesh, shard_params
+from nans_clip_tpu.parallel.distributed import global_batch_from_host_batch
 from nans_clip_tpu.training.params import parse_args
 from nans_clip_tpu.training.trainer import (TrainConfig, create_train_state,
                                             make_eval_step, make_train_step)
@@ -186,25 +187,32 @@ def main(argv=None):
 
         train_step = make_train_step(cfg, tcfg, options, teacher=teacher)
         eval_step = make_eval_step(cfg, options)
-        b_shard = batch_sharding(mesh)
         rng = jax.random.PRNGKey(args.seed)
 
         def run_validation(state, epoch):
             if val_loader is None:
                 return
+            # Sample-weighted accumulation over GLOBAL batches: eval_step's
+            # metrics are in-batch means over the full global batch under
+            # jit (the reference all_reduce-SUMs counters and divides by the
+            # dataset size, training/train.py:387-395 — same number here
+            # because every batch is padded to the full global batch size,
+            # and the weighting keeps it right even if that changes).
             tot = {"loss": 0.0, "i2t_acc": 0.0, "t2i_acc": 0.0}
             n = 0
             for batch in val_loader:
-                im = jax.device_put(batch.images, b_shard)
-                tx = jax.device_put(batch.texts, b_shard)
+                im = global_batch_from_host_batch(batch.images, mesh)
+                tx = global_batch_from_host_batch(batch.texts, mesh)
                 im = preprocess_images(jax.random.PRNGKey(0), im, resolution, augment=False)
                 m = eval_step(state.params, state.batch_stats, im, tx)
+                gb = batch.images.shape[0] * jax.process_count()
                 for k in tot:
-                    tot[k] += float(m[k])
-                n += 1
-            logging.info("VALID epoch %d | loss %.4f | i2t %.2f%% | t2i %.2f%%",
+                    tot[k] += float(m[k]) * gb
+                n += gb
+            assert n == val_loader.num_samples, (n, val_loader.num_samples)
+            logging.info("VALID epoch %d | loss %.4f | i2t %.2f%% | t2i %.2f%% | %d samples",
                          epoch, tot["loss"] / n, 100 * tot["i2t_acc"] / n,
-                         100 * tot["t2i_acc"] / n)
+                         100 * tot["t2i_acc"] / n, n)
 
         # Preemption safety (beyond the reference): on SIGTERM/SIGINT finish
         # the current step, checkpoint, and exit cleanly so auto-resume
@@ -241,8 +249,8 @@ def main(argv=None):
                 micro_buf = []
 
                 t0 = time.time()
-                im = jax.device_put(images, b_shard)
-                tx = jax.device_put(texts, b_shard)
+                im = global_batch_from_host_batch(images, mesh)
+                tx = global_batch_from_host_batch(texts, mesh)
                 rng, srng, arng = jax.random.split(rng, 3)
                 im = preprocess_images(arng, im, resolution, augment=args.use_augment)
                 if profile_range and step == profile_range[0]:

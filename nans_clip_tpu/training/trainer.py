@@ -67,14 +67,23 @@ class TrainConfig:
 
 def no_decay_mask(params) -> Any:
     """True where weight decay must NOT apply (reference exclusion:
-    'bn'/'ln'/'bias'/'logit_scale' in the torch param name — note the
-    reference DECAYS class/positional embeddings, so we do too)."""
+    'bn'/'ln'/'bias'/'logit_scale' substring in the torch param name,
+    training/main.py:147). Notes on exact parity:
+
+    * the reference DECAYS class/positional embeddings, so we do too;
+    * the case-sensitive substring test does NOT match BERT's capitalized
+      'LayerNorm.weight', so the reference decays text-tower LayerNorm
+      scales (their biases are still caught by 'bias') — reproduced here
+      by applying the ln/bn exclusion only outside the 'bert' subtree."""
     bias_names = {"bias", "bqkv", "bo", "b1", "b2"}
 
     def is_excluded(path) -> bool:
         names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        in_text = "bert" in names
         for n in names:
-            if "ln" in n or "bn" in n or n == "logit_scale" or n in bias_names:
+            if n == "logit_scale" or n in bias_names:
+                return True
+            if not in_text and ("ln" in n or "bn" in n):
                 return True
         return False
 
@@ -137,21 +146,25 @@ def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
     im = images.reshape(m, micro, *images.shape[1:])
     tx = texts.reshape(m, micro, *texts.shape[1:])
 
-    def enc(_, mb):
+    def enc(stats, mb):
         j, im_j, tx_j = mb
         r_i = jax.random.fold_in(img_rng, j)
         r_t = jax.random.fold_in(txt_rng, j)
         if cfg.is_resnet:
-            f_i = encode_image(params, cfg, im_j, options, batch_stats=batch_stats,
-                               training=False)
+            # BN running stats update every microbatch forward, like the
+            # reference's two-pass protocol that keeps the model in train
+            # mode (training/train.py:206-253); stats thread through the
+            # scan carry.
+            f_i, stats = encode_image(params, cfg, im_j, options,
+                                      batch_stats=stats, training=True)
         else:
             f_i = encode_image(params, cfg, im_j, options,
                                mask_ratio=tcfg.mask_ratio, rng=r_i)
         f_t = encode_text(params, cfg, tx_j, options, rng=r_t)
-        return None, (f_i, f_t)
+        return stats, (f_i, f_t)
 
-    _, (img_f, txt_f) = jax.lax.scan(jax.checkpoint(enc), None,
-                                     (jnp.arange(m), im, tx))
+    new_stats, (img_f, txt_f) = jax.lax.scan(jax.checkpoint(enc), batch_stats,
+                                             (jnp.arange(m), im, tx))
     return img_f.reshape(b, -1), txt_f.reshape(b, -1), new_stats
 
 

@@ -138,6 +138,37 @@ def test_loader_epoch(dataset_dir):
     assert not np.array_equal(ids_a, diff)
 
 
+def test_decode_failure_resampled(tmp_path, caplog):
+    """A corrupt JPEG must be counted, logged, and replaced by resampling
+    the whole pair (image AND caption) — not silently trained as zeros."""
+    import logging as _logging
+
+    root = tmp_path / "train"
+    os.makedirs(root)
+    rs = np.random.RandomState(0)
+    good, _ = _jpeg_bytes(rs, 32)
+    with NPackWriter(str(root / "imgs.npack")) as w:
+        w.put(0, b"not a jpeg at all")   # corrupt
+        w.put(1, good)
+    with NPackWriter(str(root / "pairs.npack")) as w:
+        w.put(0, encode_pair(0, 0, "坏图"))
+        w.put(1, encode_pair(1, 1, "好图"))
+    with open(root / "meta.json", "w") as f:
+        json.dump({"num_samples": 2, "num_images": 2}, f)
+
+    ds = PairDataset(str(root))
+    loader = DataLoader(ds, batch_size=2, decode_size=32, shuffle=False)
+    with caplog.at_level(_logging.WARNING):
+        (batch,) = list(loader)
+    assert loader.decode_failures == 1
+    assert any("decode failed" in r.message for r in caplog.records)
+    # the corrupt row was resampled onto the good pair, keeping pairing
+    assert batch.image_ids.tolist() == [1, 1]
+    assert batch.text_ids.tolist() == [1, 1]
+    assert batch.images[0].any() and batch.images[1].any()
+    np.testing.assert_array_equal(batch.texts[0], batch.texts[1])
+
+
 def test_device_augment(dataset_dir):
     import jax
 

@@ -58,27 +58,43 @@ def test_fits_fused():
 
 def test_vit_tower_with_fused_impl():
     """Full ViT tower routed through the fused kernel equals the XLA path.
-    (vit.py imports fused_attention_block at call time, so patching the
-    module attribute with an interpret-forced wrapper works on CPU.)"""
-    import nans_clip_tpu.ops.fused_block as fb
-
+    attn_impl='fused' off-TPU runs the kernels in interpreter mode (the
+    interpret flag is threaded by vit.py), so this works on the CPU mesh."""
     params, _ = init_clip(jax.random.PRNGKey(0), TINY)
     images, _ = _batch(4)
     ref = encode_image(params, TINY, jnp.asarray(images), ModelOptions(attn_impl="xla"))
-
-    saved_attn = fb.fused_attention_block
-    saved_mlp = fb.fused_mlp_block
-    if INTERPRET:
-        fb.fused_attention_block = lambda x, s1, b1, wqkv, bqkv, wo, bo, heads: \
-            saved_attn(x, s1, b1, wqkv, bqkv, wo, bo, heads, 1e-5, True)
-        fb.fused_mlp_block = lambda x, s, b, w1, b1_, w2, b2, act, eps=1e-5, \
-            post_ln=False, interpret=False: \
-            saved_mlp(x, s, b, w1, b1_, w2, b2, act, eps, post_ln, True)
-    try:
-        out = encode_image(params, TINY, jnp.asarray(images),
-                           ModelOptions(attn_impl="fused"))
-    finally:
-        fb.fused_attention_block = saved_attn
-        fb.fused_mlp_block = saved_mlp
+    out = encode_image(params, TINY, jnp.asarray(images),
+                       ModelOptions(attn_impl="fused"))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-4)
+
+
+def test_bert_tower_with_fused_impl():
+    """BERT (post-LN, masked) fused routing equals the XLA path off-TPU."""
+    from nans_clip_tpu.models.clip import encode_text
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    _, texts = _batch(4)
+    ref = encode_text(params, TINY, jnp.asarray(texts), ModelOptions(attn_impl="xla"))
+    out = encode_text(params, TINY, jnp.asarray(texts),
+                      ModelOptions(attn_impl="fused"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_wide_attention_grads():
+    """fused_attention_block_wide's custom_vjp (head-chunked ViT-H path):
+    gradients for every input must match the oracle."""
+    from nans_clip_tpu.ops.fused_block import (fits_fused_wide,
+                                               fused_attention_block_wide)
+    assert fits_fused_wide(257, 1280)
+    x, *args = _args(2, 36, 160)  # dh=80 like ViT-H (heads=2, chunk=1)
+
+    def loss(fn):
+        return lambda x, *a: jnp.sum(jnp.sin(fn(x, *a)))
+
+    g1 = jax.grad(loss(lambda x, *a: fused_attention_block_wide(
+        x, *a, 2, 1e-5, 1, INTERPRET)), argnums=tuple(range(7)))(x, *args)
+    g2 = jax.grad(loss(lambda x, *a: _reference_block(x, *a, heads=2, eps=1e-5)),
+                  argnums=tuple(range(7)))(x, *args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)

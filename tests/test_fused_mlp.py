@@ -57,3 +57,28 @@ def test_tiled_mlp_matches_reference(act, post):
     out = _fused_mlp_tiled_call(x, *args, act, 1e-5, post, INTERPRET, 256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_wide_mlp_grads_through_public_api():
+    """fused_mlp_block at width > MAX_FUSED_MLP_WIDTH must route the tiled
+    kernel in BOTH the primal and the custom_vjp fwd rule (the one-shot
+    kernel's fc weights exceed VMEM at these widths), and its gradients
+    must match the oracle."""
+    from nans_clip_tpu.ops.fused_block import MAX_FUSED_MLP_WIDTH
+    w = 1024
+    assert w > MAX_FUSED_MLP_WIDTH
+    x, *args = _args(2, 36, w, 4 * w)
+    out = fused_mlp_block(x, *args, "quick_gelu", 1e-5, False, INTERPRET)
+    ref = _reference_mlp(x, *args, act="quick_gelu", eps=1e-5, post_ln=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    g1 = jax.grad(lambda x, *a: jnp.sum(jnp.sin(
+        fused_mlp_block(x, *a, "quick_gelu", 1e-5, False, INTERPRET))),
+        argnums=tuple(range(7)))(x, *args)
+    g2 = jax.grad(lambda x, *a: jnp.sum(jnp.sin(
+        _reference_mlp(x, *a, act="quick_gelu", eps=1e-5, post_ln=False))),
+        argnums=tuple(range(7)))(x, *args)
+    for a, b in zip(g1, g2):
+        # fp32 accumulation-order noise at 4096-wide contractions
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=4e-4, rtol=5e-4)

@@ -56,7 +56,12 @@ def test_no_decay_mask():
     assert mask["visual"]["transformer"]["attn"]["bqkv"] is True
     assert mask["visual"]["transformer"]["attn"]["wqkv"] is False
     assert mask["bert"]["encoder"]["mlp"]["w1"] is False
-    assert mask["bert"]["encoder"]["mlp_ln"]["scale"] is True
+    # Reference parity: the case-sensitive 'ln' substring test does NOT
+    # match BERT's 'LayerNorm.weight', so text-tower LN *scales* are
+    # DECAYED by the reference (their biases are caught by 'bias').
+    assert mask["bert"]["encoder"]["mlp_ln"]["scale"] is False
+    assert mask["bert"]["encoder"]["mlp_ln"]["bias"] is True
+    assert mask["bert"]["embeddings"]["ln"]["scale"] is False
     assert mask["text_projection"] is False
 
 
@@ -143,6 +148,32 @@ def test_eval_step():
     m = ev(params, {}, jnp.asarray(images), jnp.asarray(texts))
     assert set(m) >= {"loss", "i2t_acc", "t2i_acc"}
     assert np.isfinite(float(m["loss"]))
+
+
+def test_bn_stats_update_under_grad_accum():
+    """With accum_freq > 1 on a ResNet tower, BN running stats must still
+    update every microbatch (the reference keeps the model in train mode
+    during its two-pass protocol, training/train.py:206-253)."""
+    rn_cfg = C.CLIPConfig(
+        embed_dim=64,
+        vision=C.ResNetConfig(embed_dim=64, image_resolution=32,
+                              layers=(1, 1, 1, 1), width=8, head_width=16),
+        text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=128),
+        name="tiny-rn")
+    params, batch_stats = init_clip(jax.random.PRNGKey(0), rn_cfg)
+    tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=10, accum_freq=2)
+    state = create_train_state(params, batch_stats, tcfg)
+    step = make_train_step(rn_cfg, tcfg, ModelOptions(attn_impl="xla"),
+                           constrain=False)
+    images, texts = _batch(8)
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    state, _ = step(state, jnp.asarray(images), jnp.asarray(texts),
+                    jax.random.PRNGKey(0))
+    after = state.batch_stats
+    changed = jax.tree.map(lambda a, b: not np.array_equal(a, np.asarray(b)),
+                           before, after)
+    assert any(jax.tree.leaves(changed)), "BN stats frozen under grad accum"
 
 
 def test_distillation_kd_loss():
