@@ -39,11 +39,20 @@ def preprocess_text(text: str) -> str:
 
 
 class PairDataset:
-    """imgs.npack + pairs.npack under one directory."""
+    """imgs.npack + pairs.npack under one directory.
+
+    Pointing it at a reference-built LMDB split (a directory containing
+    ``pairs``/``imgs`` LMDB envs, training/data.py:43-46) converts it to
+    npack in place on first use (preprocess/lmdb_to_npack.py)."""
 
     def __init__(self, path: str):
         assert os.path.isdir(path), f"dataset dir {path} does not exist"
         self.path = path
+        if (not os.path.exists(os.path.join(path, "pairs.npack"))
+                and os.path.isdir(os.path.join(path, "pairs"))):
+            from nans_clip_tpu.preprocess.lmdb_to_npack import convert_split
+            logging.info("converting LMDB split %s to npack (one-time)", path)
+            convert_split(path)
         self.pairs = NPackReader(os.path.join(path, "pairs.npack"))
         self.imgs = NPackReader(os.path.join(path, "imgs.npack"))
         meta_path = os.path.join(path, "meta.json")

@@ -35,6 +35,7 @@ running unmodified over the compat shim (tests/test_pipeline_parity.py).
 
 from __future__ import annotations
 
+import builtins
 import mmap
 import os
 import struct
@@ -80,7 +81,7 @@ class LMDBReader:
         if os.path.isdir(path):
             path = os.path.join(path, "data.mdb")
         self.path = path
-        self._f = open(path, "rb")
+        self._f = builtins.open(path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         meta = self._pick_meta()
         (self.psize, _flags, self.depth, self.branch_pages, self.leaf_pages,
@@ -315,7 +316,7 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_size: int = 0,
         pages[slot] = bytes(page)
 
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    with builtins.open(tmp, "wb") as f:
         i = 0
         while i < len(pages):
             p = pages[i]
