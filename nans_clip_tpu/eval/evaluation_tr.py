@@ -3,7 +3,12 @@
 CLI: python -m nans_clip_tpu.eval.evaluation_tr GOLDEN PRED OUT.json
 """
 
-from nans_clip_tpu.eval.evaluation import main
+from nans_clip_tpu.eval.evaluation import main as _main
+
+
+def main(argv=None):
+    return _main(argv, query_key="image_id", gallery_key="text_ids")
+
 
 if __name__ == "__main__":
-    main(query_key="image_id", gallery_key="text_ids")
+    main()

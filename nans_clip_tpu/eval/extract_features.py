@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nans_clip_tpu.data import NPackReader, preprocess_images
+from nans_clip_tpu.data.dataset import preprocess_text
 from nans_clip_tpu.eval.model_io import load_eval_model
 from nans_clip_tpu.models.clip import encode_image, encode_text
 from nans_clip_tpu.tokenizer import tokenize
@@ -47,6 +48,11 @@ def parse_args(argv=None):
     p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
     p.add_argument("--precision", default="bf16")
     p.add_argument("--num-threads", type=int, default=8)
+    p.add_argument("--image-transform", choices=["pil", "native"], default="pil",
+                   help="pil = host PIL bicubic resize, numerically identical "
+                        "to the reference eval transform (clip/utils.py:179-186) "
+                        "— use for score parity; native = C++ decode pool + "
+                        "device resize, faster for large-scale extraction")
     # serialized-artifact backend — the extract_features_{onnx,tensorrt}
     # analog (reference eval/extract_features_onnx.py:121-138): run towers
     # from exported StableHLO instead of live-jitted code.
@@ -76,13 +82,15 @@ def extract_text_features(args, cfg, params, options, out_path):
     written = 0
     with open(out_path, "w") as fout:
         for i in range(0, n, bs):
-            chunk = texts[i:i + bs]
+            # lowercase + CJK-quote normalization before tokenizing, like the
+            # reference eval dataset (eval/data.py:23-26,50)
+            chunk = [preprocess_text(str(t)) for t in texts[i:i + bs]]
             tok = tokenize(chunk, args.context_length)
             pad = bs - len(chunk)
             if pad:
                 tok = np.concatenate([tok, np.zeros((pad, tok.shape[1]), tok.dtype)])
             feats = txt_fn(params, jnp.asarray(tok))
-            feats = np.asarray(feats, np.float32)[: len(chunk)]
+            feats = np.array(feats, np.float32)[: len(chunk)]
             feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
             for tid, feat in zip(ids[i:i + bs], feats):
                 fout.write(json.dumps({"text_id": tid, "feature": feat.tolist()}) + "\n")
@@ -92,6 +100,7 @@ def extract_text_features(args, cfg, params, options, out_path):
 
 def extract_image_features(args, cfg, params, batch_stats, options, out_path):
     resolution = cfg.vision.image_resolution
+    pil = args.image_transform == "pil"
 
     if args.backend == "stablehlo":
         from nans_clip_tpu.deploy.aot import load_stablehlo
@@ -99,15 +108,36 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
         artifact_fn = load_stablehlo(args.image_artifact)
 
         def img_fn(p, bs_, x):
-            x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
+            if not pil:
+                x = preprocess_images(jax.random.PRNGKey(0), x, resolution,
+                                      augment=False)
             return artifact_fn(p, x)
     else:
         def img_forward(p, bs_, x):
-            x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
+            if not pil:
+                x = preprocess_images(jax.random.PRNGKey(0), x, resolution,
+                                      augment=False)
             return encode_image(p, cfg, x, options,
                                 batch_stats=bs_ if cfg.is_resnet else None)
 
         img_fn = jax.jit(img_forward)
+
+    def decode_batch(chunk):
+        if not pil:
+            raw, _ok = reader.decode_jpeg_batch(chunk, resolution,
+                                                args.num_threads)
+            return raw
+        # reference-exact path: PIL decode + bicubic square resize +
+        # normalize (clip/utils.py:179-186)
+        import io
+
+        from PIL import Image
+
+        from nans_clip_tpu.utils.transform import image_transform
+        t = image_transform(resolution)
+        return np.stack([t(Image.open(io.BytesIO(reader.get(int(k)))))
+                         for k in chunk])
+
     imgs_path = os.path.join(args.image_data, "imgs.npack")
     reader = NPackReader(imgs_path)
     keys = reader.keys()
@@ -117,12 +147,12 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
     with open(out_path, "w") as fout:
         for i in range(0, n, bs):
             chunk = keys[i:i + bs]
-            raw, ok = reader.decode_jpeg_batch(chunk, resolution, args.num_threads)
+            raw = decode_batch(chunk)
             pad = bs - len(chunk)
             if pad:
                 raw = np.concatenate([raw, np.zeros((pad,) + raw.shape[1:], raw.dtype)])
             feats = img_fn(params, batch_stats, jnp.asarray(raw))
-            feats = np.asarray(feats, np.float32)[: len(chunk)]
+            feats = np.array(feats, np.float32)[: len(chunk)]
             feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
             for key, feat in zip(chunk.tolist(), feats):
                 fout.write(json.dumps({"image_id": int(key), "feature": feat.tolist()}) + "\n")

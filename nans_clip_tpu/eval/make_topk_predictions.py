@@ -48,6 +48,7 @@ def load_feats(path: str, id_key: str):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_scores(queries: jax.Array, gallery: jax.Array, k: int):
+    k = min(k, gallery.shape[0])  # galleries smaller than k (ref sorts all)
     scores = queries @ gallery.T
     return jax.lax.top_k(scores, k)
 
