@@ -1,0 +1,84 @@
+"""Training-step throughput benchmark (ViT-B/16 + RoBERTa-base, 1 chip).
+
+Measures the FULL production train step — both towers forward, global
+InfoNCE, backward, AdamW — at batch 256 in bf16 with remat, in the
+reference's training configuration (dropout ON: attention-prob + hidden
+dropout 0.1 in the text tower, modeling_bert.py defaults), i.e. the fused
+Pallas kernels with in-kernel PRNG dropout and the fused backward kernels.
+
+Reference baseline (BASELINE.md / flash_attention_En.md): 8xA100-80G
+flash-attn ViT-B/16 at 0.96 s/iter x 3600 global batch = 469 pairs/s per
+A100. Round-1 number: 620 pairs/s/chip (fused ViT attention fwd+bwd, text
+tower UNFUSED because of dropout).
+
+Prints one JSON line. Timing includes the ~27.5 ms tunnel RTT per step
+(<7% at this step time; same methodology as round 1).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 256
+WARMUP = 2
+ITERS = 8
+BASELINE_PAIRS_PER_SEC = 469.0  # per-A100 reference
+
+
+def main():
+    from nans_clip_tpu.configs import load_config
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import init_clip
+    from nans_clip_tpu.training import (TrainConfig, create_train_state,
+                                        make_train_step)
+
+    cfg = load_config("ViT-B-16@RoBERTa-wwm-ext-base-chinese")
+    options = ModelOptions(attn_impl="auto", compute_dtype="bfloat16",
+                           remat=True, deterministic=False)
+    tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000)
+
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    state = create_train_state(params, {}, tcfg)
+    step = make_train_step(cfg, tcfg, options)
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(BATCH, 224, 224, 3), jnp.bfloat16)
+    texts = jnp.zeros((BATCH, 52), jnp.int32)
+    texts = texts.at[:, 0].set(101)
+    texts = texts.at[:, 1:30].set(jnp.asarray(rs.randint(1000, 20000, (BATCH, 29))))
+    texts = texts.at[:, 30].set(102)
+    rng = jax.random.PRNGKey(7)
+
+    print("compiling + warmup...", flush=True)
+    for i in range(WARMUP):
+        rng, srng = jax.random.split(rng)
+        state, metrics = step(state, images, texts, srng)
+        # consuming the fp32 loss scalar is the only reliable device sync
+        # on the tunneled platform (see bench.py notes)
+        print(f"warmup {i}: loss={float(metrics['loss']):.4f}", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        rng, srng = jax.random.split(rng)
+        state, metrics = step(state, images, texts, srng)
+        loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+    pairs = BATCH / dt
+    print(json.dumps({
+        "metric": "ViT-B/16+RoBERTa-base train pairs/sec/chip (bs256 bf16 "
+                  "remat, dropout on, fused fwd+bwd kernels)",
+        "value": round(pairs, 1),
+        "unit": "pairs/sec",
+        "step_ms": round(dt * 1000, 1),
+        "loss": loss,
+        "vs_baseline": round(pairs / BASELINE_PAIRS_PER_SEC, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,32 +88,82 @@ def bert_features(params: dict, input_ids: jax.Array,
     # Fused attention sub-block (Pallas) when dropout is off: LN/QKV/probs/
     # ctx stay in VMEM (see ops/fused_block.py); dropout training uses the
     # unfused path.
-    use_fused = det and (options.attn_impl == "fused" or (
-        options.attn_impl == "auto" and jax.default_backend() == "tpu"))
+    on_tpu = jax.default_backend() == "tpu"
+    # Training with dropout stays fused ON TPU: the kernels draw keep masks
+    # from the Mosaic PRNG and the bwd kernels re-seed the same stream
+    # (ops/fused_block_bwd.py). Off-TPU there is no hardware PRNG, so
+    # non-deterministic mode falls back to the unfused XLA dropout path.
+    use_fused = (det or on_tpu) and (options.attn_impl == "fused" or (
+        options.attn_impl == "auto" and on_tpu))
     # explicit "fused" off-TPU (CPU test meshes) runs in interpreter mode
-    fused_interpret = jax.default_backend() != "tpu"
+    fused_interpret = not on_tpu
+
+    if options.tp > 1 and det:
+        # Tensor parallel (deterministic path): shard_map head/column-split
+        # sub-blocks over the 'model' axis (parallel/tp.py). Dropout
+        # training under TP uses the annotation-sharded unfused path below.
+        from nans_clip_tpu.ops.fused_block import fits_fused, fits_fused_mlp
+        from nans_clip_tpu.parallel.tp import tp_attention_block, tp_mlp_block
+        h_sz = cfg.hidden_size
+        a_impl = "fused" if (use_fused and fits_fused(s, h_sz)) else "xla"
+        m_impl = "fused" if (use_fused and fits_fused_mlp(s, h_sz)
+                             and cfg.hidden_act == "gelu") else "xla"
+
+        def tp_layer(carry, lp):
+            x, idx = carry
+            x = tp_attention_block(
+                x, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"], lp["attn"]["wo"],
+                lp["attn"]["bo"], heads, options.tp, eps=cfg.layer_norm_eps,
+                post_ln=True, key_bias=key_bias, impl=a_impl,
+                interpret=fused_interpret)
+            x = tp_mlp_block(
+                x, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"], lp["mlp"]["w2"],
+                lp["mlp"]["b2"], cfg.hidden_act, options.tp,
+                eps=cfg.layer_norm_eps, post_ln=True, impl=m_impl,
+                interpret=fused_interpret)
+            return (x, idx + 1), None
+
+        body = jax.checkpoint(tp_layer) if options.remat else tp_layer
+        (x, _), _ = jax.lax.scan(body, (x, 0), params["encoder"])
+        return x
+
     use_fused_mlp = False
     if use_fused:
         from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
                                                    fused_bert_attention_block,
                                                    fused_mlp_block)
+        from nans_clip_tpu.ops.fused_block_bwd import (fits_bert_attention_bwd,
+                                                       fits_fused_mlp_bwd)
         use_fused_mlp = (fits_fused_mlp(s, cfg.hidden_size)
                          and cfg.hidden_act == "gelu")
         use_fused = fits_fused(s, cfg.hidden_size)
+        if not det:  # dropout active: the bwd kernels must also fit VMEM
+            use_fused = use_fused and fits_bert_attention_bwd(
+                s, cfg.hidden_size, heads)
+            use_fused_mlp = use_fused_mlp and fits_fused_mlp_bwd(
+                s, cfg.hidden_size)
 
     def layer(carry, lp):
         x, idx = carry
         if det:
-            a_rng = h1 = h2 = None
+            a_rng = h1 = h2 = seed_a = seed_m = None
         else:
             lrng = jax.random.fold_in(rng, idx)
             a_rng, h1, h2 = jax.random.split(lrng, 3)
+            # int32 seeds for the in-kernel Mosaic PRNG (offset per sample
+            # inside the kernel); independent draws per layer and sub-block
+            seed_a = jax.random.randint(a_rng, (), 0, 2 ** 31 - 1, jnp.int32)
+            seed_m = jax.random.randint(h2, (), 0, 2 ** 31 - 1, jnp.int32)
         if use_fused:
             x = fused_bert_attention_block(
                 x, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
                 lp["attn"]["wo"], lp["attn"]["bo"], key_bias, heads,
-                cfg.layer_norm_eps, interpret=fused_interpret)
+                cfg.layer_norm_eps, interpret=fused_interpret,
+                attn_dropout=0.0 if det else ad,
+                hidden_dropout=0.0 if det else hd, seed=seed_a)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             a = mha(x, lp["attn"], heads, key_bias, impl=impl,
@@ -125,7 +175,8 @@ def bert_features(params: dict, input_ids: jax.Array,
                                 lp["mlp"]["w1"], lp["mlp"]["b1"],
                                 lp["mlp"]["w2"], lp["mlp"]["b2"],
                                 "gelu", cfg.layer_norm_eps, True,
-                                fused_interpret)
+                                fused_interpret,
+                                0.0 if det else hd, seed_m)
         else:
             h = act(x @ lp["mlp"]["w1"] + lp["mlp"]["b1"])
             h = h @ lp["mlp"]["w2"] + lp["mlp"]["b2"]

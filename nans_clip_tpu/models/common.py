@@ -23,6 +23,11 @@ class ModelOptions:
     remat: bool = False              # per-block activation checkpointing
     compute_dtype: Optional[str] = None  # None = param dtype; "bfloat16" for mixed precision
     deterministic: bool = True       # disables dropout
+    tp: int = 1                      # model-axis size: >1 routes the
+                                     # transformer sub-blocks through the
+                                     # shard_map tensor-parallel wrappers
+                                     # (parallel/tp.py); requires an ambient
+                                     # mesh with a 'model' axis of this size
 
     def cast(self, x: jax.Array) -> jax.Array:
         if self.compute_dtype is None:

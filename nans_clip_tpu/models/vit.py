@@ -115,6 +115,33 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # explicit "fused" off-TPU (CPU test meshes) runs the kernels in
     # interpreter mode instead of failing to lower
     fused_interpret = jax.default_backend() != "tpu"
+
+    if options.tp > 1:
+        # Tensor parallel: shard_map over the mesh's 'model' axis with
+        # head-split attention and column/row-split MLP (parallel/tp.py).
+        from nans_clip_tpu.ops.fused_block import fits_fused, fits_fused_mlp
+        from nans_clip_tpu.parallel.tp import tp_attention_block, tp_mlp_block
+        a_impl = "fused" if (use_fused and fits_fused(x.shape[1], w)) else "xla"
+        m_impl = "fused" if (use_fused and fits_fused_mlp(x.shape[1], w)) else "xla"
+
+        def tp_block(x, lp):
+            x = tp_attention_block(
+                x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"], lp["attn"]["wo"],
+                lp["attn"]["bo"], heads, options.tp, impl=a_impl,
+                interpret=fused_interpret)
+            return tp_mlp_block(
+                x, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"], lp["mlp"]["w2"],
+                lp["mlp"]["b2"], "quick_gelu", options.tp, impl=m_impl,
+                interpret=fused_interpret)
+
+        body = jax.checkpoint(tp_block) if options.remat else tp_block
+        x, _ = jax.lax.scan(lambda c, lp: (body(c, lp), None), x,
+                            params["transformer"])
+        x = layer_norm(x[:, 0, :], **params["ln_post"])
+        return x @ params["proj"]
+
     use_fused_mlp = False
     use_wide = False
     if use_fused:
@@ -140,11 +167,13 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                                       lp["attn"]["wo"], lp["attn"]["bo"], heads,
                                       interpret=fused_interpret)
         elif use_wide:
+            from nans_clip_tpu.ops.fused_block import wide_batch_tile
             x = fused_attention_block_wide(
                 x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
                 lp["attn"]["wo"], lp["attn"]["bo"], heads,
-                interpret=fused_interpret)
+                interpret=fused_interpret,
+                batch_tile=wide_batch_tile(x.shape[0], x.shape[1], w))
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)

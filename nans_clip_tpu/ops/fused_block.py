@@ -33,6 +33,21 @@ MAX_FUSED_WIDTH = 1024
 MAX_FUSED_SEQ = 640
 
 
+def _rup(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _keep_mask(shape, rate: float):
+    """Dropout keep mask from the per-core Mosaic PRNG (kept where
+    bits >= rate * 2^32). TPU-only: interpret mode yields zero bits, so
+    callers gate dropout > 0 on the TPU backend. The generator shape is
+    padded to tile alignment, then sliced."""
+    ps = (_rup(shape[0], 8), _rup(shape[1], 128))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(ps), jnp.uint32)
+    thresh = jnp.uint32(min(2 ** 32 - 1, int(round(rate * 4294967296.0))))
+    return (bits >= thresh)[: shape[0], : shape[1]]
+
+
 def _reference_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads: int,
                      eps: float, key_bias=None, post_ln: bool = False):
     """Plain-XLA twin (oracle + backward path).
@@ -60,12 +75,14 @@ def _ln(xf, scale_ref, bias_ref, eps):
 
 
 def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-            kb_ref, o_ref, *, heads: int, eps: float, seq: int,
-            post_ln: bool, masked: bool):
+            kb_ref, seed_ref, o_ref, *, heads: int, eps: float, seq: int,
+            post_ln: bool, masked: bool, attn_drop: float, hid_drop: float):
     x = x_ref[0]                                   # [S, W] input dtype
     w = x.shape[-1]
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
+    if attn_drop > 0.0 or hid_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     if post_ln:
         xn = x
@@ -87,60 +104,77 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if attn_drop > 0.0:                        # in-kernel dropout (PRNG
+            keep = _keep_mask((seq, seq), attn_drop)  # order mirrored in bwd)
+            p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
         ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
                                  preferred_element_type=jnp.float32))
     ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [S, W]
 
-    out = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
-    out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+    proj = proj + bo_ref[:].astype(jnp.float32)
+    if hid_drop > 0.0:  # hidden dropout on proj+bias, pre-residual
+        keep = _keep_mask((seq, w), hid_drop)      # (modeling_bert.py:147)
+        proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+    out = proj + x.astype(jnp.float32)
     if post_ln:
         out = _ln(out, s1_ref, b1_ref, eps)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
-                heads, eps, post_ln, interpret):
+def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
+                heads, eps, post_ln, interpret, attn_drop=0.0, hid_drop=0.0):
     b, s, w = x.shape
     masked = key_bias is not None
     if key_bias is None:
         key_bias = jnp.zeros((b, 1, s), jnp.float32)
     else:
         key_bias = key_bias.astype(jnp.float32).reshape(b, 1, s)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, heads=heads, eps=eps, seq=s,
-                          post_ln=post_ln, masked=masked),
+                          post_ln=post_ln, masked=masked,
+                          attn_drop=attn_drop, hid_drop=hid_drop),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vec(w), vec(w), mat(w, 3 * w), vec(3 * w), mat(w, w), vec(w),
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias)
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
-                 heads: int, eps: float, post_ln: bool, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
+                 heads: int, eps: float, post_ln: bool, interpret: bool,
+                 attn_drop: float, hid_drop: float):
     return _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
-                       heads, eps, post_ln, interpret)
+                       seed, heads, eps, post_ln, interpret, attn_drop,
+                       hid_drop)
 
 
-def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, heads, eps,
-         post_ln, interpret):
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, heads,
+         eps, post_ln, interpret, attn_drop, hid_drop):
     out = _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
-                      heads, eps, post_ln, interpret)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias)
+                      seed, heads, eps, post_ln, interpret, attn_drop,
+                      hid_drop)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed)
 
 
-def _bwd(heads, eps, post_ln, interpret, res, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias = res
-    if not post_ln and key_bias is None and jax.default_backend() == "tpu":
+def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed = res
+    on_tpu = jax.default_backend() == "tpu"
+    if not post_ln and key_bias is None and on_tpu:
         # Fused backward: per-sample recompute + attention bwd + dx in one
         # Pallas kernel; weight grads as batched XLA contractions.
         from nans_clip_tpu.ops.fused_block_bwd import fused_attention_block_bwd
@@ -163,13 +197,41 @@ def _bwd(heads, eps, post_ln, interpret, res, g):
                          wqkv.astype(jnp.float32))
         d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
         d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
-        return (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo, None)
+        return (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo, None, None)
+    from nans_clip_tpu.ops.fused_block_bwd import fits_bert_attention_bwd
+    if post_ln and on_tpu and fits_bert_attention_bwd(
+            x.shape[1], x.shape[2], heads):
+        # BERT post-LN (masked, optional in-kernel dropout) bwd kernel: the
+        # PRNG stream re-seeds identically, so keep masks regenerate — an
+        # XLA recompute could not reproduce them. Off-TPU the rate-0 XLA
+        # vjp below applies (the kernel itself is interpret-tested
+        # directly in tests/test_fused_bwd.py).
+        from nans_clip_tpu.ops.fused_block_bwd import (
+            fused_bert_attention_block_bwd)
+
+        dx, dqkv, ctx, dproj, uhat = fused_bert_attention_block_bwd(
+            x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, g,
+            heads, eps, attn_drop, hid_drop, interpret)
+        gf = g.astype(jnp.float32)
+        dwqkv = jnp.einsum("bsw,bsu->wu", x, dqkv,
+                           preferred_element_type=jnp.float32).astype(wqkv.dtype)
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).astype(bqkv.dtype)
+        dwo = jnp.einsum("bsw,bsu->wu", ctx, dproj,
+                         preferred_element_type=jnp.float32).astype(wo.dtype)
+        dbo = jnp.sum(dproj.astype(jnp.float32), axis=(0, 1)).astype(bo.dtype)
+        d_scale = jnp.sum(gf * uhat.astype(jnp.float32),
+                          axis=(0, 1)).astype(ln_scale.dtype)
+        d_bias = jnp.sum(gf, axis=(0, 1)).astype(ln_bias.dtype)
+        return (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo, None, None)
+    assert attn_drop == hid_drop == 0.0, (
+        "in-kernel dropout requires the TPU backend (interpret-mode PRNG "
+        "returns zeros); gate at the caller")
     _, vjp = jax.vjp(
         lambda *a: _reference_block(*a, heads=heads, eps=eps,
                                     key_bias=key_bias, post_ln=post_ln),
         x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
     grads = vjp(g)
-    return grads + (None,)
+    return grads + (None, None)
 
 
 _fused_block.defvjp(_fwd, _bwd)
@@ -179,18 +241,31 @@ def fused_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                           heads: int, eps: float = 1e-5,
                           interpret: bool = False):
     """ViT pre-LN layout: x + out_proj(MHA(LN(x))). x: [B, S, W]."""
-    return _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, None,
-                        heads, eps, False, interpret)
+    return _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, None, None,
+                        heads, eps, False, interpret, 0.0, 0.0)
 
 
 def fused_bert_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                                key_bias, heads: int, eps: float = 1e-12,
-                               interpret: bool = False):
-    """BERT post-LN layout: LN(x + out_proj(MHA(x))) with padding mask.
-    (attention-prob dropout not supported — training with dropout uses the
-    unfused path.)"""
+                               interpret: bool = False,
+                               attn_dropout: float = 0.0,
+                               hidden_dropout: float = 0.0,
+                               seed=None):
+    """BERT post-LN layout: LN(x + dropout(out_proj(MHA_dropout(x)))) with
+    padding mask (modeling_bert.py:118-152). Dropout rates > 0 use the
+    in-kernel Mosaic PRNG (TPU only — callers gate on backend); ``seed`` is
+    a traced int32 scalar, varied per layer, offset per sample inside."""
+    if attn_dropout > 0.0 or hidden_dropout > 0.0:
+        from nans_clip_tpu.ops.fused_block_bwd import fits_bert_attention_bwd
+        assert jax.default_backend() == "tpu", (
+            "in-kernel dropout needs the hardware PRNG (interpret mode "
+            "yields zero bits) — use the unfused path off-TPU")
+        assert fits_bert_attention_bwd(x.shape[1], x.shape[2], heads), (
+            "dropout bwd kernel does not fit VMEM at this seq/width")
+        assert seed is not None, "dropout needs a seed"
     return _fused_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
-                        heads, eps, True, interpret)
+                        seed, heads, eps, True, interpret,
+                        float(attn_dropout), float(hidden_dropout))
 
 
 def fits_fused(seq: int, width: int) -> bool:
@@ -284,24 +359,121 @@ def _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+# Batch-tiled regrid of the head-chunked kernel: T samples per cell so the
+# per-chunk weight streaming amortizes T-fold and the QKV projection runs
+# at [T*S, W] MXU shape. Attention itself stays per-sample (block-diagonal).
+
+def _wide_batched_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                         bo_ref, o_ref, ctx_ref, *, heads_per_chunk: int,
+                         n_chunks: int, dh: int, eps: float):
+    c = pl.program_id(1)
+    t, s, w = x_ref.shape
+    x = x_ref[:].reshape(t * s, w)
+    scale = 1.0 / math.sqrt(dh)
+
+    xn = _ln(x.astype(jnp.float32), s1_ref, b1_ref, eps).astype(x.dtype)
+
+    for j in range(heads_per_chunk):
+        wj = wqkv_ref[j]                          # [W, 3*dh]
+        bj = bqkv_ref[j, 0].astype(jnp.float32)   # [3*dh]
+        qkv = jnp.dot(xn, wj, preferred_element_type=jnp.float32) + bj
+        h_global = c * heads_per_chunk + j
+        for tt in range(t):                       # per-sample attention
+            qkv_t = qkv[tt * s:(tt + 1) * s]
+            q = qkv_t[:, :dh].astype(x.dtype)
+            k = qkv_t[:, dh:2 * dh].astype(x.dtype)
+            v = qkv_t[:, 2 * dh:].astype(x.dtype)
+            sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx_ref[tt, h_global] = jnp.dot(p.astype(x.dtype), v,
+                                            preferred_element_type=jnp.float32)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        heads = n_chunks * heads_per_chunk
+        out = bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+        for h in range(heads):
+            ctx_h = ctx_ref[:, h].reshape(t * s, dh).astype(x.dtype)
+            out = out + jnp.dot(ctx_h, wo_ref[h * dh:(h + 1) * dh, :],
+                                preferred_element_type=jnp.float32)
+        o_ref[:] = out.reshape(t, s, w).astype(o_ref.dtype)
+
+
+def _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
+                             eps, interpret, heads_per_chunk: int, tile: int):
+    b, s, w = x.shape
+    dh = w // heads
+    assert heads % heads_per_chunk == 0 and b % tile == 0
+    n_chunks = heads // heads_per_chunk
+    wqkv_h = wqkv.reshape(w, 3, heads, dh).transpose(2, 0, 1, 3).reshape(heads, w, 3 * dh)
+    bqkv_h = bqkv.reshape(3, heads, dh).transpose(1, 0, 2).reshape(heads, 1, 3 * dh)
+    vec = lambda d: pl.BlockSpec((d,), lambda bb, cc: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_wide_batched_kernel, heads_per_chunk=heads_per_chunk,
+                          n_chunks=n_chunks, dh=dh, eps=eps),
+        grid=(b // tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w),
+            pl.BlockSpec((heads_per_chunk, w, 3 * dh),
+                         lambda bb, cc: (cc, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads_per_chunk, 1, 3 * dh), lambda bb, cc: (cc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda bb, cc: (0, 0), memory_space=pltpu.VMEM),
+            vec(w),
+        ],
+        out_specs=pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, heads, s, dh), jnp.float32)],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
+
+
+def wide_batch_tile(b: int, seq: int, width: int) -> int:
+    """Batch tile for the wide attention regrid: ctx scratch is the
+    dominant term (fp32 [T, H, S, dh] = T*S*W*4)."""
+    per_sample = seq * width * (4 + 2 + 2)   # ctx fp32 + x/out bf16
+    fixed = width * width * 2 + 4 * width * 3 * 128 * 2
+    t = max(1, (12 * 1024 * 1024 - fixed) // per_sample)
+    while t > 1 and b % t:
+        t -= 1
+    return int(t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_attention_block_wide(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                                heads: int, eps: float = 1e-5,
                                heads_per_chunk: int = 4,
-                               interpret: bool = False):
-    """ViT pre-LN attention sub-block, head-chunked for width > 1024."""
+                               interpret: bool = False,
+                               batch_tile: int = 1):
+    """ViT pre-LN attention sub-block, head-chunked for width > 1024.
+    ``batch_tile`` > 1 amortizes the weight-chunk streaming over T samples
+    (the regrid that makes this kernel competitive with XLA at ViT-H)."""
+    if batch_tile > 1:
+        return _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo,
+                                        bo, heads, eps, interpret,
+                                        heads_per_chunk, batch_tile)
     return _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
                             eps, interpret, heads_per_chunk)
 
 
 def _wide_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
-              heads_per_chunk, interpret):
-    out = _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
-                           eps, interpret, heads_per_chunk)
+              heads_per_chunk, interpret, batch_tile):
+    if batch_tile > 1:
+        out = _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo,
+                                       bo, heads, eps, interpret,
+                                       heads_per_chunk, batch_tile)
+    else:
+        out = _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                               heads, eps, interpret, heads_per_chunk)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
 
 
-def _wide_bwd(heads, eps, heads_per_chunk, interpret, res, g):
+def _wide_bwd(heads, eps, heads_per_chunk, interpret, batch_tile, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo = res
     _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=heads, eps=eps),
                      x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
@@ -347,9 +519,13 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                *, act: str, eps: float, post_ln: bool):
+def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                seed_ref, o_ref, *, act: str, eps: float, post_ln: bool,
+                hid_drop: float):
     x = x_ref[0]
+    seq, w = x.shape
+    if hid_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     if post_ln:
         xn = x
     else:
@@ -361,31 +537,41 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     else:  # exact-erf gelu (BERT)
         h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
     h = h.astype(x.dtype)
-    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    out = out + b2_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    proj = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    proj = proj + b2_ref[:].astype(jnp.float32)
+    if hid_drop > 0.0:  # pre-residual hidden dropout (modeling_bert.py:152)
+        keep = _keep_mask((seq, w), hid_drop)
+        proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+    out = proj + x.astype(jnp.float32)
     if post_ln:
         out = _ln(out, s_ref, b_ref, eps)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
-                    interpret):
+                    interpret, hid_drop=0.0, seed=None):
     b, s, w = x.shape
     i = w1.shape[-1]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
     vec = lambda d: pl.BlockSpec((d,), lambda idx: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_mlp_kernel, act=act, eps=eps, post_ln=post_ln),
+        functools.partial(_mlp_kernel, act=act, eps=eps, post_ln=post_ln,
+                          hid_drop=hid_drop),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM),
             vec(w), vec(w), mat(w, i), vec(i), mat(i, w), vec(w),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed)
 
 
 # Tiled variant for wide towers (ViT-L/H): the fc weights don't fit VMEM at
@@ -465,44 +651,351 @@ def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
     return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
 
 
-def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
-                  interpret):
+# Batch-tiled regrid of the tiled MLP (the round-2 follow-up promised in
+# the round-1 notes): grid (batch_tile, chunk) with T samples per cell, so
+# each streamed weight chunk is amortized over T samples instead of one,
+# and the fc1/act/fc2 matmuls run at [T*S, W] MXU shapes. The fp32
+# accumulator lives in scratch and persists across one tile's (consecutive)
+# chunk sweep.
+
+def _mlp_batched_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        o_ref, acc_ref, *, act: str, eps: float,
+                        post_ln: bool, n_chunks: int):
+    c = pl.program_id(1)
+    t, s, w = x_ref.shape
+    x = x_ref[:].reshape(t * s, w)
+
+    if post_ln:
+        xn = x
+    else:
+        xn = _ln(x.astype(jnp.float32), s_ref, b_ref, eps).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = h.astype(x.dtype)
+    part = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(c > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = acc_ref[:] + b2_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+        if post_ln:
+            out = _ln(out, s_ref, b_ref, eps)
+        o_ref[:] = out.reshape(t, s, w).astype(o_ref.dtype)
+
+
+def _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
+                            post_ln, interpret, chunk: int, tile: int):
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    assert i % chunk == 0 and b % tile == 0, (i, chunk, b, tile)
+    n_chunks = i // chunk
+    vec = lambda d: pl.BlockSpec((d,), lambda bb, cc: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_batched_kernel, act=act, eps=eps,
+                          post_ln=post_ln, n_chunks=n_chunks),
+        grid=(b // tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w),
+            pl.BlockSpec((w, chunk), lambda bb, cc: (0, cc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), lambda bb, cc: (cc,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, w), lambda bb, cc: (cc, 0), memory_space=pltpu.VMEM),
+            vec(w),
+        ],
+        out_specs=pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile * s, w), jnp.float32)],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def mlp_batch_tile(b: int, seq: int, width: int, inter: int,
+                   chunk: int) -> int:
+    """Largest batch tile whose cell fits the VMEM budget (x + out bf16,
+    acc fp32, h fp32 per chunk, plus the weight chunks)."""
+    weights = 2 * width * chunk * 2
+    per_sample = seq * width * (2 + 2 + 4) + seq * chunk * 4
+    budget = 13 * 1024 * 1024 - weights
+    t = max(1, budget // per_sample)
+    while t > 1 and b % t:
+        t -= 1
+    return int(t)
+
+
+def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
+                  post_ln, interpret, hid_drop):
     """Width-based kernel routing, shared by the custom_vjp primal AND its
     fwd rule (they must agree: the one-shot kernel's fc weights exceed VMEM
     at widths the tiled variant exists for)."""
     w = x.shape[-1]
     if w > MAX_FUSED_MLP_WIDTH:
+        assert hid_drop == 0.0, "tiled MLP kernel has no dropout support"
         # chunk so each weight tile is <= ~2MB bf16
         i = w1.shape[-1]
         chunk = i
         while w * chunk * 2 > 2 * 1024 * 1024 and chunk % 2 == 0:
             chunk //= 2
+        tile = mlp_batch_tile(x.shape[0], x.shape[1], w, i, chunk)
+        if tile > 1:  # batch-tiled regrid: weight chunks amortize T-fold
+            return _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2,
+                                           b2, act, eps, post_ln, interpret,
+                                           chunk, tile)
         return _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2,
                                      act, eps, post_ln, interpret, chunk)
     return _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
-                           post_ln, interpret)
+                           post_ln, interpret, hid_drop, seed)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2,
                     act: str = "quick_gelu", eps: float = 1e-5,
-                    post_ln: bool = False, interpret: bool = False):
-    return _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
-                         post_ln, interpret)
+                    post_ln: bool = False, interpret: bool = False,
+                    hid_dropout: float = 0.0, seed=None):
+    return _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act,
+                         eps, post_ln, interpret, hid_dropout)
 
 
-def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln, interpret):
-    out = _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
-                        post_ln, interpret)
-    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
+             interpret, hid_dropout, seed):
+    out = _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act,
+                        eps, post_ln, interpret, hid_dropout)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, seed)
 
 
-def _mlp_bwd(act, eps, post_ln, interpret, res, g):
-    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+def _mlp_bwd(act, eps, post_ln, interpret, hid_dropout, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, seed = res
+    from nans_clip_tpu.ops.fused_block_bwd import fits_fused_mlp_bwd
+    if (jax.default_backend() == "tpu"
+            and fits_fused_mlp_bwd(x.shape[1], x.shape[2])):
+        # per-sample VMEM recompute + dx kernel (same PRNG stream as the
+        # forward when dropout is on); weight grads as XLA contractions
+        from nans_clip_tpu.ops.fused_block_bwd import fused_mlp_block_bwd
+
+        dx, xn, h, dh_pre, dproj, lnstat, dxn = fused_mlp_block_bwd(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g, act, eps,
+            post_ln, hid_dropout, interpret)
+        dw1 = jnp.einsum("bsw,bsi->wi", xn, dh_pre,
+                         preferred_element_type=jnp.float32).astype(w1.dtype)
+        db1 = jnp.sum(dh_pre.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
+        dw2 = jnp.einsum("bsi,bsw->iw", h, dproj,
+                         preferred_element_type=jnp.float32).astype(w2.dtype)
+        db2 = jnp.sum(dproj.astype(jnp.float32), axis=(0, 1)).astype(b2.dtype)
+        gsrc = g.astype(jnp.float32) if post_ln else dxn.astype(jnp.float32)
+        d_scale = jnp.sum(gsrc * lnstat.astype(jnp.float32),
+                          axis=(0, 1)).astype(ln_scale.dtype)
+        d_bias = jnp.sum(gsrc, axis=(0, 1)).astype(ln_bias.dtype)
+        return (dx, d_scale, d_bias, dw1, db1, dw2, db2, None)
+    assert hid_dropout == 0.0, (
+        "in-kernel MLP dropout requires the TPU backend and the bwd-kernel "
+        "VMEM fit — gate at the caller")
     _, vjp = jax.vjp(lambda *a: _reference_mlp(*a, act=act, eps=eps,
                                                post_ln=post_ln),
                      x, ln_scale, ln_bias, w1, b1, w2, b2)
-    return vjp(g)
+    return vjp(g) + (None,)
 
 
 fused_mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# PARTIAL variants for tensor parallelism (parallel/tp.py): each model shard
+# computes its local heads / intermediate columns and emits the out/down-
+# projection partial sum WITHOUT the residual, output bias, or final LN —
+# the shard_map wrapper psums the partials over the 'model' axis and applies
+# those once. ``pre_ln`` says whether the sub-block normalizes its input
+# (ViT pre-LN / BERT post-LN respectively use True / False here).
+# ---------------------------------------------------------------------------
+
+
+def _reference_block_partial(x, ln_scale, ln_bias, wqkv, bqkv, wo,
+                             heads: int, eps: float, pre_ln: bool,
+                             key_bias=None):
+    """Plain-XLA twin of the partial attention sub-block (vjp + TP oracle).
+    wqkv: [W, 3*Wl] (q|k|v thirds of the LOCAL heads), wo: [Wl, W]."""
+    from nans_clip_tpu.ops.attention import attention_xla, merge_heads, split_heads
+    from nans_clip_tpu.ops.layernorm import layer_norm
+
+    xn = layer_norm(x, ln_scale, ln_bias, eps) if pre_ln else x
+    qkv = xn @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ctx = merge_heads(attention_xla(split_heads(q, heads), split_heads(k, heads),
+                                    split_heads(v, heads), key_bias))
+    return ctx @ wo
+
+
+def _partial_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                    kb_ref, o_ref, *, heads: int, eps: float, pre_ln: bool,
+                    masked: bool):
+    x = x_ref[0]                                    # [S, W] full width
+    wl3 = wqkv_ref.shape[-1]                        # 3 * local width
+    wl = wl3 // 3
+    dh = wl // heads
+    scale = 1.0 / math.sqrt(dh)
+
+    if pre_ln:
+        xn = _ln(x.astype(jnp.float32), s1_ref, b1_ref, eps).astype(x.dtype)
+    else:
+        xn = x
+    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)     # [S, 3*Wl]
+
+    ctx_parts = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
+        k = qkv[:, wl + h * dh:wl + (h + 1) * dh].astype(x.dtype)
+        v = qkv[:, 2 * wl + h * dh:2 * wl + (h + 1) * dh].astype(x.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if masked:
+            s = s + kb_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+                                 preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [S, Wl]
+    o_ref[0] = jnp.dot(ctx, wo_ref[:],
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _partial_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias, heads,
+                  eps, pre_ln, interpret):
+    b, s, w = x.shape
+    masked = key_bias is not None
+    if key_bias is None:
+        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32).reshape(b, 1, s)
+    wl3 = wqkv.shape[-1]
+    vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_partial_kernel, heads=heads, eps=eps,
+                          pre_ln=pre_ln, masked=masked),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w), mat(w, wl3), vec(wl3), mat(wl3 // 3, w),
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attention_block_partial(x, ln_scale, ln_bias, wqkv, bqkv, wo,
+                                  key_bias, heads: int, eps: float,
+                                  pre_ln: bool, interpret: bool = False):
+    """Local-heads attention partial: [opt LN ->] QKV -> MHA -> ctx @ wo.
+    Caller adds psum + residual + output bias (+ post-LN)."""
+    return _partial_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias,
+                         heads, eps, pre_ln, interpret)
+
+
+def _partial_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias, heads, eps,
+                 pre_ln, interpret):
+    out = _partial_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias,
+                        heads, eps, pre_ln, interpret)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias)
+
+
+def _partial_bwd(heads, eps, pre_ln, interpret, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_block_partial(*a, heads=heads, eps=eps,
+                                            pre_ln=pre_ln, key_bias=key_bias),
+        x, ln_scale, ln_bias, wqkv, bqkv, wo)
+    return vjp(g) + (None,)
+
+
+fused_attention_block_partial.defvjp(_partial_fwd, _partial_bwd)
+
+
+def _reference_mlp_partial(x, ln_scale, ln_bias, w1, b1, w2, act: str,
+                           eps: float, pre_ln: bool):
+    from nans_clip_tpu.ops.activations import ACT2FN
+    from nans_clip_tpu.ops.layernorm import layer_norm
+
+    xn = layer_norm(x, ln_scale, ln_bias, eps) if pre_ln else x
+    return ACT2FN[act](xn @ w1 + b1) @ w2
+
+
+def _mlp_partial_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, o_ref,
+                        *, act: str, eps: float, pre_ln: bool):
+    x = x_ref[0]
+    if pre_ln:
+        xn = _ln(x.astype(jnp.float32), s_ref, b_ref, eps).astype(x.dtype)
+    else:
+        xn = x
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = h.astype(x.dtype)
+    o_ref[0] = jnp.dot(h, w2_ref[:],
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _mlp_partial_call(x, ln_scale, ln_bias, w1, b1, w2, act, eps, pre_ln,
+                      interpret):
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    vec = lambda d: pl.BlockSpec((d,), lambda idx: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_partial_kernel, act=act, eps=eps, pre_ln=pre_ln),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM),
+            vec(w), vec(w), mat(w, i), vec(i), mat(i, w),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_mlp_block_partial(x, ln_scale, ln_bias, w1, b1, w2,
+                            act: str, eps: float, pre_ln: bool,
+                            interpret: bool = False):
+    """Column/row-split MLP partial: [opt LN ->] fc1 -> act -> fc2-partial.
+    Caller adds psum + residual + fc2 bias (+ post-LN)."""
+    return _mlp_partial_call(x, ln_scale, ln_bias, w1, b1, w2, act, eps,
+                             pre_ln, interpret)
+
+
+def _mlp_partial_fwd(x, ln_scale, ln_bias, w1, b1, w2, act, eps, pre_ln,
+                     interpret):
+    out = _mlp_partial_call(x, ln_scale, ln_bias, w1, b1, w2, act, eps,
+                            pre_ln, interpret)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2)
+
+
+def _mlp_partial_bwd(act, eps, pre_ln, interpret, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_mlp_partial(*a, act=act, eps=eps, pre_ln=pre_ln),
+        x, ln_scale, ln_bias, w1, b1, w2)
+    return vjp(g)
+
+
+fused_mlp_block_partial.defvjp(_mlp_partial_fwd, _mlp_partial_bwd)

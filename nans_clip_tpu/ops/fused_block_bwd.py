@@ -1,17 +1,27 @@
-"""Backward kernel for the fused ViT attention sub-block.
+"""Backward kernels for the fused transformer sub-blocks.
 
 The default backward recomputes the whole sub-block with plain XLA (remat
-semantics). This kernel fuses the expensive per-sample part instead:
+semantics). These kernels fuse the expensive per-sample part instead:
+recompute the forward entirely in VMEM, then compute the input gradient dx
+in the same pass, emitting the recomputed activations that the WEIGHT
+gradients need. Weight gradients themselves are batched [B*S, W]x[B*S, W']
+contractions — exactly what XLA's MXU pipeline is best at — so they stay
+outside the kernels.
 
-  recompute LN -> QKV -> probs entirely in VMEM, then compute
-  d(attention) and the input gradient dx in the same pass, emitting the
-  recomputed activations (xn, ctx, dqkv) that the WEIGHT gradients need.
+Three kernels:
+* ``fused_attention_block_bwd`` — ViT pre-LN attention (no mask/dropout);
+* ``fused_bert_attention_block_bwd`` — BERT post-LN attention with the
+  additive padding mask AND in-kernel dropout (attention-prob + hidden,
+  modeling_bert.py:118-152 semantics): the forward's PRNG sequence is
+  re-seeded with the same per-sample seed so the keep masks regenerate
+  bit-identically (the reason dropout must live in a kernel: an XLA
+  recompute could never reproduce the Mosaic PRNG stream);
+* ``fused_mlp_block_bwd`` — the MLP sub-block, pre-LN (ViT) or post-LN
+  (BERT) with optional hidden dropout.
 
-Weight gradients themselves (dwqkv = xn^T dqkv, dwo = ctx^T g) are batched
-[B*S, W]x[B*S, W'] contractions — exactly what XLA's MXU pipeline is best
-at — so they stay outside the kernel.
-
-Layout (ViT pre-LN): out = x + wo^T-proj(MHA(LN(x))). No mask, no dropout.
+In-kernel dropout requires the hardware PRNG (pltpu.prng_*): interpret
+mode returns zero bits, so dropout rates > 0 are TPU-only — callers gate
+on backend and fall back to the unfused XLA dropout path elsewhere.
 """
 
 from __future__ import annotations
@@ -23,6 +33,40 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+from nans_clip_tpu.ops.fused_block import _keep_mask, _rup  # noqa: E402
+
+
+def fits_bert_attention_bwd(seq: int, width: int, heads: int) -> bool:
+    """VMEM check: the bwd kernel keeps per-head prob + keep-mask stacks
+    plus both weight matrices resident."""
+    probs = heads * _rup(seq, 8) * _rup(seq, 128) * 4 * 2
+    weights = (3 * width * width + width * width) * 2
+    return probs + weights < 12 * 1024 * 1024
+
+
+def fits_fused_mlp_bwd(seq: int, width: int) -> bool:
+    """VMEM check: fc weights + three fp32 [S, 4W] intermediates resident.
+    Holds for BERT-class (S=52); ViT-B's S=197 does not fit one cell."""
+    weights = 2 * width * 4 * width * 2
+    inter = 3 * _rup(seq, 8) * 4 * width * 4
+    return weights + inter < 13 * 1024 * 1024
+
+
+def _ln_fwd_stats(u, gamma_ref, eps):
+    mean = jnp.mean(u, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(u - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    uhat = (u - mean) * rstd
+    return uhat, rstd
+
+
+def _ln_bwd(g, gamma, uhat, rstd):
+    ghat = g * gamma
+    mean_g = jnp.mean(ghat, axis=-1, keepdims=True)
+    mean_gu = jnp.mean(ghat * uhat, axis=-1, keepdims=True)
+    return rstd * (ghat - mean_g - uhat * mean_gu)
 
 
 def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
@@ -102,6 +146,152 @@ def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
     dqkv_ref[0] = dqkv.astype(dqkv_ref.dtype)
 
 
+def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                     bo_ref, kb_ref, seed_ref, g_ref,
+                     dx_ref, dqkv_ref, ctx_ref, dproj_ref, uhat_ref,
+                     *, heads: int, eps: float, attn_drop: float,
+                     hid_drop: float, masked: bool):
+    """Recompute the BERT post-LN attention forward (same PRNG stream as
+    the fwd kernel) and produce dx + the activations for weight grads."""
+    x = x_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    w = x.shape[-1]
+    seq = x.shape[0]
+    dh = w // heads
+    scale = 1.0 / math.sqrt(dh)
+    dropping = attn_drop > 0.0 or hid_drop > 0.0
+    if dropping:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    # ---- forward recompute (identical op/PRNG order to _kernel) ----
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)
+
+    p_pre, keeps, ctx_parts = [], [], []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
+        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if masked:
+            s = s + kb_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p_pre.append(p)
+        if attn_drop > 0.0:
+            keep = _keep_mask((seq, seq), attn_drop)
+            keeps.append(keep)
+            p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
+        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+                                 preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)
+
+    proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+    proj = proj + bo_ref[:].astype(jnp.float32)
+    if hid_drop > 0.0:
+        keep_h = _keep_mask((seq, w), hid_drop)
+        proj = jnp.where(keep_h, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+    u = proj + x.astype(jnp.float32)
+    uhat, rstd = _ln_fwd_stats(u, s1_ref, eps)
+
+    # ---- backward ----
+    du = _ln_bwd(g, s1_ref[:].astype(jnp.float32), uhat, rstd)
+    dproj = du
+    if hid_drop > 0.0:
+        dproj = jnp.where(keep_h, dproj * (1.0 / (1.0 - hid_drop)), 0.0)
+    dctx = jax.lax.dot_general(dproj.astype(x.dtype), wo_ref[:],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
+        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+        p = p_pre[h]
+        pd = p
+        if attn_drop > 0.0:
+            pd = jnp.where(keeps[h], p * (1.0 / (1.0 - attn_drop)), 0.0)
+        pdb = pd.astype(x.dtype)
+        dctx_h = dctx[:, h * dh:(h + 1) * dh].astype(x.dtype)
+        dv_parts.append(jax.lax.dot_general(pdb, dctx_h,
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32))
+        dpd = jax.lax.dot_general(dctx_h, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dp = dpd
+        if attn_drop > 0.0:
+            dp = jnp.where(keeps[h], dpd * (1.0 / (1.0 - attn_drop)), 0.0)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dsb = ds.astype(x.dtype)
+        dq_parts.append(jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale)
+        dk_parts.append(jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32) * scale)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_parts, axis=-1),
+         jnp.concatenate(dk_parts, axis=-1),
+         jnp.concatenate(dv_parts, axis=-1)], axis=-1)
+
+    dx_qkv = jax.lax.dot_general(dqkv.astype(x.dtype), wqkv_ref[:],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dx_ref[0] = (du + dx_qkv).astype(dx_ref.dtype)
+    dqkv_ref[0] = dqkv.astype(dqkv_ref.dtype)
+    ctx_ref[0] = ctx.astype(ctx_ref.dtype)
+    dproj_ref[0] = dproj.astype(dproj_ref.dtype)
+    uhat_ref[0] = uhat.astype(uhat_ref.dtype)
+
+
+def fused_bert_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                                   key_bias, seed, g, heads: int,
+                                   eps: float = 1e-12,
+                                   attn_drop: float = 0.0,
+                                   hid_drop: float = 0.0,
+                                   interpret: bool = False):
+    """Returns (dx, dqkv, ctx, dproj, uhat); the caller forms weight grads:
+        dwqkv = einsum('bsw,bsu->wu', x, dqkv)      dbqkv = sum(dqkv)
+        dwo   = einsum('bsw,bsu->wu', ctx, dproj)   dbo   = sum(dproj)
+        d_ln_scale = sum(g * uhat)                  d_ln_bias = sum(g)
+    """
+    b, s, w = x.shape
+    masked = key_bias is not None
+    if key_bias is None:
+        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32).reshape(b, 1, s)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bert_bwd_kernel, heads=heads, eps=eps,
+                          attn_drop=attn_drop, hid_drop=hid_drop,
+                          masked=masked),
+        grid=(b,),
+        in_specs=[blk(w), vec(w), vec(w), mat(w, 3 * w), vec(3 * w),
+                  mat(w, w), vec(w),
+                  pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), blk(w)],
+        out_specs=[blk(w), blk(3 * w), blk(w), blk(w), blk(w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, 3 * w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, g)
+
+
 def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
                               heads: int, eps: float = 1e-5,
                               interpret: bool = False):
@@ -128,3 +318,132 @@ def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
         ],
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, g)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP sub-block backward (pre-LN ViT / post-LN BERT, optional hidden
+# dropout). Per-sample recompute of LN -> fc1 -> act -> fc2 (+ the same
+# PRNG keep mask as the forward), then dx in the same VMEM pass.
+# ---------------------------------------------------------------------------
+
+
+def _act_and_grad(h_pre, act: str):
+    if act == "quick_gelu":
+        sig = jax.nn.sigmoid(1.702 * h_pre)
+        return h_pre * sig, sig * (1.0 + 1.702 * h_pre * (1.0 - sig))
+    # exact-erf gelu (same rational erf as the forward kernel)
+    from nans_clip_tpu.ops.fused_block import _erf
+    cdf = 0.5 * (1.0 + _erf(h_pre * 0.7071067811865476))
+    pdf = jnp.exp(-0.5 * h_pre * h_pre) * 0.3989422804014327
+    return h_pre * cdf, cdf + h_pre * pdf
+
+
+def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    seed_ref, g_ref,
+                    dx_ref, xn_ref, h_ref, dhpre_ref, dproj_ref, lnstat_ref,
+                    dxn_ref, *, act: str, eps: float, post_ln: bool,
+                    hid_drop: float):
+    x = x_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    w = x.shape[-1]
+    seq = x.shape[0]
+    if hid_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    # ---- forward recompute ----
+    xf = x.astype(jnp.float32)
+    gamma = s_ref[:].astype(jnp.float32)
+    if post_ln:
+        xn = x
+        xnf = xf
+        xhat = None
+    else:
+        xhat, rstd_in = _ln_fwd_stats(xf, s_ref, eps)
+        xnf = xhat * gamma + b_ref[:].astype(jnp.float32)
+        xn = xnf.astype(x.dtype)
+    h_pre = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[:].astype(jnp.float32)
+    h_f, dact = _act_and_grad(h_pre, act)
+    h = h_f.astype(x.dtype)
+    proj = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    proj = proj + b2_ref[:].astype(jnp.float32)
+    if hid_drop > 0.0:
+        keep = _keep_mask((seq, w), hid_drop)
+        proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+
+    # ---- backward ----
+    if post_ln:
+        u = xf + proj
+        uhat, rstd = _ln_fwd_stats(u, s_ref, eps)
+        du = _ln_bwd(g, gamma, uhat, rstd)
+        dproj = du
+        lnstat = uhat
+    else:
+        du = g                       # residual path
+        dproj = g
+        lnstat = xhat
+    if hid_drop > 0.0:
+        dproj = jnp.where(keep, dproj * (1.0 / (1.0 - hid_drop)), 0.0)
+
+    dh = jax.lax.dot_general(dproj.astype(x.dtype), w2_ref[:],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh_pre = dh * dact
+    dxn = jax.lax.dot_general(dh_pre.astype(x.dtype), w1_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if post_ln:
+        dx = du + dxn
+    else:
+        # LN backward through the input normalization
+        dxhat = dxn * gamma
+        mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean_dx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = du + rstd_in * (dxhat - mean_d - xhat * mean_dx)
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    xn_ref[0] = xn.astype(xn_ref.dtype)
+    h_ref[0] = h.astype(h_ref.dtype)
+    dhpre_ref[0] = dh_pre.astype(dhpre_ref.dtype)
+    dproj_ref[0] = dproj.astype(dproj_ref.dtype)
+    lnstat_ref[0] = lnstat.astype(lnstat_ref.dtype)
+    dxn_ref[0] = dxn.astype(dxn_ref.dtype)
+
+
+def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
+                        act: str = "quick_gelu", eps: float = 1e-5,
+                        post_ln: bool = False, hid_drop: float = 0.0,
+                        interpret: bool = False):
+    """Returns (dx, xn, h, dh_pre, dproj, lnstat, dxn); weight grads:
+        dw1 = einsum('bsw,bsi->wi', xn, dh_pre)   db1 = sum(dh_pre)
+        dw2 = einsum('bsi,bsw->iw', h, dproj)     db2 = sum(dproj)
+        pre-LN:  d_scale = sum(dxn * lnstat)      d_bias = sum(dxn)
+        post-LN: d_scale = sum(g * lnstat)        d_bias = sum(g)
+    """
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    vec = lambda d: pl.BlockSpec((d,), lambda idx: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((1, s, c), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, act=act, eps=eps, post_ln=post_ln,
+                          hid_drop=hid_drop),
+        grid=(b,),
+        in_specs=[blk(w), vec(w), vec(w), mat(w, i), vec(i), mat(i, w),
+                  vec(w), pl.BlockSpec(memory_space=pltpu.SMEM), blk(w)],
+        out_specs=[blk(w), blk(w), blk(i), blk(i), blk(w), blk(w), blk(w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, i), x.dtype),
+            jax.ShapeDtypeStruct((b, s, i), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g)

@@ -46,16 +46,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 # Tensor-parallel rules keyed on parameter names inside the stacked
 # transformer pytrees (leading dim = layer). Column-parallel up-projections,
-# row-parallel down-projections — the standard Megatron split, expressed as
-# sharding annotations and left to XLA to turn into ICI collectives.
+# row-parallel down-projections — the standard Megatron split. ``wo`` rows
+# and ``w1``/``w2`` splits are contiguous per-head / per-column, so the
+# stored shards are exactly what the shard_map TP path (parallel/tp.py)
+# consumes. The fused ``wqkv``/``bqkv`` q|k|v column layout is NOT
+# head-alignable by a PartitionSpec (a contiguous split mixes q/k/v), so
+# those stay replicated and each shard slices its heads locally — zero
+# weight communication either way.
 _TP_RULES_3D = {
-    "wqkv": P(None, None, MODEL_AXIS),
     "wo": P(None, MODEL_AXIS, None),
     "w1": P(None, None, MODEL_AXIS),
     "w2": P(None, MODEL_AXIS, None),
 }
 _TP_RULES_2D = {
-    "bqkv": P(None, MODEL_AXIS),
     "b1": P(None, MODEL_AXIS),
 }
 

@@ -98,3 +98,15 @@ def test_wide_attention_grads():
                   argnums=tuple(range(7)))(x, *args)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)
+
+
+def test_batched_wide_attention_matches_reference():
+    """Batch-tiled regrid of the head-chunked wide kernel."""
+    from nans_clip_tpu.ops.fused_block import (fused_attention_block_wide,
+                                               wide_batch_tile)
+    x, *args = _args(3, 36, 160)  # batch 2, dh=80 (heads=2)
+    ref = _reference_block(x, *args, heads=2, eps=1e-5)
+    out = fused_attention_block_wide(x, *args, 2, 1e-5, 1, INTERPRET, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+    assert wide_batch_tile(16, 257, 1280) >= 2

@@ -45,3 +45,91 @@ def test_bwd_kernel_matches_vjp():
         err = float(jnp.abs(a - b).max())
         mag = max(float(jnp.abs(b).max()), 1.0)
         assert err < 1e-3 * mag, (name, err, mag)
+
+
+def _bert_args(seed=1, B=2, S=52, W=64):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(W), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    wqkv = jnp.asarray(0.1 * rs.randn(W, 3 * W), jnp.float32)
+    bqkv = jnp.asarray(0.1 * rs.randn(3 * W), jnp.float32)
+    wo = jnp.asarray(0.1 * rs.randn(W, W), jnp.float32)
+    bo = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    mask = np.ones((B, S), np.float32)
+    mask[:, 40:] = 0.0
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    g = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    return x, ln_s, ln_b, wqkv, bqkv, wo, bo, key_bias, g
+
+
+def test_bert_bwd_kernel_matches_vjp():
+    """BERT post-LN/masked bwd kernel (rate 0 — the dropout path needs the
+    hardware PRNG and is validated on TPU in test_tpu_dropout.py)."""
+    from nans_clip_tpu.ops.fused_block_bwd import fused_bert_attention_block_bwd
+    H = 4
+    x, ln_s, ln_b, wqkv, bqkv, wo, bo, key_bias, g = _bert_args()
+
+    _, vjp = jax.vjp(
+        lambda *a: _reference_block(*a, heads=H, eps=1e-12,
+                                    key_bias=key_bias, post_ln=True),
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    ref = vjp(g)
+
+    dx, dqkv, ctx, dproj, uhat = fused_bert_attention_block_bwd(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo, key_bias, None, g, H, 1e-12,
+        0.0, 0.0, INTERPRET)
+    dwqkv = jnp.einsum("bsw,bsu->wu", x, dqkv)
+    dbqkv = jnp.sum(dqkv, axis=(0, 1))
+    dwo = jnp.einsum("bsw,bsu->wu", ctx, dproj)
+    dbo = jnp.sum(dproj, axis=(0, 1))
+    d_scale = jnp.sum(g * uhat, (0, 1))
+    d_bias = jnp.sum(g, (0, 1))
+
+    ours = (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo)
+    for name, a, b in zip(("dx", "d_scale", "d_bias", "dwqkv", "dbqkv",
+                           "dwo", "dbo"), ours, ref):
+        err = float(jnp.abs(a - b).max())
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        assert err < 1e-3 * mag, (name, err, mag)
+
+
+def test_mlp_bwd_kernel_matches_vjp():
+    from nans_clip_tpu.ops.fused_block import _reference_mlp
+    from nans_clip_tpu.ops.fused_block_bwd import fused_mlp_block_bwd
+    import pytest
+
+    for act, post_ln in (("quick_gelu", False), ("gelu", True)):
+        B, S, W, I = 2, 52, 64, 256
+        rs = np.random.RandomState(2)
+        x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+        ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(W), jnp.float32)
+        ln_b = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+        w1 = jnp.asarray(0.1 * rs.randn(W, I), jnp.float32)
+        b1 = jnp.asarray(0.1 * rs.randn(I), jnp.float32)
+        w2 = jnp.asarray(0.1 * rs.randn(I, W), jnp.float32)
+        b2 = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+        g = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+
+        _, vjp = jax.vjp(
+            lambda *a: _reference_mlp(*a, act=act, eps=1e-5, post_ln=post_ln),
+            x, ln_s, ln_b, w1, b1, w2, b2)
+        ref = vjp(g)
+
+        dx, xn, h, dh_pre, dproj, lnstat, dxn = fused_mlp_block_bwd(
+            x, ln_s, ln_b, w1, b1, w2, b2, None, g, act, 1e-5, post_ln,
+            0.0, INTERPRET)
+        dw1 = jnp.einsum("bsw,bsi->wi", xn, dh_pre)
+        db1 = jnp.sum(dh_pre, axis=(0, 1))
+        dw2 = jnp.einsum("bsi,bsw->iw", h, dproj)
+        db2 = jnp.sum(dproj, axis=(0, 1))
+        gsrc = g if post_ln else dxn
+        d_scale = jnp.sum(gsrc * lnstat, (0, 1))
+        d_bias = jnp.sum(gsrc, (0, 1))
+
+        ours = (dx, d_scale, d_bias, dw1, db1, dw2, db2)
+        for name, a, b in zip(("dx", "d_scale", "d_bias", "dw1", "db1",
+                               "dw2", "db2"), ours, ref):
+            err = float(jnp.abs(a - b).max())
+            mag = max(float(jnp.abs(b).max()), 1.0)
+            assert err < 2e-3 * mag, (act, post_ln, name, err, mag)

@@ -83,3 +83,17 @@ def test_wide_mlp_grads_through_public_api():
         # terms, so per-element differences reach ~1e-3 relative
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=4e-4, rtol=2e-3)
+
+
+def test_batched_tiled_mlp_matches_reference():
+    """Batch-tiled regrid (multi-sample cells): same math as the oracle."""
+    from nans_clip_tpu.ops.fused_block import (_fused_mlp_batched_call,
+                                               mlp_batch_tile)
+    for act, post in (("quick_gelu", False), ("gelu", True)):
+        x, *args = _args(3, 36, 256, 1024)  # batch 2 from _args
+        ref = _reference_mlp(x, *args, act=act, eps=1e-5, post_ln=post)
+        out = _fused_mlp_batched_call(x, *args, act, 1e-5, post, INTERPRET,
+                                      256, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
+    assert mlp_batch_tile(64, 257, 1024, 4096, 512) >= 2
