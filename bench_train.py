@@ -37,10 +37,16 @@ def main():
     from nans_clip_tpu.training import (TrainConfig, create_train_state,
                                         make_train_step)
 
+    from nans_clip_tpu.parallel import create_mesh
+
     cfg = load_config("ViT-B-16@RoBERTa-wwm-ext-base-chinese")
     options = ModelOptions(attn_impl="auto", compute_dtype="bfloat16",
                            remat=True, deterministic=False)
     tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000)
+
+    mesh = create_mesh()  # 1-chip data mesh (the loss constrains sharding)
+    ctx = jax.set_mesh(mesh)
+    ctx.__enter__()
 
     params, _ = init_clip(jax.random.PRNGKey(0), cfg)
     state = create_train_state(params, {}, tcfg)

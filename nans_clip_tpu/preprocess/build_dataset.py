@@ -63,15 +63,64 @@ def build_split(data_dir: str, split: str, out_dir: str | None = None) -> dict:
     return meta
 
 
+def build_split_lmdb(data_dir: str, split: str, out_dir: str | None = None) -> dict:
+    """Build the split in the REFERENCE's LMDB layout (same record formats
+    as preprocess/build_lmdb_dataset.py:43-95: pairs pickle tuples keyed by
+    index + num_samples, imgs urlsafe-b64 keyed by image_id + num_images),
+    via the in-tree LMDB engine — for interop with reference tooling."""
+    import pickle
+
+    from nans_clip_tpu.data import lmdb_store
+
+    out_dir = out_dir or os.path.join(data_dir, "lmdb", split)
+    env_pairs = lmdb_store.open(os.path.join(out_dir, "pairs"),
+                                map_size=1 << 32)
+    env_imgs = lmdb_store.open(os.path.join(out_dir, "imgs"),
+                               map_size=1 << 32)
+    tp = env_pairs.begin(write=True)
+    n_pairs = 0
+    with open(os.path.join(data_dir, f"{split}_texts.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            for image_id in obj["image_ids"]:
+                tp.put(str(n_pairs).encode(),
+                       pickle.dumps((image_id, obj["text_id"], obj["text"])))
+                n_pairs += 1
+    tp.put(b"num_samples", str(n_pairs).encode())
+    tp.commit()
+    ti = env_imgs.begin(write=True)
+    n_images = 0
+    with open(os.path.join(data_dir, f"{split}_imgs.tsv"), encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            image_id, b64 = line.split("\t", 1)
+            ti.put(image_id.encode(), b64.encode())
+            n_images += 1
+    ti.put(b"num_images", str(n_images).encode())
+    ti.commit()
+    env_pairs.close()
+    env_imgs.close()
+    return {"num_samples": n_pairs, "num_images": n_images, "split": split,
+            "format": "lmdb", "out_dir": out_dir}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--splits", default="train,valid")
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--format", choices=["npack", "lmdb"], default="npack",
+                    help="npack = this framework's store; lmdb = the "
+                         "reference's on-disk layout (interop)")
     args = ap.parse_args()
+    build = build_split if args.format == "npack" else build_split_lmdb
     for split in args.splits.split(","):
-        meta = build_split(args.data_dir, split,
-                           os.path.join(args.out_dir, split) if args.out_dir else None)
+        meta = build(args.data_dir, split,
+                     os.path.join(args.out_dir, split) if args.out_dir else None)
         print(f"{split}: {meta}")
 
 

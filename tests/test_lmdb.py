@@ -9,6 +9,7 @@ import base64
 import io
 import json
 import os
+import builtins
 import pickle
 import subprocess
 import sys
@@ -222,3 +223,26 @@ print('REF-READ-OK')
                          text=True)
     assert out.returncode == 0, out.stderr
     assert "REF-READ-OK" in out.stdout
+
+
+def test_build_dataset_lmdb_format(tmp_path):
+    """Our builder can emit the reference's LMDB layout; our converter and
+    the reference record formats round-trip through it."""
+    import pickle
+
+    from nans_clip_tpu.preprocess.build_dataset import build_split_lmdb
+
+    root = str(tmp_path)
+    rs = np.random.RandomState(5)
+    with builtins.open(os.path.join(root, "valid_imgs.tsv"), "w") as f:
+        for i in range(3):
+            f.write(f"{i}\t{base64.urlsafe_b64encode(_jpeg(rs)).decode()}\n")
+    with builtins.open(os.path.join(root, "valid_texts.jsonl"), "w") as f:
+        f.write(json.dumps({"text_id": 0, "text": "山水", "image_ids": [0, 2]},
+                           ensure_ascii=False) + "\n")
+    meta = build_split_lmdb(root, "valid")
+    assert meta["num_samples"] == 2 and meta["num_images"] == 3
+    pairs = L.LMDBReader(os.path.join(meta["out_dir"], "pairs"))
+    assert int(pairs.get(b"num_samples")) == 2
+    assert pickle.loads(pairs.get(b"1")) == (2, 0, "山水")
+    pairs.close()
