@@ -17,6 +17,7 @@ Prints one JSON line. Timing includes the ~27.5 ms tunnel RTT per step
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -31,6 +32,15 @@ BASELINE_PAIRS_PER_SEC = 469.0  # per-A100 reference
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    # The fused blocks' custom_vjps already recompute activations inside
+    # their backward kernels (residuals are just the inputs), so per-block
+    # jax.checkpoint is redundant recompute when the kernels are routed —
+    # --remat exists to measure that.
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--attn-impl", default="auto")
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
     from nans_clip_tpu.configs import load_config
     from nans_clip_tpu.models import ModelOptions
     from nans_clip_tpu.models.clip import init_clip
@@ -40,8 +50,8 @@ def main():
     from nans_clip_tpu.parallel import create_mesh
 
     cfg = load_config("ViT-B-16@RoBERTa-wwm-ext-base-chinese")
-    options = ModelOptions(attn_impl="auto", compute_dtype="bfloat16",
-                           remat=True, deterministic=False)
+    options = ModelOptions(attn_impl=args.attn_impl, compute_dtype="bfloat16",
+                           remat=args.remat, deterministic=False)
     tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000)
 
     mesh = create_mesh()  # 1-chip data mesh (the loss constrains sharding)
@@ -52,6 +62,7 @@ def main():
     state = create_train_state(params, {}, tcfg)
     step = make_train_step(cfg, tcfg, options)
 
+    BATCH = args.batch
     rs = np.random.RandomState(0)
     images = jnp.asarray(rs.randn(BATCH, 224, 224, 3), jnp.bfloat16)
     texts = jnp.zeros((BATCH, 52), jnp.int32)
@@ -76,8 +87,9 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     pairs = BATCH / dt
     print(json.dumps({
-        "metric": "ViT-B/16+RoBERTa-base train pairs/sec/chip (bs256 bf16 "
-                  "remat, dropout on, fused fwd+bwd kernels)",
+        "metric": f"ViT-B/16+RoBERTa-base train pairs/sec/chip (bs{BATCH} "
+                  f"bf16 remat={args.remat}, dropout on, "
+                  f"attn_impl={args.attn_impl})",
         "value": round(pairs, 1),
         "unit": "pairs/sec",
         "step_ms": round(dt * 1000, 1),

@@ -11,6 +11,12 @@ TPU redesign of reference ``training/train.py``/``main.py``:
   pass recomputes each microbatch's activations — mathematically the same
   gradient as the reference (the sum of its per-chunk backwards decomposes
   the global-loss gradient), with one fewer forward pass;
+* NOTE on remat: the fused Pallas sub-blocks' custom_vjps already
+  recompute activations inside their backward kernels (residuals are just
+  the block inputs), so per-block ``ModelOptions.remat`` is REDUNDANT
+  recompute on the fused path — measured 657 vs 617 pairs/s/chip at
+  ViT-B bs256 with remat off. Keep remat for the unfused/XLA path or when
+  HBM is tight (grad accumulation's scan still remats per microbatch);
 * AdamW with the reference's weight-decay exclusion (bn/ln/bias/logit_scale,
   training/main.py:147-166), cosine schedule with linear warmup
   (training/scheduler.py:10-20), logit_scale clamped to ln(100)
