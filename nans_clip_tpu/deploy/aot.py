@@ -10,6 +10,13 @@ artifacts (the ONNX-file analog).
 The fp16-overflow guard the reference needed in TensorRT
 (fix_fp16_network, deploy/tensorrt_utils.py:65-97) has no analog here:
 LayerNorm/softmax statistics are fp32 by construction (ops/).
+
+CoreML (reference deploy/pytorch_to_coreml.py) is intentionally out of
+scope for a TPU framework: the portable artifact is the exported StableHLO
+module. A user targeting Apple hardware converts it off-line with Apple's
+own toolchain (coremltools >= 8 consumes StableHLO via its MIL importer;
+alternatively StableHLO -> ONNX -> coremltools). Nothing in the serving
+path here depends on that conversion.
 """
 
 from __future__ import annotations

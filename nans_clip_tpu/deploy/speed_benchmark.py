@@ -36,6 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--context-length", type=int, default=52)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--json-output", default=None)
+    p.add_argument("--inner", type=int, default=1,
+                   help="forwards per dispatch (chained through a fori_loop "
+                        "data dependency). >1 gives DEVICE-side latency on "
+                        "tunneled hosts where each dispatch pays a fixed "
+                        "RTT (~27.5 ms here) that would swamp batch-1 "
+                        "numbers; the per-iter time divides it out")
     return p.parse_args(argv)
 
 
@@ -75,16 +81,32 @@ def main(argv=None):
         texts = jnp.zeros((bs, args.context_length), jnp.int32)
         texts = texts.at[:, 0].set(101).at[:, 1].set(768).at[:, 2].set(102)
 
-        img_jit = jax.jit(lambda p, x: jnp.sum(encode_image(
+        def _loop(enc, cast):
+            def run(p, x):
+                def body(i, acc):
+                    return acc + jnp.sum(enc(
+                        p, cast(x, acc)).astype(jnp.float32))
+                return jax.lax.fori_loop(0, args.inner, body,
+                                         jnp.zeros((), jnp.float32))
+            return jax.jit(run)
+
+        img_jit = _loop(lambda p, x: encode_image(
             p, cfg, x, options,
-            batch_stats=batch_stats if cfg.is_resnet else None).astype(jnp.float32)))
-        txt_jit = jax.jit(lambda p, t: jnp.sum(
-            encode_text(p, cfg, t, options).astype(jnp.float32)))
+            batch_stats=batch_stats if cfg.is_resnet else None),
+            lambda x, acc: x + (acc * 1e-12).astype(x.dtype))
+        # the acc-dependent select keeps the loop body loop-variant so XLA
+        # cannot hoist the forward out of the fori_loop (ids are ints, so
+        # the float perturbation trick doesn't apply)
+        txt_jit = _loop(lambda p, t: encode_text(p, cfg, t, options),
+                        lambda t, acc: jnp.where(acc < jnp.float32(np.inf),
+                                                 t, t + 1))
 
         for tower, fn, x in (("image", img_jit, images), ("text", txt_jit, texts)):
             s = bench_fn(fn, (params, x), args.n, args.warmup)
+            s = {k: v / args.inner for k, v in s.items()}
             s["ms_per_sample"] = s["mean"] / bs
             s["samples_per_sec"] = 1000.0 * bs / s["mean"]
+            s["inner"] = args.inner
             results[f"{tower}@bs{bs}"] = s
             print(f"[{args.vision_model} {tower} bs={bs}] "
                   f"mean {s['mean']:.2f} ms | p95 {s['p95']:.2f} | p99 {s['p99']:.2f} | "

@@ -168,12 +168,12 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                                       interpret=fused_interpret)
         elif use_wide:
             from nans_clip_tpu.ops.fused_block import wide_batch_tile
+            tile = wide_batch_tile(x.shape[0], x.shape[1], w)
             x = fused_attention_block_wide(
                 x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
-                lp["attn"]["wo"], lp["attn"]["bo"], heads,
-                interpret=fused_interpret,
-                batch_tile=wide_batch_tile(x.shape[0], x.shape[1], w))
+                lp["attn"]["wo"], lp["attn"]["bo"], heads, 1e-5,
+                2 if tile > 1 else 4, fused_interpret, tile)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)

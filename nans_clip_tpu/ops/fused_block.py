@@ -388,18 +388,22 @@ def _wide_batched_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
             m = jnp.max(sc, axis=-1, keepdims=True)
             p = jnp.exp(sc - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx_ref[tt, h_global] = jnp.dot(p.astype(x.dtype), v,
-                                            preferred_element_type=jnp.float32)
+            ctx_ref[tt, h_global] = jnp.dot(
+                p.astype(x.dtype), v,
+                preferred_element_type=jnp.float32).astype(ctx_ref.dtype)
 
     @pl.when(c == n_chunks - 1)
     def _():
         heads = n_chunks * heads_per_chunk
-        out = bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
-        for h in range(heads):
-            ctx_h = ctx_ref[:, h].reshape(t * s, dh).astype(x.dtype)
-            out = out + jnp.dot(ctx_h, wo_ref[h * dh:(h + 1) * dh, :],
-                                preferred_element_type=jnp.float32)
-        o_ref[:] = out.reshape(t, s, w).astype(o_ref.dtype)
+        # per-sample accumulation: Mosaic cannot collapse (T, S, dh) into
+        # (T*S, dh) when dh isn't lane-aligned (dh=80 at ViT-H)
+        for tt in range(t):
+            out = bo_ref[:].astype(jnp.float32) + x_ref[tt].astype(jnp.float32)
+            for h in range(heads):
+                out = out + jnp.dot(ctx_ref[tt, h].astype(x.dtype),
+                                    wo_ref[h * dh:(h + 1) * dh, :],
+                                    preferred_element_type=jnp.float32)
+            o_ref[tt] = out.astype(o_ref.dtype)
 
 
 def _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
@@ -428,16 +432,19 @@ def _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
         out_specs=pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile, heads, s, dh), jnp.float32)],
+        # ctx is written once per head (no accumulation), so the scratch
+        # can be input-precision — halves the dominant VMEM term
+        scratch_shapes=[pltpu.VMEM((tile, heads, s, dh), x.dtype)],
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
 
 
-def wide_batch_tile(b: int, seq: int, width: int) -> int:
-    """Batch tile for the wide attention regrid: ctx scratch is the
-    dominant term (fp32 [T, H, S, dh] = T*S*W*4)."""
-    per_sample = seq * width * (4 + 2 + 2)   # ctx fp32 + x/out bf16
-    fixed = width * width * 2 + 4 * width * 3 * 128 * 2
+def wide_batch_tile(b: int, seq: int, width: int,
+                    heads_per_chunk: int = 2) -> int:
+    """Batch tile for the wide attention regrid. Per-sample VMEM: bf16 ctx
+    scratch + double-buffered x/out blocks; fixed: wo + one wqkv chunk."""
+    per_sample = seq * width * (2 + 4 + 4)
+    fixed = width * width * 2 + heads_per_chunk * width * 3 * 128 * 2
     t = max(1, (12 * 1024 * 1024 - fixed) // per_sample)
     while t > 1 and b % t:
         t -= 1
