@@ -35,6 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--context-length", type=int, default=52)
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--attn-impl", default="auto")
     p.add_argument("--json-output", default=None)
     p.add_argument("--inner", type=int, default=1,
                    help="forwards per dispatch (chained through a fori_loop "
@@ -71,7 +72,8 @@ def main(argv=None):
     from nans_clip_tpu.models.clip import encode_image, encode_text
 
     cfg, params, batch_stats, options = load_eval_model(
-        args.vision_model, args.text_model, args.resume, args.precision)
+        args.vision_model, args.text_model, args.resume, args.precision,
+        attn_impl=args.attn_impl)
     resolution = cfg.vision.image_resolution
     rs = np.random.RandomState(0)
 

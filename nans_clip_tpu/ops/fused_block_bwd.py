@@ -447,3 +447,129 @@ def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
         ],
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g)
+
+
+# ---------------------------------------------------------------------------
+# Chunked + batch-tiled MLP backward for the PRE-LN (ViT) sub-block at
+# seq/width where the single-cell kernel exceeds VMEM (fits_fused_mlp_bwd
+# is False, e.g. ViT-B S=197). Pre-LN needs only ONE sweep over the
+# intermediate dimension: the residual makes dproj = g directly (no final
+# LN, no dropout on this path), so each (batch_tile, chunk) cell computes
+# its h / dh_pre slices and accumulates dxn; the last chunk finishes the
+# input-LN backward.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_bwd_chunked_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                            g_ref, dx_ref, xn_ref, h_ref, dhpre_ref, dxn_ref,
+                            acc_ref, *, act: str, eps: float, n_chunks: int):
+    c = pl.program_id(1)
+    t, s, w = x_ref.shape
+    x = x_ref[:].reshape(t * s, w)
+    g = g_ref[:].reshape(t * s, w).astype(jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    gamma = s_ref[:].astype(jnp.float32)
+    xhat, rstd = _ln_fwd_stats(xf, s_ref, eps)
+    xnf = xhat * gamma + b_ref[:].astype(jnp.float32)
+    xn = xnf.astype(x.dtype)
+
+    h_pre = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[:].astype(jnp.float32)
+    h_c, dact = _act_and_grad(h_pre, act)
+    dh = jax.lax.dot_general(g.astype(x.dtype), w2_ref[:],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh_pre = dh * dact
+    part = jax.lax.dot_general(dh_pre.astype(x.dtype), w1_ref[:],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = part
+        xn_ref[:] = xn.reshape(t, s, w).astype(xn_ref.dtype)
+
+    @pl.when(c > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    h_ref[:] = h_c.reshape(t, s, -1).astype(h_ref.dtype)
+    dhpre_ref[:] = dh_pre.reshape(t, s, -1).astype(dhpre_ref.dtype)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        dxn = acc_ref[:]
+        dxhat = dxn * gamma
+        mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean_dx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = g + rstd * (dxhat - mean_d - xhat * mean_dx)
+        dx_ref[:] = dx.reshape(t, s, w).astype(dx_ref.dtype)
+        dxn_ref[:] = dxn.reshape(t, s, w).astype(dxn_ref.dtype)
+
+
+def mlp_bwd_chunk_tile(b: int, seq: int, width: int, inter: int):
+    """(chunk, batch_tile) for the chunked MLP bwd; None if infeasible.
+    Mosaic needs width lane-aligned to collapse the (T, S, W) views."""
+    if width % 128:
+        return None
+    # power-of-two chunks only: Mosaic tiles the 1-D bias at 1024 lanes
+    # and the block must divide that tiling. Both fc weight chunks are
+    # VMEM-resident: 2 * (width x chunk) bf16.
+    chunk = None
+    for c in (1024, 512, 256):
+        if inter % c == 0 and 4 * width * c * 2 <= 7 * 1024 * 1024:
+            chunk = c
+            break
+    if chunk is None:
+        return None
+    # per sample: x/g/dx/xn/dxn tiles (bf16, in+out double-buffered) +
+    # h/dh_pre chunk outputs (bf16) + fp32 h_pre/dact/dh intermediates
+    per_sample = seq * (width * 12 + chunk * (4 + 12))
+    t = max(1, (10 * 1024 * 1024 - 4 * width * chunk * 2) // per_sample)
+    while t > 1 and b % t:
+        t -= 1
+    if b % t:
+        return None
+    return chunk, int(t)
+
+
+def fused_mlp_block_bwd_chunked(x, ln_scale, ln_bias, w1, b1, w2, g,
+                                act: str, eps: float, chunk: int, tile: int,
+                                interpret: bool = False):
+    """Returns (dx, xn, h, dh_pre, dxn) for the pre-LN MLP; weight grads:
+        dw1 = einsum('bsw,bsi->wi', xn, dh_pre)   db1 = sum(dh_pre)
+        dw2 = einsum('bsi,bsw->iw', h, g)         db2 = sum(g)
+        d_scale = sum(dxn * xhat)                 d_bias = sum(dxn)
+    """
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    assert i % chunk == 0 and b % tile == 0
+    n_chunks = i // chunk
+    vec = lambda d: pl.BlockSpec((d,), lambda bb, cc: (0,), memory_space=pltpu.VMEM)
+    tw = lambda: pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tc = lambda: pl.BlockSpec((tile, s, chunk), lambda bb, cc: (bb, 0, cc),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_bwd_chunked_kernel, act=act, eps=eps,
+                          n_chunks=n_chunks),
+        grid=(b // tile, n_chunks),
+        in_specs=[
+            tw(), vec(w), vec(w),
+            pl.BlockSpec((w, chunk), lambda bb, cc: (0, cc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk,), lambda bb, cc: (cc,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, w), lambda bb, cc: (cc, 0), memory_space=pltpu.VMEM),
+            tw(),
+        ],
+        out_specs=[tw(), tw(), tc(), tc(), tw()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, i), x.dtype),
+            jax.ShapeDtypeStruct((b, s, i), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile * s, w), jnp.float32)],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, g)

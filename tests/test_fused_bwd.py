@@ -133,3 +133,48 @@ def test_mlp_bwd_kernel_matches_vjp():
             err = float(jnp.abs(a - b).max())
             mag = max(float(jnp.abs(b).max()), 1.0)
             assert err < 2e-3 * mag, (act, post_ln, name, err, mag)
+
+
+def test_chunked_mlp_bwd_kernel_matches_vjp():
+    """Chunked + batch-tiled pre-LN MLP bwd (the ViT-B S=197 path)."""
+    from nans_clip_tpu.ops.fused_block import _reference_mlp
+    from nans_clip_tpu.ops.fused_block_bwd import (fused_mlp_block_bwd_chunked,
+                                                   mlp_bwd_chunk_tile)
+
+    B, S, W, I = 4, 20, 128, 512
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(W), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    w1 = jnp.asarray(0.1 * rs.randn(W, I), jnp.float32)
+    b1 = jnp.asarray(0.1 * rs.randn(I), jnp.float32)
+    w2 = jnp.asarray(0.1 * rs.randn(I, W), jnp.float32)
+    b2 = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    g = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda *a: _reference_mlp(*a, act="quick_gelu", eps=1e-5,
+                                  post_ln=False),
+        x, ln_s, ln_b, w1, b1, w2, b2)
+    ref = vjp(g)
+
+    dx, xn, h, dh_pre, dxn = fused_mlp_block_bwd_chunked(
+        x, ln_s, ln_b, w1, b1, w2, g, "quick_gelu", 1e-5, 128, 2, INTERPRET)
+    dw1 = jnp.einsum("bsw,bsi->wi", xn, dh_pre)
+    db1 = jnp.sum(dh_pre, axis=(0, 1))
+    dw2 = jnp.einsum("bsi,bsw->iw", h, g)
+    db2 = jnp.sum(g, axis=(0, 1))
+    mean = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), -1, keepdims=True)
+    xhat = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    d_scale = jnp.sum(dxn * xhat, (0, 1))
+    d_bias = jnp.sum(dxn, (0, 1))
+
+    ours = (dx, d_scale, d_bias, dw1, db1, dw2, db2)
+    for name, a, b in zip(("dx", "d_scale", "d_bias", "dw1", "db1",
+                           "dw2", "db2"), ours, ref):
+        err = float(jnp.abs(a - b).max())
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        assert err < 2e-3 * mag, (name, err, mag)
+    assert mlp_bwd_chunk_tile(256, 197, 768, 3072) is not None
+    assert mlp_bwd_chunk_tile(256, 197, 760, 3072) is None  # lane alignment
