@@ -783,37 +783,14 @@ def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
 
 def _mlp_bwd(act, eps, post_ln, interpret, hid_dropout, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2, seed = res
-    from nans_clip_tpu.ops.fused_block_bwd import (fits_fused_mlp_bwd,
-                                                   mlp_bwd_chunk_tile)
+    from nans_clip_tpu.ops.fused_block_bwd import fits_fused_mlp_bwd
     on_tpu = jax.default_backend() == "tpu"
-    chunk_tile = (mlp_bwd_chunk_tile(x.shape[0], x.shape[1], x.shape[2],
-                                     w1.shape[-1])
-                  if not fits_fused_mlp_bwd(x.shape[1], x.shape[2]) else None)
-    if (on_tpu and not post_ln and hid_dropout == 0.0
-            and chunk_tile is not None):
-        # pre-LN at seq/width beyond the single-cell budget (ViT-B S=197):
-        # chunked + batch-tiled one-sweep bwd kernel
-        from nans_clip_tpu.ops.fused_block_bwd import fused_mlp_block_bwd_chunked
-
-        chunk, tile = chunk_tile
-        dx, xn, h, dh_pre, dxn = fused_mlp_block_bwd_chunked(
-            x, ln_scale, ln_bias, w1, b1, w2, g, act, eps, chunk, tile,
-            interpret)
-        gf = g.astype(jnp.float32)
-        dw1 = jnp.einsum("bsw,bsi->wi", xn, dh_pre,
-                         preferred_element_type=jnp.float32).astype(w1.dtype)
-        db1 = jnp.sum(dh_pre.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
-        dw2 = jnp.einsum("bsi,bsw->iw", h, g,
-                         preferred_element_type=jnp.float32).astype(w2.dtype)
-        db2 = jnp.sum(gf, axis=(0, 1)).astype(b2.dtype)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
-        dxnf = dxn.astype(jnp.float32)
-        d_scale = jnp.sum(dxnf * xhat, axis=(0, 1)).astype(ln_scale.dtype)
-        d_bias = jnp.sum(dxnf, axis=(0, 1)).astype(ln_bias.dtype)
-        return (dx, d_scale, d_bias, dw1, db1, dw2, db2, None)
+    # NOTE: the chunked+batch-tiled bwd kernel for seq/width beyond the
+    # single-cell budget (fused_mlp_block_bwd_chunked) is NOT routed:
+    # measured at ViT-B bs256 it re-streams weight chunks (tile=1: 598
+    # pairs/s vs 657 with the XLA vjp below) and its tile>=2 configs hit
+    # Mosaic layout-verification failures on g; kept tested as an opt-in
+    # like the round-1 tiled forward.
     if on_tpu and fits_fused_mlp_bwd(x.shape[1], x.shape[2]):
         # per-sample VMEM recompute + dx kernel (same PRNG stream as the
         # forward when dropout is on); weight grads as XLA contractions

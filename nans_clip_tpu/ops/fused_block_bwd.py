@@ -515,23 +515,23 @@ def mlp_bwd_chunk_tile(b: int, seq: int, width: int, inter: int):
         return None
     # power-of-two chunks only: Mosaic tiles the 1-D bias at 1024 lanes
     # and the block must divide that tiling. Both fc weight chunks are
-    # VMEM-resident: 2 * (width x chunk) bf16.
-    chunk = None
+    # VMEM-resident: 2 * (width x chunk) bf16. A batch tile of at least 2
+    # is REQUIRED: at tile=1 the kernel re-streams weight chunks per
+    # sample and measured SLOWER than the XLA vjp (598 vs 657 pairs/s at
+    # ViT-B bs256) — the same pathology as the round-1 tiled forward.
     for c in (1024, 512, 256):
-        if inter % c == 0 and 4 * width * c * 2 <= 7 * 1024 * 1024:
-            chunk = c
-            break
-    if chunk is None:
-        return None
-    # per sample: x/g/dx/xn/dxn tiles (bf16, in+out double-buffered) +
-    # h/dh_pre chunk outputs (bf16) + fp32 h_pre/dact/dh intermediates
-    per_sample = seq * (width * 12 + chunk * (4 + 12))
-    t = max(1, (10 * 1024 * 1024 - 4 * width * chunk * 2) // per_sample)
-    while t > 1 and b % t:
-        t -= 1
-    if b % t:
-        return None
-    return chunk, int(t)
+        if inter % c:
+            continue
+        weights = 4 * width * c * 2
+        # per sample: x/g/dx/xn/dxn tiles (bf16, in+out double-buffered) +
+        # h/dh_pre chunk outputs (bf16) + fp32 h_pre/dact/dh intermediates
+        per_sample = seq * (width * 12 + c * (4 + 12))
+        t = (10 * 1024 * 1024 - weights) // per_sample
+        while t > 1 and b % t:
+            t -= 1
+        if t >= 2:
+            return c, int(t)
+    return None
 
 
 def fused_mlp_block_bwd_chunked(x, ln_scale, ln_bias, w1, b1, w2, g,
