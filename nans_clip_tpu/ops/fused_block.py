@@ -77,11 +77,14 @@ def _ln(xf, scale_ref, bias_ref, eps):
 def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             kb_ref, seed_ref, o_ref, *, heads: int, eps: float, seq: int,
             post_ln: bool, masked: bool, attn_drop: float, hid_drop: float):
-    x = x_ref[0]                                   # [S, W] input dtype
-    w = x.shape[-1]
+    # block may hold several samples (batch tiling, W lane-aligned): the
+    # LN/QKV/out-projection parts flatten to [T*S, W] (taller MXU shapes);
+    # the attention itself is block-diagonal so it loops per sample
+    t, s0, w = x_ref.shape
+    x = x_ref[:].reshape(t * s0, w)                # [T*S, W] input dtype
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
-    if attn_drop > 0.0 or hid_drop > 0.0:
+    if attn_drop > 0.0 or hid_drop > 0.0:          # tile forced to 1 here
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     if post_ln:
@@ -90,36 +93,40 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         xn = _ln(x.astype(jnp.float32), s1_ref, b1_ref, eps).astype(x.dtype)
 
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[:].astype(jnp.float32)    # [S, 3W] fp32
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)    # [T*S, 3W] fp32
 
     ctx_parts = []
     for h in range(heads):                         # static unroll
         q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
         k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
         v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if masked:
-            s = s + kb_ref[0]                      # [1, S] additive key bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        if attn_drop > 0.0:                        # in-kernel dropout (PRNG
-            keep = _keep_mask((seq, seq), attn_drop)  # order mirrored in bwd)
-            p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
-        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+        ctx_t = []
+        for tt in range(t):
+            sl = slice(tt * s0, (tt + 1) * s0)
+            s = jax.lax.dot_general(q[sl], k[sl], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if masked:
+                s = s + kb_ref[tt]                 # [1, S] additive key bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            if attn_drop > 0.0:                    # in-kernel dropout (PRNG
+                keep = _keep_mask((s0, s0), attn_drop)  # order mirrored in bwd)
+                p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
+            ctx_t.append(jnp.dot(p.astype(x.dtype), v[sl],
                                  preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [S, W]
+        ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if t > 1 else ctx_t[0])
+    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [T*S, W]
 
     proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     proj = proj + bo_ref[:].astype(jnp.float32)
     if hid_drop > 0.0:  # hidden dropout on proj+bias, pre-residual
-        keep = _keep_mask((seq, w), hid_drop)      # (modeling_bert.py:147)
+        keep = _keep_mask((s0, w), hid_drop)       # (modeling_bert.py:147)
         proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
     out = proj + x.astype(jnp.float32)
     if post_ln:
         out = _ln(out, s1_ref, b1_ref, eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(x_ref.shape).astype(o_ref.dtype)
 
 
 def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
@@ -134,24 +141,43 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    # batch tiling only when dropout is off (the bwd kernel regenerates the
+    # PRNG stream per single-sample cell, so fwd tiling must match)
+    tile = (1 if attn_drop > 0.0 or hid_drop > 0.0
+            else attn_cell_tile(b, s, w, heads))
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, heads=heads, eps=eps, seq=s,
                           post_ln=post_ln, masked=masked,
                           attn_drop=attn_drop, hid_drop=hid_drop),
-        grid=(b,),
+        grid=(b // tile,),
         in_specs=[
-            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vec(w), vec(w), mat(w, 3 * w), vec(3 * w), mat(w, w), vec(w),
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile, s, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed)
+
+
+def attn_cell_tile(b: int, seq: int, width: int, heads: int) -> int:
+    """Batch tile for the one-shot attention kernel. Per-sample VMEM: fp32
+    qkv + per-head fp32 probs + x/xn/ctx/out; weights are resident."""
+    if width % 128:
+        return 1
+    weights = 4 * width * width * 2
+    per_sample = (seq * 3 * width * 4 + heads * _rup(seq, 8) * seq * 4
+                  + seq * width * 10)
+    t = max(1, (13 * 1024 * 1024 - weights) // per_sample)
+    t = min(t, 8)
+    while t > 1 and b % t:
+        t -= 1
+    return int(t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
@@ -529,8 +555,12 @@ def _erf(x):
 def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 seed_ref, o_ref, *, act: str, eps: float, post_ln: bool,
                 hid_drop: float):
-    x = x_ref[0]
-    seq, w = x.shape
+    # block may hold several samples (batch tiling, W lane-aligned): the
+    # whole sub-block is elementwise or row-parallel, so [T, S, W] flattens
+    # to [T*S, W] and every matmul runs at the taller MXU shape
+    t, seq, w = x_ref.shape
+    x = x_ref[:].reshape(t * seq, w)
+    seq = t * seq
     if hid_drop > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     if post_ln:
@@ -547,18 +577,19 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     proj = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     proj = proj + b2_ref[:].astype(jnp.float32)
     if hid_drop > 0.0:  # pre-residual hidden dropout (modeling_bert.py:152)
-        keep = _keep_mask((seq, w), hid_drop)
+        keep = _keep_mask((seq, w), hid_drop)  # tile forced to 1 (bwd PRNG)
         proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
     out = proj + x.astype(jnp.float32)
     if post_ln:
         out = _ln(out, s_ref, b_ref, eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(x_ref.shape).astype(o_ref.dtype)
 
 
 def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
-                    interpret, hid_drop=0.0, seed=None):
+                    interpret, hid_drop=0.0, seed=None, tile: int = 1):
     b, s, w = x.shape
     i = w1.shape[-1]
+    assert b % tile == 0
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     else:
@@ -568,17 +599,32 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
     return pl.pallas_call(
         functools.partial(_mlp_kernel, act=act, eps=eps, post_ln=post_ln,
                           hid_drop=hid_drop),
-        grid=(b,),
+        grid=(b // tile,),
         in_specs=[
-            pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, s, w), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM),
             vec(w), vec(w), mat(w, i), vec(i), mat(i, w), vec(w),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0),
+        out_specs=pl.BlockSpec((tile, s, w), lambda idx: (idx, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed)
+
+
+def mlp_cell_tile(b: int, seq: int, width: int, inter: int) -> int:
+    """Batch tile for the one-shot MLP kernel: fills the MXU row dimension
+    at short sequences (BERT S=52 alone fills 52/128 rows). Needs W
+    lane-aligned to flatten [T, S, W]; fp32 h/proj intermediates dominate."""
+    if width % 128:
+        return 1
+    weights = 2 * width * inter * 2
+    per_sample = seq * (inter * 8 + width * 12)
+    t = max(1, (14 * 1024 * 1024 - weights) // per_sample)
+    t = min(t, 8)
+    while t > 1 and b % t:
+        t -= 1
+    return int(t)
 
 
 # Tiled variant for wide towers (ViT-L/H): the fc weights don't fit VMEM at
@@ -761,8 +807,12 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
                                            chunk, tile)
         return _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2,
                                      act, eps, post_ln, interpret, chunk)
+    # batch tiling only when dropout is off: the bwd kernel regenerates the
+    # PRNG stream per SINGLE-sample cell, so fwd tiling must match
+    tile = 1 if hid_drop > 0.0 else mlp_cell_tile(x.shape[0], x.shape[1],
+                                                  w, w1.shape[-1])
     return _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
-                           post_ln, interpret, hid_drop, seed)
+                           post_ln, interpret, hid_drop, seed, tile)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))

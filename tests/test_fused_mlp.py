@@ -97,3 +97,15 @@ def test_batched_tiled_mlp_matches_reference():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5, rtol=5e-5)
     assert mlp_batch_tile(64, 257, 1024, 4096, 512) >= 2
+
+
+def test_cell_tiled_mlp_matches_reference():
+    """Lane-aligned width routes the batch-tiled one-shot kernel (T>1)."""
+    from nans_clip_tpu.ops.fused_block import mlp_cell_tile
+    assert mlp_cell_tile(4, 24, 128, 512) > 1
+    x, *args = _args(4, 24, 128, 512)  # batch 2
+    for act, post in (("quick_gelu", False), ("gelu", True)):
+        ref = _reference_mlp(x, *args, act=act, eps=1e-5, post_ln=post)
+        out = fused_mlp_block(x, *args, act, 1e-5, post, INTERPRET)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
