@@ -27,7 +27,6 @@ so the TP math is tested independently of the kernel backend.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,102 @@
+"""REAL multi-process distributed training (2 processes x 4 CPU devices).
+
+Round-1 gap: "multi-host training exercised only via the virtual mesh".
+This spawns two actual processes that rendezvous through
+``jax.distributed.initialize``, build the global ("data","model") mesh
+over 8 devices, assemble per-process host batches into global arrays
+(``global_batch_from_host_batch`` -> make_array_from_process_local_data),
+and run one full train step with tensor parallelism — asserting both
+processes compute the identical, finite global loss.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+import numpy as np
+import jax.numpy as jnp
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import init_clip
+from nans_clip_tpu.parallel import create_mesh, shard_params
+from nans_clip_tpu.parallel.distributed import global_batch_from_host_batch
+from nans_clip_tpu.training import TrainConfig, create_train_state, make_train_step
+from nans_clip_tpu import configs as C
+
+cfg = C.CLIPConfig(
+    embed_dim=64,
+    vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                          width=64, patch_size=16, head_width=32),
+    text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128),
+    name="tiny")
+mesh = create_mesh(data=4, model=2)
+tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=4)
+options = ModelOptions(attn_impl="xla", tp=2, deterministic=True)
+
+# per-process LOCAL batch (different data per process)
+rs = np.random.RandomState(100 + pid)
+local_images = rs.randn(8, 32, 32, 3).astype(np.float32)
+local_texts = np.zeros((8, 52), np.int32)
+local_texts[:, 0] = 101
+local_texts[:, 1:12] = rs.randint(1000, 20000, (8, 11))
+local_texts[:, 12] = 102
+
+with jax.set_mesh(mesh):
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    params = shard_params(params, mesh)
+    state = create_train_state(params, {}, tcfg)
+    step = make_train_step(cfg, tcfg, options)
+    im = global_batch_from_host_batch(local_images, mesh)
+    tx = global_batch_from_host_batch(local_texts, mesh)
+    assert im.shape[0] == 16, im.shape  # global batch = 2 procs x 8
+    state, metrics = step(state, im, tx, jax.random.PRNGKey(0))
+    loss = float(metrics["loss"])
+print(f"WORKER {pid} LOSS {loss:.6f}", flush=True)
+jax.distributed.shutdown()
+'''
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="")
+    procs = [subprocess.Popen([sys.executable, str(script), coordinator, str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if "LOSS" in ln][0]
+        losses.append(float(line.split()[-1]))
+    assert losses[0] == losses[1], losses  # identical global loss
+    assert all(abs(v) < 100 for v in losses)
