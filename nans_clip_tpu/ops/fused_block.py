@@ -166,7 +166,10 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
 
 def attn_cell_tile(b: int, seq: int, width: int, heads: int) -> int:
     """Batch tile for the one-shot attention kernel. Per-sample VMEM: fp32
-    qkv + per-head fp32 probs + x/xn/ctx/out; weights are resident."""
+    qkv + per-head fp32 probs + x/xn/ctx/out; weights are resident. The
+    full heads-term is deliberate: a relaxed 2-live-probs estimate admits
+    tile=2 at ViT S=197, which MEASURED SLOWER (4100 vs 4156 img/s) —
+    tile>1 only pays at short sequences (BERT S=52: tile 8)."""
     if width % 128:
         return 1
     weights = 4 * width * width * 2
