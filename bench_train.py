@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--attn-impl", default="auto")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--vision-model", default="ViT-B-16")
+    ap.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
+    # per-A100 pairs/s from flash_attention_En.md (s/it x global batch / 8):
+    # ViT-B/16 469, ViT-L/14 163, ViT-H/14 75.7
+    ap.add_argument("--baseline", type=float, default=BASELINE_PAIRS_PER_SEC)
     args = ap.parse_args()
     from nans_clip_tpu.configs import load_config
     from nans_clip_tpu.models import ModelOptions
@@ -49,7 +54,7 @@ def main():
 
     from nans_clip_tpu.parallel import create_mesh
 
-    cfg = load_config("ViT-B-16@RoBERTa-wwm-ext-base-chinese")
+    cfg = load_config(f"{args.vision_model}@{args.text_model}")
     options = ModelOptions(attn_impl=args.attn_impl, compute_dtype="bfloat16",
                            remat=args.remat, deterministic=False)
     tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000)
@@ -64,7 +69,8 @@ def main():
 
     BATCH = args.batch
     rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.randn(BATCH, 224, 224, 3), jnp.bfloat16)
+    r = cfg.vision.image_resolution
+    images = jnp.asarray(rs.randn(BATCH, r, r, 3), jnp.bfloat16)
     texts = jnp.zeros((BATCH, 52), jnp.int32)
     texts = texts.at[:, 0].set(101)
     texts = texts.at[:, 1:30].set(jnp.asarray(rs.randint(1000, 20000, (BATCH, 29))))
@@ -87,14 +93,14 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     pairs = BATCH / dt
     print(json.dumps({
-        "metric": f"ViT-B/16+RoBERTa-base train pairs/sec/chip (bs{BATCH} "
-                  f"bf16 remat={args.remat}, dropout on, "
+        "metric": f"{args.vision_model}+{args.text_model} train pairs/sec/"
+                  f"chip (bs{BATCH} bf16 remat={args.remat}, dropout on, "
                   f"attn_impl={args.attn_impl})",
         "value": round(pairs, 1),
         "unit": "pairs/sec",
         "step_ms": round(dt * 1000, 1),
         "loss": loss,
-        "vs_baseline": round(pairs / BASELINE_PAIRS_PER_SEC, 2),
+        "vs_baseline": round(pairs / args.baseline, 2),
     }), flush=True)
 
 

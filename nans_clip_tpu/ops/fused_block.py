@@ -1,21 +1,35 @@
-"""Fully-fused transformer attention block (Pallas): LN -> QKV -> MHA ->
-out-projection -> residual in ONE kernel.
+"""Fully-fused transformer sub-block kernels (Pallas).
 
 This is the actual scope of the reference's FlashMHA replacement
-(clip/model.py:189): not just softmax(QK^T)V but the whole pre-LN attention
-sub-block. Fusing it keeps xn/qkv/probs/ctx entirely in VMEM — five HBM
-round trips removed per layer, which is where the time goes at CLIP's short
-sequence lengths (the matmuls themselves are small).
+(clip/model.py:189): not just softmax(QK^T)V but whole sub-blocks —
+LN -> QKV -> MHA -> out-projection -> residual (ViT pre-LN and BERT
+post-LN/masked variants), and LN -> fc1 -> act -> fc2 -> residual for the
+MLP. Fusing keeps xn/qkv/probs/ctx entirely in VMEM — the HBM round trips
+are where the time goes at CLIP's short sequence lengths (the matmuls
+themselves are small).
 
-Grid: one (sample) cell per program; weights use constant index maps so
-they stay VMEM-resident across the batch. fp32 LayerNorm statistics and
-softmax, bf16 matmul inputs (MXU native).
+Grid: one batch-tile cell per program (T samples; T>1 when the width is
+lane-aligned and VMEM allows — at BERT's S=52 a single sample fills only
+52/128 MXU rows, so tiling the projections at [T*S, W] bought the text
+tower +23%); weights use constant index maps so they stay VMEM-resident
+across the whole batch. fp32 LayerNorm statistics and softmax, bf16
+matmul inputs (MXU native).
 
-Backward: ``custom_vjp`` whose bwd recomputes with the plain-XLA
-implementation — same memory profile as remat, no bwd kernel to maintain.
+Dropout (attention-prob + hidden, modeling_bert.py:118-152) runs in-kernel
+from the Mosaic PRNG — TPU only; see _keep_mask.
 
-VMEM budget fits ViT-B/L (width <= 1024, seq <= 640); wider models fall
-back to the unfused path automatically.
+Backward: ``custom_vjp``. On TPU the bwd routes to the fused backward
+kernels in ops/fused_block_bwd.py (per-sample VMEM recompute — including
+the re-seeded PRNG stream when dropout is on — plus dx in one pass, weight
+grads as batched XLA contractions); elsewhere, or where the bwd kernels
+don't fit VMEM, it recomputes with the plain-XLA twin (remat semantics).
+NOTE: because every bwd path recomputes from the block inputs, wrapping
+these blocks in jax.checkpoint is redundant work (measured: 657 vs 617
+pairs/s at ViT-B bs256 training with remat off).
+
+VMEM budget fits ViT-B/L one-shot (width <= 1024, seq <= 640); wider
+models use the batch-tiled chunked variants below or fall back to XLA per
+the measured routing notes.
 """
 
 from __future__ import annotations
