@@ -145,14 +145,17 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     use_fused_mlp = False
     use_wide = False
     if use_fused:
-        from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
+        from nans_clip_tpu.ops.fused_block import (fits_fused,
                                                    fits_fused_wide,
                                                    fused_attention_block,
                                                    fused_attention_block_wide,
-                                                   fused_mlp_block)
-        # one-shot fused MLP only: the tiled variant measured SLOWER than
-        # XLA's batched MLP at ViT-L (578 vs 620 img/s) — see fused_block.py
-        use_fused_mlp = fits_fused_mlp(x.shape[1], cfg.width)
+                                                   fused_mlp_block,
+                                                   fused_mlp_routable)
+        # one-shot widths always; ViT-L-class widths when the batch-tiled
+        # regrid applies (ties XLA on speed, and its custom_vjp stores only
+        # block inputs — the inline XLA MLP under scan OOMs HBM in training)
+        use_fused_mlp = fused_mlp_routable(x.shape[0], x.shape[1], cfg.width,
+                                           4 * cfg.width)
         # head-chunked wide kernel measured ~6% SLOWER than XLA at ViT-H
         # (211 vs 224 img/s): re-streaming weight chunks per sample loses,
         # like the tiled MLP. Explicit opt-in only.

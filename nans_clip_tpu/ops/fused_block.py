@@ -216,7 +216,9 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, heads,
 def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed = res
     on_tpu = jax.default_backend() == "tpu"
-    if not post_ln and key_bias is None and on_tpu:
+    from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
+    if (not post_ln and key_bias is None and on_tpu
+            and fits_attention_bwd(x.shape[1], x.shape[2], heads)):
         # Fused backward: per-sample recompute + attention bwd + dx in one
         # Pallas kernel; weight grads as batched XLA contractions.
         from nans_clip_tpu.ops.fused_block_bwd import fused_attention_block_bwd
@@ -240,6 +242,26 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
         d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
         d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
         return (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo, None, None)
+    if not post_ln and key_bias is None and on_tpu:
+        # ViT-L/H: the single cell exceeds VMEM — head-chunked bwd kernel.
+        # Also the reason big-model training fits HBM at all: the XLA vjp
+        # fallback materializes [B, H, S, S] fp32 probs (ViT-L bs64 OOMs).
+        from nans_clip_tpu.ops.fused_block_bwd import (
+            assemble_chunked_attn_weight_grads, attn_bwd_head_chunk,
+            fused_attention_block_bwd_chunked)
+
+        hpc = attn_bwd_head_chunk(x.shape[1], x.shape[2], heads)
+        if hpc is not None:
+            dx, xn, ctx_h, dqkv_h = fused_attention_block_bwd_chunked(
+                x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, hpc, eps,
+                interpret)
+            d_scale, d_bias, dwqkv, dbqkv, dwo, dbo = \
+                assemble_chunked_attn_weight_grads(
+                    x, xn, ctx_h, dqkv_h, g, heads, hpc, ln_scale, ln_bias,
+                    wqkv, eps)
+            return (dx, d_scale, d_bias, dwqkv.astype(wqkv.dtype),
+                    dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                    dbo.astype(bo.dtype), None, None)
     from nans_clip_tpu.ops.fused_block_bwd import fits_bert_attention_bwd
     if post_ln and on_tpu and fits_bert_attention_bwd(
             x.shape[1], x.shape[2], heads):
@@ -718,6 +740,24 @@ MAX_TILED_MLP_WIDTH = 2048
 
 def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
     return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
+
+
+def fused_mlp_routable(b: int, seq: int, width: int, inter: int) -> bool:
+    """Should the model route fused_mlp_block at this shape? One-shot
+    widths always; wider ones only when the batch-tiled regrid applies
+    (tile > 1 — measured tied with XLA at ViT-L where the single-sample
+    tiled variant lost). Routing the fused block also matters for TRAINING
+    memory: its custom_vjp stores only the block inputs, where the inline
+    XLA MLP under scan saves [L, B, S, 4W] gelu intermediates (12 GB at
+    ViT-L bs64 — an HBM OOM)."""
+    if fits_fused_mlp(seq, width):
+        return True
+    if not fits_fused_mlp_tiled(seq, width):
+        return False
+    chunk = inter
+    while width * chunk * 2 > 2 * 1024 * 1024 and chunk % 2 == 0:
+        chunk //= 2
+    return mlp_batch_tile(b, seq, width, inter, chunk) > 1
 
 
 # Batch-tiled regrid of the tiled MLP (the round-2 follow-up promised in

@@ -38,6 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 from nans_clip_tpu.ops.fused_block import _keep_mask, _rup  # noqa: E402
 
 
+def fits_attention_bwd(seq: int, width: int, heads: int) -> bool:
+    """VMEM check for the pre-LN (ViT) attention bwd kernel: weights +
+    fp32 qkv + per-head probs + activations per cell. Holds at ViT-B
+    (S=197, W=768); ViT-L's S=257/W=1024 cell does not fit and routes the
+    XLA-vjp recompute instead."""
+    weights = 4 * width * width * 2
+    qkv = _rup(seq, 8) * 3 * width * 4
+    probs = heads * _rup(seq, 8) * seq * 4
+    acts = _rup(seq, 8) * width * 12
+    return weights + qkv + probs + acts < 14 * 1024 * 1024
+
+
 def fits_bert_attention_bwd(seq: int, width: int, heads: int) -> bool:
     """VMEM check: the bwd kernel keeps per-head prob + keep-mask stacks
     plus both weight matrices resident."""
@@ -573,3 +585,202 @@ def fused_mlp_block_bwd_chunked(x, ln_scale, ln_bias, w1, b1, w2, g,
         scratch_shapes=[pltpu.VMEM((tile * s, w), jnp.float32)],
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, g)
+
+
+# ---------------------------------------------------------------------------
+# Head-chunked pre-LN attention backward for widths/seqs where the
+# single-cell kernel exceeds VMEM (ViT-L/H: the all-heads prob stack +
+# fused-QKV weight don't fit). Grid (batch, head_chunk): each cell
+# recomputes LN once, processes its local heads' probs/grads, accumulates
+# the dx contribution across chunks in scratch, and finishes the LN
+# backward on the last chunk. This also replaces the XLA fallback's
+# [B, H, S, S] prob materialization (5.4 GB at ViT-L bs128) with per-cell
+# VMEM tiles — it is what makes big-model training fit HBM at all.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_chunked_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                             wo_ref, g_ref,
+                             dx_ref, xn_ref, ctx_ref, dqkv_ref,
+                             acc_ref, *, hpc: int, n_chunks: int, dh: int,
+                             eps: float):
+    c = pl.program_id(1)
+    x = x_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    w = x.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+
+    xf = x.astype(jnp.float32)
+    gamma = s1_ref[:].astype(jnp.float32)
+    xhat, rstd = _ln_fwd_stats(xf, s1_ref, eps)
+    xn = (xhat * gamma + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    ctx_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for j in range(hpc):
+        wj = wqkv_ref[j]                              # [W, 3*dh]
+        bj = bqkv_ref[j, 0].astype(jnp.float32)
+        qkv = jnp.dot(xn, wj, preferred_element_type=jnp.float32) + bj
+        q = qkv[:, :dh].astype(x.dtype)
+        k = qkv[:, dh:2 * dh].astype(x.dtype)
+        v = qkv[:, 2 * dh:].astype(x.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(x.dtype)
+        ctx_parts.append(jnp.dot(pb, v, preferred_element_type=jnp.float32))
+
+        # dctx_j = g @ wo_j^T with wo_j = wo_ref[j*dh:(j+1)*dh, :]  [dh, W]
+        dctx_j = jax.lax.dot_general(
+            g.astype(x.dtype), wo_ref[j * dh:(j + 1) * dh, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)  # [S, dh]
+        dv_parts.append(jax.lax.dot_general(pb, dctx_j,
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(dctx_j, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dsb = ds.astype(x.dtype)
+        dq_parts.append(jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale)
+        dk_parts.append(jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32) * scale)
+
+    ctx = jnp.concatenate(ctx_parts, axis=-1)         # [S, hpc*dh]
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_parts, axis=-1),
+         jnp.concatenate(dk_parts, axis=-1),
+         jnp.concatenate(dv_parts, axis=-1)], axis=-1)  # [S, 3*hpc*dh]
+
+    # dxn contribution from this chunk: per head dqkv_j @ wj^T
+    part = jnp.zeros((x.shape[0], w), jnp.float32)
+    ld = hpc * dh
+    for j in range(hpc):
+        dqkv_j = jnp.concatenate(
+            [dqkv[:, j * dh:(j + 1) * dh],
+             dqkv[:, ld + j * dh:ld + (j + 1) * dh],
+             dqkv[:, 2 * ld + j * dh:2 * ld + (j + 1) * dh]],
+            axis=-1).astype(x.dtype)                  # [S, 3*dh]
+        part = part + jax.lax.dot_general(
+            dqkv_j, wqkv_ref[j], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = part
+        xn_ref[0] = xn.astype(xn_ref.dtype)
+
+    @pl.when(c > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    ctx_ref[0, 0] = ctx.astype(ctx_ref.dtype)
+    dqkv_ref[0, 0] = dqkv.astype(dqkv_ref.dtype)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        dxn = acc_ref[:]
+        dxhat = dxn * gamma
+        mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mean_dx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = g + rstd * (dxhat - mean_d - xhat * mean_dx)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def attn_bwd_head_chunk(seq: int, width: int, heads: int):
+    """Pick heads-per-chunk so the cell fits VMEM, or None."""
+    dh = width // heads
+    for hpc in (8, 4, 2, 1):
+        if heads % hpc:
+            continue
+        weights = hpc * width * 3 * dh * 2 + hpc * dh * width * 2
+        probs = 2 * _rup(seq, 8) * seq * 4 * max(1, hpc // 2)
+        acts = _rup(seq, 8) * (width * 16 + 3 * hpc * dh * 8)
+        if weights + probs + acts < 10 * 1024 * 1024:
+            return hpc
+    return None
+
+
+def fused_attention_block_bwd_chunked(x, ln_scale, ln_bias, wqkv, bqkv, wo,
+                                      g, heads: int, hpc: int,
+                                      eps: float = 1e-5,
+                                      interpret: bool = False):
+    """Returns (dx, xn, ctx_h, dqkv_h) with ctx_h [B, C, S, hpc*dh] and
+    dqkv_h [B, C, S, 3*hpc*dh] in per-head-chunk layout; the caller forms
+    weight grads via assemble_chunked_attn_weight_grads()."""
+    b, s, w = x.shape
+    dh = w // heads
+    n_chunks = heads // hpc
+    wqkv_h = wqkv.reshape(w, 3, heads, dh).transpose(2, 0, 1, 3).reshape(heads, w, 3 * dh)
+    bqkv_h = bqkv.reshape(3, heads, dh).transpose(1, 0, 2).reshape(heads, 1, 3 * dh)
+    vec = lambda d: pl.BlockSpec((d,), lambda i, cc: (0,), memory_space=pltpu.VMEM)
+    blkw = lambda: pl.BlockSpec((1, s, w), lambda i, cc: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_chunked_kernel, hpc=hpc,
+                          n_chunks=n_chunks, dh=dh, eps=eps),
+        grid=(b, n_chunks),
+        in_specs=[
+            blkw(), vec(w), vec(w),
+            pl.BlockSpec((hpc, w, 3 * dh), lambda i, cc: (cc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hpc, 1, 3 * dh), lambda i, cc: (cc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hpc * dh, w), lambda i, cc: (cc, 0),
+                         memory_space=pltpu.VMEM),
+            blkw(),
+        ],
+        out_specs=[
+            blkw(), blkw(),
+            pl.BlockSpec((1, 1, s, hpc * dh), lambda i, cc: (i, cc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, 3 * hpc * dh), lambda i, cc: (i, cc, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, n_chunks, s, hpc * dh), x.dtype),
+            jax.ShapeDtypeStruct((b, n_chunks, s, 3 * hpc * dh), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((s, w), jnp.float32)],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, g)
+
+
+def assemble_chunked_attn_weight_grads(x, xn, ctx_h, dqkv_h, g, heads: int,
+                                       hpc: int, ln_scale, ln_bias, wqkv,
+                                       eps: float):
+    """Weight/LN grads from the chunked bwd outputs (batched XLA einsums)."""
+    b, n_chunks, s, _ = ctx_h.shape
+    w = x.shape[-1]
+    dh = w // heads
+    gf = g.astype(jnp.float32)
+    # dwqkv: [C, W, 3*hpc*dh] -> (3, H, dh) column view of [W, 3W]
+    dwqkv_h = jnp.einsum("bsw,bcsu->cwu", xn, dqkv_h,
+                         preferred_element_type=jnp.float32)
+    dwqkv = dwqkv_h.reshape(n_chunks, w, 3, hpc, dh)
+    dwqkv = dwqkv.transpose(1, 2, 0, 3, 4).reshape(w, 3 * w)
+    dbqkv_h = jnp.sum(dqkv_h.astype(jnp.float32), axis=(0, 2))
+    dbqkv = dbqkv_h.reshape(n_chunks, 3, hpc, dh).transpose(1, 0, 2, 3).reshape(3 * w)
+    # dwo rows are head-major: [C, hpc*dh, W] stacks straight into [W, W]
+    dwo = jnp.einsum("bcsu,bsw->cuw", ctx_h, gf,
+                     preferred_element_type=jnp.float32).reshape(w, w)
+    dbo = jnp.sum(gf, axis=(0, 1))
+    # LN param grads via dxn = dqkv @ wqkv^T; build the weight in the
+    # kernel's dqkv layout — qkv-major (3, hpc, dh) per chunk
+    wqkv_h = wqkv.reshape(w, 3, n_chunks, hpc, dh)
+    wqkv_h = wqkv_h.transpose(2, 0, 1, 3, 4).reshape(n_chunks, w,
+                                                     3 * hpc * dh)
+    dxn = jnp.einsum("bcsu,cwu->bsw", dqkv_h.astype(jnp.float32),
+                     wqkv_h.astype(jnp.float32))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
+    d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
+    return (d_scale, d_bias, dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(jnp.float32), dwo, dbo)

@@ -178,3 +178,39 @@ def test_chunked_mlp_bwd_kernel_matches_vjp():
         assert err < 2e-3 * mag, (name, err, mag)
     assert mlp_bwd_chunk_tile(256, 197, 768, 3072) is not None
     assert mlp_bwd_chunk_tile(256, 197, 760, 3072) is None  # lane alignment
+
+
+def test_chunked_attention_bwd_kernel_matches_vjp():
+    """Head-chunked pre-LN attention bwd (the ViT-L/H path)."""
+    from nans_clip_tpu.ops.fused_block_bwd import (
+        assemble_chunked_attn_weight_grads, attn_bwd_head_chunk,
+        fused_attention_block_bwd_chunked)
+
+    B, S, W, H, HPC = 2, 20, 128, 4, 2
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(W), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    wqkv = jnp.asarray(0.1 * rs.randn(W, 3 * W), jnp.float32)
+    bqkv = jnp.asarray(0.1 * rs.randn(3 * W), jnp.float32)
+    wo = jnp.asarray(0.1 * rs.randn(W, W), jnp.float32)
+    bo = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    g = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+
+    _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=H, eps=1e-5),
+                     x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    ref = vjp(g)
+
+    dx, xn, ctx_h, dqkv_h = fused_attention_block_bwd_chunked(
+        x, ln_s, ln_b, wqkv, bqkv, wo, g, H, HPC, 1e-5, INTERPRET)
+    d_scale, d_bias, dwqkv, dbqkv, dwo, dbo = \
+        assemble_chunked_attn_weight_grads(x, xn, ctx_h, dqkv_h, g, H, HPC,
+                                           ln_s, ln_b, wqkv, 1e-5)
+    ours = (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo)
+    for name, a, b in zip(("dx", "d_scale", "d_bias", "dwqkv", "dbqkv",
+                           "dwo", "dbo"), ours, ref):
+        err = float(jnp.abs(a - b).max())
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        assert err < 2e-3 * mag, (name, err, mag)
+    assert attn_bwd_head_chunk(257, 1024, 16) is not None
+    assert attn_bwd_head_chunk(257, 1280, 16) is not None  # ViT-H
