@@ -156,11 +156,12 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         # block inputs — the inline XLA MLP under scan OOMs HBM in training)
         use_fused_mlp = fused_mlp_routable(x.shape[0], x.shape[1], cfg.width,
                                            4 * cfg.width)
-        # head-chunked wide kernel measured ~6% SLOWER than XLA at ViT-H
-        # (211 vs 224 img/s): re-streaming weight chunks per sample loses,
-        # like the tiled MLP. Explicit opt-in only.
-        use_wide = (options.attn_impl == "fused"
-                    and fits_fused_wide(x.shape[1], cfg.width))
+        # ViT-H class: the wide fused kernel is ~7% slower than XLA for
+        # pure inference (323 vs 347 img/s) but its custom_vjp stores only
+        # block inputs where the XLA path scan-saves [L, B, H, S, S] fp32
+        # probs — an HBM OOM in training — so 'auto' routes it; pass
+        # attn_impl="xla" explicitly for inference-only serving at H.
+        use_wide = fits_fused_wide(x.shape[1], cfg.width)
         use_fused = fits_fused(x.shape[1], cfg.width)
 
     def block(x, lp):

@@ -546,6 +546,25 @@ def _wide_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
 
 def _wide_bwd(heads, eps, heads_per_chunk, interpret, batch_tile, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo = res
+    if jax.default_backend() == "tpu":
+        # head-chunked bwd kernel: the XLA vjp fallback would materialize
+        # [B, H, S, S] fp32 probs per layer (HBM OOM at ViT-H training)
+        from nans_clip_tpu.ops.fused_block_bwd import (
+            assemble_chunked_attn_weight_grads, attn_bwd_head_chunk,
+            fused_attention_block_bwd_chunked)
+
+        hpc = attn_bwd_head_chunk(x.shape[1], x.shape[2], heads)
+        if hpc is not None:
+            dx, xn, ctx_h, dqkv_h = fused_attention_block_bwd_chunked(
+                x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, hpc, eps,
+                interpret)
+            d_scale, d_bias, dwqkv, dbqkv, dwo, dbo = \
+                assemble_chunked_attn_weight_grads(
+                    x, xn, ctx_h, dqkv_h, g, heads, hpc, ln_scale, ln_bias,
+                    wqkv, eps)
+            return (dx, d_scale, d_bias, dwqkv.astype(wqkv.dtype),
+                    dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                    dbo.astype(bo.dtype))
     _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=heads, eps=eps),
                      x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
     return vjp(g)
@@ -742,6 +761,17 @@ def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
     return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
 
 
+def mlp_chunk_size(width: int, inter: int):
+    """Largest divisor of ``inter`` that is a multiple of 256 (the bf16
+    1-D tiling Mosaic requires for the bias blocks) with a <=2MB weight
+    tile; None if no such chunk exists."""
+    for k in range(inter // 256, 0, -1):
+        c = k * 256
+        if inter % c == 0 and width * c * 2 <= 2 * 1024 * 1024:
+            return c
+    return None
+
+
 def fused_mlp_routable(b: int, seq: int, width: int, inter: int) -> bool:
     """Should the model route fused_mlp_block at this shape? One-shot
     widths always; wider ones only when the batch-tiled regrid applies
@@ -754,10 +784,8 @@ def fused_mlp_routable(b: int, seq: int, width: int, inter: int) -> bool:
         return True
     if not fits_fused_mlp_tiled(seq, width):
         return False
-    chunk = inter
-    while width * chunk * 2 > 2 * 1024 * 1024 and chunk % 2 == 0:
-        chunk //= 2
-    return mlp_batch_tile(b, seq, width, inter, chunk) > 1
+    chunk = mlp_chunk_size(width, inter)
+    return chunk is not None and mlp_batch_tile(b, seq, width, inter, chunk) > 1
 
 
 # Batch-tiled regrid of the tiled MLP (the round-2 follow-up promised in
@@ -809,25 +837,30 @@ def _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
     i = w1.shape[-1]
     assert i % chunk == 0 and b % tile == 0, (i, chunk, b, tile)
     n_chunks = i // chunk
-    vec = lambda d: pl.BlockSpec((d,), lambda bb, cc: (0,), memory_space=pltpu.VMEM)
+    # 1-D params go in as (1, d) rows: XLA sometimes assigns split 1-D
+    # layouts (e.g. T(1024)(128)S(1) for the 5120-wide ViT-H bias) that
+    # Mosaic refuses; 2-D rows always get the standard tiled layout
+    row = lambda d: pl.BlockSpec((1, d), lambda bb, cc: (0, 0),
+                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_mlp_batched_kernel, act=act, eps=eps,
                           post_ln=post_ln, n_chunks=n_chunks),
         grid=(b // tile, n_chunks),
         in_specs=[
             pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
-            vec(w), vec(w),
+            row(w), row(w),
             pl.BlockSpec((w, chunk), lambda bb, cc: (0, cc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk,), lambda bb, cc: (cc,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda bb, cc: (0, cc), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, w), lambda bb, cc: (cc, 0), memory_space=pltpu.VMEM),
-            vec(w),
+            row(w),
         ],
         out_specs=pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile * s, w), jnp.float32)],
         interpret=interpret,
-    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    )(x, ln_scale.reshape(1, w), ln_bias.reshape(1, w), w1,
+      b1.reshape(1, i), w2, b2.reshape(1, w))
 
 
 def mlp_batch_tile(b: int, seq: int, width: int, inter: int,
@@ -851,11 +884,9 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
     w = x.shape[-1]
     if w > MAX_FUSED_MLP_WIDTH:
         assert hid_drop == 0.0, "tiled MLP kernel has no dropout support"
-        # chunk so each weight tile is <= ~2MB bf16
         i = w1.shape[-1]
-        chunk = i
-        while w * chunk * 2 > 2 * 1024 * 1024 and chunk % 2 == 0:
-            chunk //= 2
+        chunk = mlp_chunk_size(w, i)  # <=2MB weight tile, 256-aligned
+        assert chunk is not None, (w, i)
         tile = mlp_batch_tile(x.shape[0], x.shape[1], w, i, chunk)
         if tile > 1:  # batch-tiled regrid: weight chunks amortize T-fold
             return _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2,
