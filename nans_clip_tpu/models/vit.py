@@ -155,7 +155,8 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         # regrid applies (ties XLA on speed, and its custom_vjp stores only
         # block inputs — the inline XLA MLP under scan OOMs HBM in training)
         use_fused_mlp = fused_mlp_routable(x.shape[0], x.shape[1], cfg.width,
-                                           4 * cfg.width)
+                                           4 * cfg.width,
+                                           jnp.dtype(x.dtype).itemsize)
         # ViT-H class: the wide fused kernel is ~7% slower than XLA for
         # pure inference (323 vs 347 img/s) but its custom_vjp stores only
         # block inputs where the XLA path scan-saves [L, B, H, S, S] fp32
@@ -172,7 +173,8 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                                       interpret=fused_interpret)
         elif use_wide:
             from nans_clip_tpu.ops.fused_block import wide_batch_tile
-            tile = wide_batch_tile(x.shape[0], x.shape[1], w)
+            tile = wide_batch_tile(x.shape[0], x.shape[1], w,
+                                   esize=jnp.dtype(x.dtype).itemsize)
             x = fused_attention_block_wide(
                 x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],

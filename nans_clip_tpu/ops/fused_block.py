@@ -157,7 +157,7 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
     # batch tiling only when dropout is off (the bwd kernel regenerates the
     # PRNG stream per single-sample cell, so fwd tiling must match)
     tile = (1 if attn_drop > 0.0 or hid_drop > 0.0
-            else attn_cell_tile(b, s, w, heads))
+            else attn_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize))
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -178,7 +178,8 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed)
 
 
-def attn_cell_tile(b: int, seq: int, width: int, heads: int) -> int:
+def attn_cell_tile(b: int, seq: int, width: int, heads: int,
+                   esize: int = 2) -> int:
     """Batch tile for the one-shot attention kernel. Per-sample VMEM: fp32
     qkv + per-head fp32 probs + x/xn/ctx/out; weights are resident. The
     full heads-term is deliberate: a relaxed 2-live-probs estimate admits
@@ -186,9 +187,9 @@ def attn_cell_tile(b: int, seq: int, width: int, heads: int) -> int:
     tile>1 only pays at short sequences (BERT S=52: tile 8)."""
     if width % 128:
         return 1
-    weights = 4 * width * width * 2
+    weights = 4 * width * width * esize
     per_sample = (seq * 3 * width * 4 + heads * _rup(seq, 8) * seq * 4
-                  + seq * width * 10)
+                  + seq * width * 5 * esize)
     t = max(1, (13 * 1024 * 1024 - weights) // per_sample)
     t = min(t, 8)
     while t > 1 and b % t:
@@ -504,11 +505,11 @@ def _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
 
 
 def wide_batch_tile(b: int, seq: int, width: int,
-                    heads_per_chunk: int = 2) -> int:
+                    heads_per_chunk: int = 2, esize: int = 2) -> int:
     """Batch tile for the wide attention regrid. Per-sample VMEM: bf16 ctx
     scratch + double-buffered x/out blocks; fixed: wo + one wqkv chunk."""
-    per_sample = seq * width * (2 + 4 + 4)
-    fixed = width * width * 2 + heads_per_chunk * width * 3 * 128 * 2
+    per_sample = seq * width * (esize + 2 * esize + 2 * esize)
+    fixed = (width * width + heads_per_chunk * width * 3 * 128) * esize
     t = max(1, (12 * 1024 * 1024 - fixed) // per_sample)
     while t > 1 and b % t:
         t -= 1
@@ -669,14 +670,15 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed)
 
 
-def mlp_cell_tile(b: int, seq: int, width: int, inter: int) -> int:
+def mlp_cell_tile(b: int, seq: int, width: int, inter: int,
+                  esize: int = 2) -> int:
     """Batch tile for the one-shot MLP kernel: fills the MXU row dimension
     at short sequences (BERT S=52 alone fills 52/128 rows). Needs W
     lane-aligned to flatten [T, S, W]; fp32 h/proj intermediates dominate."""
     if width % 128:
         return 1
-    weights = 2 * width * inter * 2
-    per_sample = seq * (inter * 8 + width * 12)
+    weights = 2 * width * inter * esize
+    per_sample = seq * (inter * (4 + 2 * esize) + width * 6 * esize)
     t = max(1, (14 * 1024 * 1024 - weights) // per_sample)
     t = min(t, 8)
     while t > 1 and b % t:
@@ -761,18 +763,19 @@ def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
     return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
 
 
-def mlp_chunk_size(width: int, inter: int):
+def mlp_chunk_size(width: int, inter: int, esize: int = 2):
     """Largest divisor of ``inter`` that is a multiple of 256 (the bf16
     1-D tiling Mosaic requires for the bias blocks) with a <=2MB weight
     tile; None if no such chunk exists."""
     for k in range(inter // 256, 0, -1):
         c = k * 256
-        if inter % c == 0 and width * c * 2 <= 2 * 1024 * 1024:
+        if inter % c == 0 and width * c * esize <= 2 * 1024 * 1024:
             return c
     return None
 
 
-def fused_mlp_routable(b: int, seq: int, width: int, inter: int) -> bool:
+def fused_mlp_routable(b: int, seq: int, width: int, inter: int,
+                       esize: int = 2) -> bool:
     """Should the model route fused_mlp_block at this shape? One-shot
     widths always; wider ones only when the batch-tiled regrid applies
     (tile > 1 — measured tied with XLA at ViT-L where the single-sample
@@ -784,8 +787,9 @@ def fused_mlp_routable(b: int, seq: int, width: int, inter: int) -> bool:
         return True
     if not fits_fused_mlp_tiled(seq, width):
         return False
-    chunk = mlp_chunk_size(width, inter)
-    return chunk is not None and mlp_batch_tile(b, seq, width, inter, chunk) > 1
+    chunk = mlp_chunk_size(width, inter, esize)
+    return (chunk is not None
+            and mlp_batch_tile(b, seq, width, inter, chunk, esize) > 1)
 
 
 # Batch-tiled regrid of the tiled MLP (the round-2 follow-up promised in
@@ -864,11 +868,11 @@ def _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
 
 
 def mlp_batch_tile(b: int, seq: int, width: int, inter: int,
-                   chunk: int) -> int:
+                   chunk: int, esize: int = 2) -> int:
     """Largest batch tile whose cell fits the VMEM budget (x + out bf16,
     acc fp32, h fp32 per chunk, plus the weight chunks)."""
-    weights = 2 * width * chunk * 2
-    per_sample = seq * width * (2 + 2 + 4) + seq * chunk * 4
+    weights = 2 * width * chunk * esize
+    per_sample = seq * width * (2 * esize + 4) + seq * chunk * 4
     budget = 13 * 1024 * 1024 - weights
     t = max(1, budget // per_sample)
     while t > 1 and b % t:
@@ -885,9 +889,10 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
     if w > MAX_FUSED_MLP_WIDTH:
         assert hid_drop == 0.0, "tiled MLP kernel has no dropout support"
         i = w1.shape[-1]
-        chunk = mlp_chunk_size(w, i)  # <=2MB weight tile, 256-aligned
+        esize = jnp.dtype(x.dtype).itemsize
+        chunk = mlp_chunk_size(w, i, esize)  # <=2MB weight tile, 256-aligned
         assert chunk is not None, (w, i)
-        tile = mlp_batch_tile(x.shape[0], x.shape[1], w, i, chunk)
+        tile = mlp_batch_tile(x.shape[0], x.shape[1], w, i, chunk, esize)
         if tile > 1:  # batch-tiled regrid: weight chunks amortize T-fold
             return _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2,
                                            b2, act, eps, post_ln, interpret,
@@ -896,8 +901,9 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
                                      act, eps, post_ln, interpret, chunk)
     # batch tiling only when dropout is off: the bwd kernel regenerates the
     # PRNG stream per SINGLE-sample cell, so fwd tiling must match
-    tile = 1 if hid_drop > 0.0 else mlp_cell_tile(x.shape[0], x.shape[1],
-                                                  w, w1.shape[-1])
+    tile = (1 if hid_drop > 0.0
+            else mlp_cell_tile(x.shape[0], x.shape[1], w, w1.shape[-1],
+                               jnp.dtype(x.dtype).itemsize))
     return _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
                            post_ln, interpret, hid_drop, seed, tile)
 
