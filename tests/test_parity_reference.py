@@ -106,6 +106,76 @@ def test_pallas_attention_tower_parity():
 
 
 @requires_reference
+def test_train_loss_and_grad_parity():
+    """Full train-step parity: the contrastive loss AND every parameter
+    gradient match torch autograd through the reference model.
+
+    Reproduces the reference's non-aggregate ``get_loss`` branch
+    (training/train.py:103-115: logits = scale * img @ txt.T, symmetric CE)
+    on identical weights and batch; grads are compared in the torch
+    state_dict layout via the same interop transposes (pure permutations,
+    so they map gradients exactly as they map parameters)."""
+    import torch.nn.functional as F
+
+    # Dropout off on both sides — parity needs a deterministic forward.
+    kwargs = dict(TINY_VIT_KWARGS, text_attention_probs_dropout_prob=0.0,
+                  text_hidden_dropout_prob=0.0)
+    model, cfg, params, stats = _setup(kwargs)
+    img, txt = _rand_inputs(cfg)
+
+    model.train()  # reference trains in train mode; dropout zeroed above
+    img_f, txt_f, scale = model(torch.from_numpy(img), torch.from_numpy(txt))
+    logits_per_image = scale * img_f @ txt_f.t()
+    logits_per_text = logits_per_image.t()
+    gt = torch.arange(len(logits_per_image))
+    ref_loss = (F.cross_entropy(logits_per_image, gt)
+                + F.cross_entropy(logits_per_text, gt)) / 2
+    ref_loss.backward()
+    ref_grads = {}
+    for name, p in model.named_parameters():
+        if p.grad is not None:
+            ref_grads[name] = p.grad.numpy().copy()
+    ref_grads = normalize_state_dict(ref_grads)
+
+    from nans_clip_tpu.models.clip import normalize
+    from nans_clip_tpu.parallel.loss import clip_loss
+
+    opts = ModelOptions(attn_impl="xla", deterministic=True)
+    img_j = jnp.asarray(img.transpose(0, 2, 3, 1))
+    txt_j = jnp.asarray(txt.astype(np.int32))
+
+    def loss_fn(p):
+        fi = encode_image(p, cfg, img_j, opts)
+        ft = encode_text(p, cfg, txt_j, opts)
+        s = jnp.exp(p["logit_scale"].astype(jnp.float32))
+        loss, _ = clip_loss(normalize(fi), normalize(ft), s, constrain=False)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss), float(ref_loss.detach()),
+                               rtol=1e-5, atol=1e-6)
+
+    ours = state_dict_from_params(jax.tree.map(np.asarray, grads), cfg)
+    gscale = max(np.abs(g).max() for g in ref_grads.values())
+    compared = 0
+    for k, ref_g in ref_grads.items():
+        if k not in ours:  # pooler etc. — dropped, and grad-free here anyway
+            continue
+        g = ours[k]
+        denom = np.abs(ref_g).max()
+        if denom < 1e-3 * gscale:
+            # True gradient ~0 (e.g. attention key bias: a uniform key shift
+            # cancels in softmax) — both sides are cancellation noise; just
+            # check ours is equally negligible.
+            assert np.abs(g).max() < 1e-2 * gscale, f"grad not ~0: {k}"
+        else:
+            np.testing.assert_allclose(g / denom, ref_g / denom, atol=2e-4,
+                                       err_msg=f"grad mismatch: {k}")
+        compared += 1
+    assert compared >= 30, f"only {compared} gradient tensors compared"
+
+
+@requires_reference
 def test_state_dict_roundtrip():
     model, cfg, params, stats = _setup(TINY_VIT_KWARGS)
     sd0 = normalize_state_dict(model.state_dict())
