@@ -45,6 +45,9 @@ def main():
     # per-A100 pairs/s from flash_attention_En.md (s/it x global batch / 8):
     # ViT-B/16 469, ViT-L/14 163, ViT-H/14 75.7
     ap.add_argument("--baseline", type=float, default=BASELINE_PAIRS_PER_SEC)
+    ap.add_argument("--adam-state-dtype", default=None,
+                    help="e.g. bfloat16: halves optimizer HBM (ViT-H @ bs32)")
+    ap.add_argument("--accum-freq", type=int, default=1)
     args = ap.parse_args()
     from nans_clip_tpu.configs import load_config
     from nans_clip_tpu.models import ModelOptions
@@ -57,7 +60,9 @@ def main():
     cfg = load_config(f"{args.vision_model}@{args.text_model}")
     options = ModelOptions(attn_impl=args.attn_impl, compute_dtype="bfloat16",
                            remat=args.remat, deterministic=False)
-    tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000)
+    tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000,
+                       accum_freq=args.accum_freq,
+                       adam_state_dtype=args.adam_state_dtype)
 
     mesh = create_mesh()  # 1-chip data mesh (the loss constrains sharding)
     ctx = jax.set_mesh(mesh)
@@ -95,7 +100,11 @@ def main():
     print(json.dumps({
         "metric": f"{args.vision_model}+{args.text_model} train pairs/sec/"
                   f"chip (bs{BATCH} bf16 remat={args.remat}, dropout on, "
-                  f"attn_impl={args.attn_impl})",
+                  f"attn_impl={args.attn_impl}"
+                  + (f", adam_state={args.adam_state_dtype}"
+                     if args.adam_state_dtype else "")
+                  + (f", accum={args.accum_freq}" if args.accum_freq > 1
+                     else "") + ")",
         "value": round(pairs, 1),
         "unit": "pairs/sec",
         "step_ms": round(dt * 1000, 1),

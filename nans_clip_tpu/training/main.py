@@ -158,7 +158,9 @@ def main(argv=None):
         mask_ratio=args.mask_ratio, accum_freq=args.accum_freq,
         freeze_vision=args.freeze_vision, label_smoothing=args.label_smoothing,
         distillation=args.distillation, kd_loss_weight=args.kd_loss_weight,
-        grad_norm_clip=args.grad_norm_clip)
+        grad_norm_clip=args.grad_norm_clip,
+        adam_state_dtype=(None if args.adam_state_dtype in (None, "float32")
+                          else args.adam_state_dtype))
 
     teacher = build_teacher(args)
 

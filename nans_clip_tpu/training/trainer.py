@@ -69,6 +69,10 @@ class TrainConfig:
     distillation: bool = False
     kd_loss_weight: float = 0.5
     grad_norm_clip: Optional[float] = None
+    # Store Adam moments in this dtype ("bfloat16" halves optimizer HBM —
+    # the lever that lifts ViT-H/14 from bs16 to bs32 on a 16 GB chip).
+    # None keeps optax.adamw's fp32 state (reference-parity default).
+    adam_state_dtype: Optional[str] = None
 
 
 def no_decay_mask(params) -> Any:
@@ -109,14 +113,57 @@ def cosine_with_warmup(base_lr: float, warmup: int, total_steps: int) -> optax.S
     return schedule
 
 
+def _scale_by_adam_compact(b1: float, b2: float, eps: float,
+                           state_dtype) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in ``state_dtype`` (optax only
+    exposes ``mu_dtype``). The EMAs are computed in fp32 each step and cast
+    back for storage; bf16's 8 exponent bits keep the full fp32 range, and
+    the ~2^-8 mantissa roundoff is damped geometrically by the EMA, so the
+    update direction stays within ~1% of the fp32 optimizer (tested in
+    tests/test_trainer.py). Halves Adam's HBM footprint: ViT-H+RoBERTa-large
+    drops from 11.5 GB to 7.7 GB of param+state, freeing room for bs32."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, dtype=state_dtype)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=jax.tree.map(zeros, params),
+                                      nu=jax.tree.map(zeros, params))
+
+    def update(updates, state, params=None):
+        del params
+        f32 = lambda t: t.astype(jnp.float32)
+        mu = jax.tree.map(lambda g, m: b1 * f32(m) + (1 - b1) * f32(g),
+                          updates, state.mu)
+        nu = jax.tree.map(lambda g, v: b2 * f32(v) + (1 - b2) * jnp.square(f32(g)),
+                          updates, state.nu)
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v, g: ((m / bc1) / (jnp.sqrt(v / bc2) + eps)).astype(g.dtype),
+            mu, nu, updates)
+        cast = lambda t: t.astype(state_dtype)
+        return out, optax.ScaleByAdamState(count=count,
+                                           mu=jax.tree.map(cast, mu),
+                                           nu=jax.tree.map(cast, nu))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
     schedule = cosine_with_warmup(tcfg.lr, tcfg.warmup, tcfg.max_steps)
     mask = jax.tree.map(lambda excluded: not excluded, no_decay_mask(params))
     chain = []
     if tcfg.grad_norm_clip:
         chain.append(optax.clip_by_global_norm(tcfg.grad_norm_clip))
-    chain.append(optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
-                             eps=tcfg.eps, weight_decay=tcfg.wd, mask=mask))
+    if tcfg.adam_state_dtype:
+        chain.append(_scale_by_adam_compact(tcfg.beta1, tcfg.beta2, tcfg.eps,
+                                            jnp.dtype(tcfg.adam_state_dtype)))
+        chain.append(optax.add_decayed_weights(tcfg.wd, mask=mask))
+        chain.append(optax.scale_by_learning_rate(schedule))
+    else:
+        chain.append(optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
+                                 eps=tcfg.eps, weight_decay=tcfg.wd, mask=mask))
     if tcfg.freeze_vision:
         def zero_visual(updates):
             return {**updates, "visual": jax.tree.map(jnp.zeros_like, updates["visual"])}
@@ -221,6 +268,13 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
     def step(state, images, texts, rng):
         return jitted(state, images, texts, rng, teacher_params)
 
+    # AOT hook: lets callers compile before first execution (multi-process
+    # launches barrier between compile and run so the first collective's
+    # Gloo/ICI context init isn't skewed by per-host compile-time variance).
+    def lower(state, images, texts, rng):
+        return jitted.lower(state, images, texts, rng, teacher_params)
+
+    step.lower = lower
     return step
 
 

@@ -65,7 +65,13 @@ with jax.set_mesh(mesh):
     im = global_batch_from_host_batch(local_images, mesh)
     tx = global_batch_from_host_batch(local_texts, mesh)
     assert im.shape[0] == 16, im.shape  # global batch = 2 procs x 8
-    state, metrics = step(state, im, tx, jax.random.PRNGKey(0))
+    # Compile ahead of time, then barrier: on a loaded 1-core host the two
+    # compiles can skew by >30s, which times out the first collective's
+    # Gloo context init if one process starts executing early.
+    compiled = step.lower(state, im, tx, jax.random.PRNGKey(0)).compile()
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier("step_compiled", timeout_in_ms=600000)
+    state, metrics = compiled(state, im, tx, jax.random.PRNGKey(0), None)
     loss = float(metrics["loss"])
 print(f"WORKER {pid} LOSS {loss:.6f}", flush=True)
 jax.distributed.shutdown()

@@ -183,3 +183,56 @@ def test_distillation_kd_loss():
     kd = kd_cosine_loss(t, s)
     assert np.isfinite(float(kd))
     assert float(kd_cosine_loss(s, s)) < 1e-5
+
+
+def test_adam_compact_state_tracks_fp32():
+    """bf16-moment Adam (TrainConfig.adam_state_dtype) must store its state
+    in bf16 and stay within ~1% of the fp32 optax.adamw trajectory."""
+    from nans_clip_tpu.training.trainer import make_optimizer
+
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 4)
+    params = {"w": jax.random.normal(keys[0], (32, 32)) * 0.02,
+              "bias": jnp.zeros((32,)),
+              "logit_scale": jnp.asarray(2.659)}
+
+    tcfg32 = TrainConfig(lr=1e-3, warmup=1, max_steps=50, wd=0.01)
+    tcfg16 = dataclasses.replace(tcfg32, adam_state_dtype="bfloat16")
+    tx32, tx16 = make_optimizer(tcfg32, params), make_optimizer(tcfg16, params)
+    s32, s16 = tx32.init(params), tx16.init(params)
+
+    mu16 = jax.tree.leaves(s16)  # state dtype check: some leaf must be bf16
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in mu16)
+
+    p32 = p16 = params
+    for i in range(10):
+        g = jax.tree.map(
+            lambda p, k=keys[i % 4], i=i: 0.1 * jax.random.normal(
+                jax.random.fold_in(k, i), p.shape), params)
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = jax.tree.map(lambda p, u: p + u, p32, u32)
+        p16 = jax.tree.map(lambda p, u: p + u, p16, u16)
+
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+        denom = float(jnp.abs(a - jnp.asarray(params["w"]).mean()).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2 * max(1.0, denom), rtol=2e-2)
+
+
+def test_adam_compact_trains():
+    """End-to-end: a train step built with bf16 optimizer state runs and
+    reduces the loss like the fp32 one."""
+    opts = ModelOptions(attn_impl="xla")
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=20,
+                       adam_state_dtype="bfloat16")
+    state = create_train_state(params, None, tcfg)
+    step = make_train_step(TINY, tcfg, opts, constrain=False)
+    images, texts = _batch()
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, jnp.asarray(images), jnp.asarray(texts),
+                              jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
