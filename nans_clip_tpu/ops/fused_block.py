@@ -97,8 +97,7 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     x = x_ref[:].reshape(t * s0, w)                # [T*S, W] input dtype
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
-    if attn_drop > 0.0 or hid_drop > 0.0:          # tile forced to 1 here
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    dropping = attn_drop > 0.0 or hid_drop > 0.0
 
     if post_ln:
         xn = x
@@ -108,34 +107,48 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:].astype(jnp.float32)    # [T*S, 3W] fp32
 
-    ctx_parts = []
-    for h in range(heads):                         # static unroll
-        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
-        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-        ctx_t = []
-        for tt in range(t):
-            sl = slice(tt * s0, (tt + 1) * s0)
-            s = jax.lax.dot_general(q[sl], k[sl], (((1,), (1,)), ((), ())),
+    # Sample-major loops so the PRNG is re-seeded per SAMPLE (global index),
+    # never per cell: the bwd kernels run one sample per cell and regenerate
+    # the same stream, so per-sample seeding is what lets the forward batch-
+    # tile freely while dropout is on. Per-sample draw order (attn masks in
+    # head order, then the hidden mask) is mirrored in *_bwd_kernel.
+    ctx_rows, hid_keeps = [], []
+    for tt in range(t):
+        if dropping:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * t + tt)
+        sl = slice(tt * s0, (tt + 1) * s0)
+        parts = []
+        for h in range(heads):                     # static unroll
+            q = qkv[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+            k = qkv[sl, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+            v = qkv[sl, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
             if masked:
                 s = s + kb_ref[tt]                 # [1, S] additive key bias
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            if attn_drop > 0.0:                    # in-kernel dropout (PRNG
-                keep = _keep_mask((s0, s0), attn_drop)  # order mirrored in bwd)
+            if attn_drop > 0.0:
+                keep = _keep_mask((s0, s0), attn_drop)
                 p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
-            ctx_t.append(jnp.dot(p.astype(x.dtype), v[sl],
+            parts.append(jnp.dot(p.astype(x.dtype), v,
                                  preferred_element_type=jnp.float32))
-        ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if t > 1 else ctx_t[0])
-    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [T*S, W]
+        ctx_rows.append(jnp.concatenate(parts, axis=-1))
+        if hid_drop > 0.0:  # drawn inside the sample's stream, used below;
+            # stored as an fp32 multiplier (scale-or-zero): Mosaic cannot
+            # concatenate i1 vregs across samples
+            hid_keeps.append(jnp.where(_keep_mask((s0, w), hid_drop),
+                                       1.0 / (1.0 - hid_drop), 0.0))
+    ctx = (jnp.concatenate(ctx_rows, axis=0) if t > 1
+           else ctx_rows[0]).astype(x.dtype)       # [T*S, W]
 
     proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     proj = proj + bo_ref[:].astype(jnp.float32)
     if hid_drop > 0.0:  # hidden dropout on proj+bias, pre-residual
-        keep = _keep_mask((s0, w), hid_drop)       # (modeling_bert.py:147)
-        proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+        mult = (jnp.concatenate(hid_keeps, axis=0) if t > 1
+                else hid_keeps[0])                 # (modeling_bert.py:147)
+        proj = proj * mult
     out = proj + x.astype(jnp.float32)
     if post_ln:
         out = _ln(out, s1_ref, b1_ref, eps)
@@ -154,10 +167,10 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    # batch tiling only when dropout is off (the bwd kernel regenerates the
-    # PRNG stream per single-sample cell, so fwd tiling must match)
-    tile = (1 if attn_drop > 0.0 or hid_drop > 0.0
-            else attn_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize))
+    # batch tiling is dropout-safe: the kernel re-seeds the PRNG per SAMPLE
+    # (global index), matching the bwd kernels' one-sample-per-cell streams
+    tile = attn_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize,
+                          dropout=attn_drop > 0.0 or hid_drop > 0.0)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -179,17 +192,20 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
 
 
 def attn_cell_tile(b: int, seq: int, width: int, heads: int,
-                   esize: int = 2) -> int:
+                   esize: int = 2, dropout: bool = False) -> int:
     """Batch tile for the one-shot attention kernel. Per-sample VMEM: fp32
     qkv + per-head fp32 probs + x/xn/ctx/out; weights are resident. The
     full heads-term is deliberate: a relaxed 2-live-probs estimate admits
     tile=2 at ViT S=197, which MEASURED SLOWER (4100 vs 4156 img/s) —
-    tile>1 only pays at short sequences (BERT S=52: tile 8)."""
+    tile>1 only pays at short sequences (BERT S=52: tile 8). With dropout
+    the per-sample hidden keep-mask stays live until the out-projection."""
     if width % 128:
         return 1
     weights = 4 * width * width * esize
     per_sample = (seq * 3 * width * 4 + heads * _rup(seq, 8) * seq * 4
                   + seq * width * 5 * esize)
+    if dropout:
+        per_sample += _rup(seq, 8) * width * 4     # live hidden keep mask
     t = max(1, (13 * 1024 * 1024 - weights) // per_sample)
     t = min(t, 8)
     while t > 1 and b % t:
@@ -618,9 +634,6 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # to [T*S, W] and every matmul runs at the taller MXU shape
     t, seq, w = x_ref.shape
     x = x_ref[:].reshape(t * seq, w)
-    seq = t * seq
-    if hid_drop > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     if post_ln:
         xn = x
     else:
@@ -635,8 +648,15 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     proj = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     proj = proj + b2_ref[:].astype(jnp.float32)
     if hid_drop > 0.0:  # pre-residual hidden dropout (modeling_bert.py:152)
-        keep = _keep_mask((seq, w), hid_drop)  # tile forced to 1 (bwd PRNG)
-        proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+        # per-SAMPLE PRNG seeding (global index) so the stream matches the
+        # bwd kernel's one-sample-per-cell regeneration at any batch tile;
+        # fp32 multipliers because Mosaic cannot concatenate i1 vregs
+        mults = []
+        for tt in range(t):
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * t + tt)
+            mults.append(jnp.where(_keep_mask((seq, w), hid_drop),
+                                   1.0 / (1.0 - hid_drop), 0.0))
+        proj = proj * (jnp.concatenate(mults, axis=0) if t > 1 else mults[0])
     out = proj + x.astype(jnp.float32)
     if post_ln:
         out = _ln(out, s_ref, b_ref, eps)
@@ -671,7 +691,7 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
 
 
 def mlp_cell_tile(b: int, seq: int, width: int, inter: int,
-                  esize: int = 2) -> int:
+                  esize: int = 2, dropout: bool = False) -> int:
     """Batch tile for the one-shot MLP kernel: fills the MXU row dimension
     at short sequences (BERT S=52 alone fills 52/128 rows). Needs W
     lane-aligned to flatten [T, S, W]; fp32 h/proj intermediates dominate."""
@@ -679,6 +699,8 @@ def mlp_cell_tile(b: int, seq: int, width: int, inter: int,
         return 1
     weights = 2 * width * inter * esize
     per_sample = seq * (inter * (4 + 2 * esize) + width * 6 * esize)
+    if dropout:
+        per_sample += _rup(seq, 8) * width * 4     # live hidden keep mask
     t = max(1, (14 * 1024 * 1024 - weights) // per_sample)
     t = min(t, 8)
     while t > 1 and b % t:
@@ -899,11 +921,11 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
                                            chunk, tile)
         return _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2,
                                      act, eps, post_ln, interpret, chunk)
-    # batch tiling only when dropout is off: the bwd kernel regenerates the
-    # PRNG stream per SINGLE-sample cell, so fwd tiling must match
-    tile = (1 if hid_drop > 0.0
-            else mlp_cell_tile(x.shape[0], x.shape[1], w, w1.shape[-1],
-                               jnp.dtype(x.dtype).itemsize))
+    # batch tiling is dropout-safe: the kernel re-seeds the PRNG per SAMPLE
+    # (global index), matching the bwd kernel's one-sample-per-cell stream
+    tile = mlp_cell_tile(x.shape[0], x.shape[1], w, w1.shape[-1],
+                         jnp.dtype(x.dtype).itemsize,
+                         dropout=hid_drop > 0.0)
     return _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
                            post_ln, interpret, hid_drop, seed, tile)
 

@@ -111,3 +111,81 @@ def test_dropout_grads_match_finite_difference(which):
         fd = (float(fj(x + eps * v)) - float(fj(x - eps * v))) / (2 * eps)
         an = float(jnp.vdot(g, v))
         assert abs(fd - an) < 5e-2 * max(1.0, abs(an)), (which, fd, an)
+
+
+def _wide_bert_args(seed=0, B=8, S=52, W=128):
+    """Lane-aligned width so attn_cell_tile/mlp_cell_tile pick tile > 1."""
+    return _bert_args(seed, B=B, S=S, W=W)
+
+
+def test_dropout_batch_tile_invariance():
+    """Per-sample PRNG seeding makes the output independent of the batch
+    tile: the same batch run at tile=1 and at the natural tile>1 must be
+    bitwise identical (the bwd kernels rely on exactly this invariance)."""
+    import nans_clip_tpu.ops.fused_block as fb
+
+    x, *args, key_bias = _wide_bert_args(5)
+    natural = fb.attn_cell_tile(x.shape[0], x.shape[1], x.shape[2], 4,
+                                4, dropout=True)
+    assert natural > 1, f"shape too small to tile: {natural}"
+
+    f = jax.jit(lambda x, s: fused_bert_attention_block(
+        x, *args, key_bias, 4, 1e-12, False, 0.1, 0.1, s))
+    tiled = np.asarray(f(x, jnp.int32(3)))
+
+    orig = fb.attn_cell_tile
+    fb.attn_cell_tile = lambda *a, **k: 1
+    try:
+        f1 = jax.jit(lambda x, s: fused_bert_attention_block(
+            x, *args, key_bias, 4, 1e-12, False, 0.1, 0.1, s))
+        single = np.asarray(f1(x, jnp.int32(3)))
+    finally:
+        fb.attn_cell_tile = orig
+    np.testing.assert_array_equal(tiled, single)
+
+
+def test_mlp_dropout_batch_tile_invariance():
+    import nans_clip_tpu.ops.fused_block as fb
+
+    rs = np.random.RandomState(6)
+    B, S, W, I = 8, 52, 128, 512
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    margs = (jnp.ones((W,), jnp.float32), jnp.zeros((W,), jnp.float32),
+             jnp.asarray(0.1 * rs.randn(W, I), jnp.float32),
+             jnp.zeros((I,), jnp.float32),
+             jnp.asarray(0.1 * rs.randn(I, W), jnp.float32),
+             jnp.zeros((W,), jnp.float32))
+    assert fb.mlp_cell_tile(B, S, W, I, 4, dropout=True) > 1
+
+    f = jax.jit(lambda x, s: fused_mlp_block(
+        x, *margs, "gelu", 1e-12, True, False, 0.1, s))
+    tiled = np.asarray(f(x, jnp.int32(9)))
+
+    orig = fb.mlp_cell_tile
+    fb.mlp_cell_tile = lambda *a, **k: 1
+    try:
+        f1 = jax.jit(lambda x, s: fused_mlp_block(
+            x, *margs, "gelu", 1e-12, True, False, 0.1, s))
+        single = np.asarray(f1(x, jnp.int32(9)))
+    finally:
+        fb.mlp_cell_tile = orig
+    np.testing.assert_array_equal(tiled, single)
+
+
+def test_dropout_grads_match_finite_difference_tiled():
+    """Same fwd/bwd PRNG-consistency check as above but at a lane-aligned
+    width where the FORWARD batch-tiles (tile>1) while the bwd kernel runs
+    one sample per cell."""
+    seed = jnp.int32(17)
+    x, *args, key_bias = _wide_bert_args(7)
+    f = lambda x: jnp.sum(jnp.sin(fused_bert_attention_block(
+        x, *args, key_bias, 4, 1e-12, False, 0.1, 0.1, seed)))
+    g = jax.jit(jax.grad(f))(x)
+    fj = jax.jit(f)
+    rs = np.random.RandomState(0)
+    for _ in range(2):
+        v = jnp.asarray(rs.randn(*x.shape), jnp.float32)
+        eps = 1e-3
+        fd = (float(fj(x + eps * v)) - float(fj(x - eps * v))) / (2 * eps)
+        an = float(jnp.vdot(g, v))
+        assert abs(fd - an) < 5e-2 * max(1.0, abs(an)), (fd, an)
