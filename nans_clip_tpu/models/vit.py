@@ -151,18 +151,28 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                                                    fused_attention_block_wide,
                                                    fused_mlp_block,
                                                    fused_mlp_routable)
-        # one-shot widths always; ViT-L-class widths when the batch-tiled
-        # regrid applies (ties XLA on speed, and its custom_vjp stores only
-        # block inputs — the inline XLA MLP under scan OOMs HBM in training)
-        use_fused_mlp = fused_mlp_routable(x.shape[0], x.shape[1], cfg.width,
-                                           4 * cfg.width,
-                                           jnp.dtype(x.dtype).itemsize)
-        # ViT-H class: the wide fused kernel is ~7% slower than XLA for
-        # pure inference (323 vs 347 img/s) but its custom_vjp stores only
-        # block inputs where the XLA path scan-saves [L, B, H, S, S] fp32
-        # probs — an HBM OOM in training — so 'auto' routes it; pass
-        # attn_impl="xla" explicitly for inference-only serving at H.
-        use_wide = fits_fused_wide(x.shape[1], cfg.width)
+        # One-shot widths always; L-class regrid widths (<= 1024) always
+        # too — measured a tie-or-better vs the XLA MLP at inference (787
+        # vs 766 img/s at L bs64) and its custom_vjp's block-input-only
+        # residuals are what make ViT-L fit HBM in training (the inline
+        # XLA MLP under scan saves [L, B, S, 4W] gelu intermediates).
+        # H-class widths (> 1024) only when TRAINING or forced: there the
+        # chunk streaming costs ~10% for pure inference (302 vs 337 img/s
+        # at H bs16), so deterministic forwards route the XLA MLP.
+        use_fused_mlp = fused_mlp_routable(
+            x.shape[0], x.shape[1], cfg.width, 4 * cfg.width,
+            jnp.dtype(x.dtype).itemsize) and (
+                cfg.width <= 1024
+                or options.attn_impl == "fused"
+                or not options.deterministic)
+        # ViT-H class: the wide fused kernel only pays in TRAINING — its
+        # custom_vjp stores block inputs where the XLA path scan-saves
+        # [L, B, H, S, S] fp32 probs (an HBM OOM) — while for inference
+        # XLA is faster (337 vs 323 img/s at bs16: the dh=80 per-head
+        # shapes underfill the lanes). 'auto' therefore routes wide fused
+        # only when training (non-deterministic); explicit "fused" forces.
+        use_wide = fits_fused_wide(x.shape[1], cfg.width) and (
+            options.attn_impl == "fused" or not options.deterministic)
         use_fused = fits_fused(x.shape[1], cfg.width)
 
     def block(x, lp):
@@ -172,14 +182,16 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                                       lp["attn"]["wo"], lp["attn"]["bo"], heads,
                                       interpret=fused_interpret)
         elif use_wide:
-            from nans_clip_tpu.ops.fused_block import wide_batch_tile
-            tile = wide_batch_tile(x.shape[0], x.shape[1], w,
-                                   esize=jnp.dtype(x.dtype).itemsize)
+            # single-sample cells, 4 heads/chunk: the batch-tiled regrid
+            # MEASURED SLOWER (277 vs 323 img/s at H bs16 — the
+            # (T, H, S, 80) ctx scratch relayout dominates what the
+            # T-fold weight-stream amortization saves); the batched
+            # kernel stays available as the tested opt-in batch_tile > 1.
             x = fused_attention_block_wide(
                 x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
                 lp["attn"]["wo"], lp["attn"]["bo"], heads, 1e-5,
-                2 if tile > 1 else 4, fused_interpret, tile)
+                4, fused_interpret, 1)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)

@@ -107,41 +107,67 @@ def _kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:].astype(jnp.float32)    # [T*S, 3W] fp32
 
-    # Sample-major loops so the PRNG is re-seeded per SAMPLE (global index),
-    # never per cell: the bwd kernels run one sample per cell and regenerate
-    # the same stream, so per-sample seeding is what lets the forward batch-
-    # tile freely while dropout is on. Per-sample draw order (attn masks in
-    # head order, then the hidden mask) is mirrored in *_bwd_kernel.
-    ctx_rows, hid_keeps = [], []
-    for tt in range(t):
-        if dropping:
+    if dropping:
+        # Sample-major loops so the PRNG is re-seeded per SAMPLE (global
+        # index), never per cell: the bwd kernels run one sample per cell
+        # and regenerate the same stream, so per-sample seeding is what
+        # lets the forward batch-tile freely while dropout is on.
+        # Per-sample draw order (attn masks in head order, then the hidden
+        # mask) is mirrored in *_bwd_kernel.
+        ctx_rows, hid_keeps = [], []
+        for tt in range(t):
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * t + tt)
-        sl = slice(tt * s0, (tt + 1) * s0)
-        parts = []
+            sl = slice(tt * s0, (tt + 1) * s0)
+            parts = []
+            for h in range(heads):                 # static unroll
+                q = qkv[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+                k = qkv[sl, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+                v = qkv[sl, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+                if masked:
+                    s = s + kb_ref[tt]             # [1, S] additive key bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                if attn_drop > 0.0:
+                    keep = _keep_mask((s0, s0), attn_drop)
+                    p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
+                parts.append(jnp.dot(p.astype(x.dtype), v,
+                                     preferred_element_type=jnp.float32))
+            ctx_rows.append(jnp.concatenate(parts, axis=-1))
+            if hid_drop > 0.0:  # drawn inside the sample's stream, used
+                # below; stored as an fp32 multiplier (scale-or-zero):
+                # Mosaic cannot concatenate i1 vregs across samples
+                hid_keeps.append(jnp.where(_keep_mask((s0, w), hid_drop),
+                                           1.0 / (1.0 - hid_drop), 0.0))
+        ctx = (jnp.concatenate(ctx_rows, axis=0) if t > 1
+               else ctx_rows[0]).astype(x.dtype)   # [T*S, W]
+    else:
+        # Head-major loops (one column-slice of qkv per head, t-loop
+        # inside): measured ~4% faster than sample-major on the batch-
+        # tiled text tower (0.077 vs 0.080 ms/sample) — no PRNG ordering
+        # constraint applies when dropout is off.
+        ctx_parts = []
         for h in range(heads):                     # static unroll
-            q = qkv[sl, h * dh:(h + 1) * dh].astype(x.dtype)
-            k = qkv[sl, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
-            v = qkv[sl, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
-            if masked:
-                s = s + kb_ref[tt]                 # [1, S] additive key bias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            if attn_drop > 0.0:
-                keep = _keep_mask((s0, s0), attn_drop)
-                p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
-            parts.append(jnp.dot(p.astype(x.dtype), v,
-                                 preferred_element_type=jnp.float32))
-        ctx_rows.append(jnp.concatenate(parts, axis=-1))
-        if hid_drop > 0.0:  # drawn inside the sample's stream, used below;
-            # stored as an fp32 multiplier (scale-or-zero): Mosaic cannot
-            # concatenate i1 vregs across samples
-            hid_keeps.append(jnp.where(_keep_mask((s0, w), hid_drop),
-                                       1.0 / (1.0 - hid_drop), 0.0))
-    ctx = (jnp.concatenate(ctx_rows, axis=0) if t > 1
-           else ctx_rows[0]).astype(x.dtype)       # [T*S, W]
+            q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
+            k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+            v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+            ctx_t = []
+            for tt in range(t):
+                sl = slice(tt * s0, (tt + 1) * s0)
+                s = jax.lax.dot_general(q[sl], k[sl], (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+                if masked:
+                    s = s + kb_ref[tt]             # [1, S] additive key bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                ctx_t.append(jnp.dot(p.astype(x.dtype), v[sl],
+                                     preferred_element_type=jnp.float32))
+            ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if t > 1 else ctx_t[0])
+        ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)
+        hid_keeps = []
 
     proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     proj = proj + bo_ref[:].astype(jnp.float32)
