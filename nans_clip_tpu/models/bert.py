@@ -145,6 +145,21 @@ def bert_features(params: dict, input_ids: jax.Array,
             use_fused_mlp = use_fused_mlp and fits_fused_mlp_bwd(
                 s, cfg.hidden_size)
 
+    # Low-latency serving: whole-tower mega-kernel (ONE pallas_call for all
+    # L layers — ops/tower_kernel.py), deterministic forwards only.
+    if use_fused and det and cfg.hidden_act == "gelu":
+        from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
+        if fits_tower(b, s, cfg.hidden_size, cfg.intermediate_size,
+                      jnp.dtype(x.dtype).itemsize):
+            enc = params["encoder"]
+            return fused_tower(
+                x, key_bias, enc["attn_ln"]["scale"], enc["attn_ln"]["bias"],
+                enc["attn"]["wqkv"], enc["attn"]["bqkv"], enc["attn"]["wo"],
+                enc["attn"]["bo"], enc["mlp_ln"]["scale"],
+                enc["mlp_ln"]["bias"], enc["mlp"]["w1"], enc["mlp"]["b1"],
+                enc["mlp"]["w2"], enc["mlp"]["b2"], heads,
+                cfg.layer_norm_eps, "gelu", True, interpret=fused_interpret)
+
     def layer(carry, lp):
         x, idx = carry
         if det:

@@ -142,6 +142,26 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         x = layer_norm(x[:, 0, :], **params["ln_post"])
         return x @ params["proj"]
 
+    # Low-latency serving: the whole-tower mega-kernel (ONE pallas_call,
+    # grid over layers, per-layer weights double-buffered, activations
+    # VMEM-resident across layers — ops/tower_kernel.py). Routed for
+    # deterministic forwards at VMEM-fitting batch sizes, where the
+    # per-sub-block path's 2L launches + activation HBM round trips
+    # dominate latency.
+    if use_fused and options.deterministic:
+        from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
+        if fits_tower(b, x.shape[1], w, 4 * w, jnp.dtype(x.dtype).itemsize):
+            tr = params["transformer"]
+            x = fused_tower(x, None, tr["ln_1"]["scale"], tr["ln_1"]["bias"],
+                            tr["attn"]["wqkv"], tr["attn"]["bqkv"],
+                            tr["attn"]["wo"], tr["attn"]["bo"],
+                            tr["ln_2"]["scale"], tr["ln_2"]["bias"],
+                            tr["mlp"]["w1"], tr["mlp"]["b1"],
+                            tr["mlp"]["w2"], tr["mlp"]["b2"], heads, 1e-5,
+                            "quick_gelu", False, interpret=fused_interpret)
+            x = layer_norm(x[:, 0, :], **params["ln_post"])
+            return x @ params["proj"]
+
     use_fused_mlp = False
     use_wide = False
     if use_fused:

@@ -1,0 +1,180 @@
+"""Whole-tower serving mega-kernel: all L transformer layers in ONE
+pallas_call, grid over layers.
+
+Rationale (low-latency serving): at batch 1 the tower is entirely
+overhead- and weight-streaming-bound — the per-sub-block kernels cost
+24 launches with activation HBM round trips between them, ~1.8 ms for the
+38M-param text tower whose weight-streaming floor is ~0.25 ms. This
+kernel runs the whole encoder in one launch: the grid is (n_layers,),
+each step's weight blocks are indexed by layer from the parameter-stacked
+[L, ...] arrays (the same layout lax.scan consumes, models/bert.py:38-53,
+models/vit.py), Pallas double-buffers the next layer's weights while the
+current layer computes, and the activations never leave VMEM (a scratch
+buffer carries x across grid steps — the sequential-grid guarantee on
+TPU). Replaces the reference's serving path of 2x12 separate attention/
+MLP CUDA module calls (cn_clip/clip/model.py:189, deploy/tensorrt usage).
+
+Inference only (no dropout, no custom_vjp): the training path keeps the
+per-sub-block kernels whose backward twins recompute in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nans_clip_tpu.ops.fused_block import _erf, _ln
+
+
+def _tower_kernel(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                  bo_ref, s2_ref, b2_ref, w1_ref, bm1_ref, w2_ref, bm2_ref,
+                  o_ref, xs_ref, *, heads: int, eps: float, act: str,
+                  post_ln: bool, masked: bool, n_layers: int, batch: int):
+    l = pl.program_id(0)
+    rows, w = xs_ref.shape
+    s0 = rows // batch
+    dh = w // heads
+    scale = 1.0 / math.sqrt(dh)
+
+    @pl.when(l == 0)
+    def _():
+        xs_ref[:] = x_ref[:].reshape(rows, w)
+
+    x = xs_ref[:]
+
+    # ---- attention sub-block (head-major, no dropout: serving) ----
+    if post_ln:
+        xn = x
+    else:
+        xn = _ln(x.astype(jnp.float32), s1_ref[0], b1_ref[0], eps).astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[0].astype(jnp.float32)
+
+    ctx_parts = []
+    for h in range(heads):                         # static unroll
+        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
+        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+        ctx_t = []
+        for tt in range(batch):                    # block-diagonal attention
+            sl = slice(tt * s0, (tt + 1) * s0)
+            s = jax.lax.dot_general(q[sl], k[sl], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if masked:
+                s = s + kb_ref[tt]                 # [1, S] additive key bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx_t.append(jnp.dot(p.astype(x.dtype), v[sl],
+                                 preferred_element_type=jnp.float32))
+        ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if batch > 1
+                         else ctx_t[0])
+    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)
+
+    proj = jnp.dot(ctx, wo_ref[0], preferred_element_type=jnp.float32)
+    proj = proj + bo_ref[0].astype(jnp.float32)
+    out = proj + x.astype(jnp.float32)
+    if post_ln:
+        out = _ln(out, s1_ref[0], b1_ref[0], eps)
+    x = out.astype(x.dtype)
+
+    # ---- MLP sub-block ----
+    if post_ln:
+        xn = x
+    else:
+        xn = _ln(x.astype(jnp.float32), s2_ref[0], b2_ref[0], eps).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[0], preferred_element_type=jnp.float32)
+    h = h + bm1_ref[0].astype(jnp.float32)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:                                          # exact-erf gelu (BERT)
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = h.astype(x.dtype)
+    proj = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
+    proj = proj + bm2_ref[0].astype(jnp.float32)
+    out = proj + x.astype(jnp.float32)
+    if post_ln:
+        out = _ln(out, s2_ref[0], b2_ref[0], eps)
+
+    xs_ref[:] = out.astype(x.dtype)
+    # constant-index output block: flushed to HBM once, after the last step
+    o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def fits_tower(b: int, s: int, w: int, inter: int, esize: int = 2) -> bool:
+    """VMEM gate: double-buffered per-layer weights + live activations.
+    The serving shapes this kernel exists for (batch <= ~32 text,
+    <= ~8 image) fit comfortably; big-batch throughput paths route the
+    per-sub-block kernels instead."""
+    if w % 128 or w > 768:
+        # w > 768 (RoBERTa-large / ViT-L+) would double-buffer >= 50MB of
+        # weights — unmeasured VMEM pressure; route per-sub-block kernels
+        # until validated on hardware.
+        return False
+    weights = 2 * (4 * w * w + 2 * w * inter) * esize   # double-buffered
+    rows = b * s
+    acts = rows * (3 * w * 4          # fp32 qkv
+                   + inter * 4        # fp32 h
+                   + w * (4 * esize + 4))  # x/xn/ctx/out + scratch
+    return weights + acts <= 100 * 1024 * 1024
+
+
+def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
+                ln2_scale, ln2_bias, w1, b1, w2, b2, heads: int,
+                eps: float, act: str, post_ln: bool,
+                interpret: bool = False):
+    """Run the full L-layer encoder on [B, S, W] activations.
+
+    All parameter arrays are layer-stacked ([L, ...]); ln1 is the
+    attention-side LayerNorm (pre-LN for ViT, post-LN for BERT), ln2 the
+    MLP-side. ``key_bias``: [B, 1, S] additive mask or None.
+    """
+    b, s, w = x.shape
+    L = wqkv.shape[0]
+    inter = w1.shape[-1]
+    masked = key_bias is not None
+    if key_bias is None:
+        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        key_bias = jnp.asarray(key_bias, jnp.float32).reshape(b, 1, s)
+
+    # [L, d] stacked vectors must present [L, 1, d] blocks: a (1, d) tail
+    # is only tile-legal when the sublane dim equals the array's (the same
+    # singleton trick as the wide kernel's bqkv re-lay)
+    r3 = lambda a: a.reshape(a.shape[0], 1, a.shape[1])
+    cst = lambda *shape: pl.BlockSpec(shape, lambda l: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    lyr = lambda *shape: pl.BlockSpec((1,) + shape,
+                                      lambda l: (l,) + (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tower_kernel, heads=heads, eps=eps, act=act,
+                          post_ln=post_ln, masked=masked, n_layers=L,
+                          batch=b),
+        grid=(L,),
+        in_specs=[
+            cst(b, s, w),              # x (fetched once: constant index)
+            cst(b, 1, s),              # key_bias
+            lyr(1, w), lyr(1, w),      # ln1 scale/bias
+            lyr(w, 3 * w), lyr(1, 3 * w),  # wqkv/bqkv
+            lyr(w, w), lyr(1, w),      # wo/bo
+            lyr(1, w), lyr(1, w),      # ln2 scale/bias
+            lyr(w, inter), lyr(1, inter),  # w1/b1
+            lyr(inter, w), lyr(1, w),  # w2/b2
+        ],
+        out_specs=cst(b, s, w),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((b * s, w), x.dtype)],
+        # double-buffered per-layer weights alone exceed the default 16MB
+        # scoped-vmem budget; raise it (the fits_tower gate keeps the true
+        # footprint under ~100MB of the chip's 128MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(x, key_bias, r3(ln1_scale), r3(ln1_bias), wqkv, r3(bqkv), wo, r3(bo),
+      r3(ln2_scale), r3(ln2_bias), w1, r3(b1), w2, r3(b2))
