@@ -40,14 +40,16 @@ from nans_clip_tpu.ops.fused_block import _keep_mask, _rup  # noqa: E402
 
 def fits_attention_bwd(seq: int, width: int, heads: int) -> bool:
     """VMEM check for the pre-LN (ViT) attention bwd kernel: weights +
-    fp32 qkv + per-head probs + activations per cell. Holds at ViT-B
-    (S=197, W=768); ViT-L's S=257/W=1024 cell does not fit and routes the
-    XLA-vjp recompute instead."""
+    fp32 qkv/dqkv + per-head probs + fp32 row buffers + double-buffered
+    io per cell, against the raised 64MB vmem_limit (the original 14MB
+    bound targeted the 16MB default scoped budget and excluded ViT-L's
+    S=257/W=1024 cell, which fits comfortably once the limit is raised)."""
     weights = 4 * width * width * 2
-    qkv = _rup(seq, 8) * 3 * width * 4
+    qkv = _rup(seq, 8) * 3 * width * 8
     probs = heads * _rup(seq, 8) * seq * 4
-    acts = _rup(seq, 8) * width * 12
-    return weights + qkv + probs + acts < 14 * 1024 * 1024
+    acts = _rup(seq, 8) * width * 24
+    io = _rup(seq, 8) * width * 2 * 8 * 2
+    return weights + qkv + probs + acts + io < 48 * 1024 * 1024
 
 
 def fits_bert_attention_bwd(seq: int, width: int, heads: int) -> bool:
@@ -59,8 +61,12 @@ def fits_bert_attention_bwd(seq: int, width: int, heads: int) -> bool:
 
 
 def fits_fused_mlp_bwd(seq: int, width: int) -> bool:
-    """VMEM check: fc weights + three fp32 [S, 4W] intermediates resident.
-    Holds for BERT-class (S=52); ViT-B's S=197 does not fit one cell."""
+    """Routing gate: fc weights + three fp32 [S, 4W] intermediates
+    resident. Holds for BERT-class (S=52). NOT a pure VMEM bound any
+    more — with vmem_limit raised to 64MB the ViT-B S=197 cell compiles,
+    but MEASURED SLOWER than the XLA vjp recompute (644.5 vs 661 pairs/s
+    train step), so the 13MB boundary doubles as the measured routing
+    cutoff."""
     weights = 2 * width * 4 * width * 2
     inter = 3 * _rup(seq, 8) * 4 * width * 4
     return weights + inter < 13 * 1024 * 1024
@@ -81,11 +87,39 @@ def _ln_bwd(g, gamma, uhat, rstd):
     return rstd * (ghat - mean_g - uhat * mean_gu)
 
 
+def attn_bwd_cell_tile(b: int, seq: int, width: int, heads: int,
+                       esize: int = 2) -> int:
+    """Batch tile for the attention bwd kernels: fills the MXU row dim of
+    the flattened QKV/projection matmuls (the attention matmuls stay per
+    sample). fp32 qkv/dqkv + per-head probs (+ mask multiplier) + six
+    fp32 row buffers + double-buffered io blocks; weights resident. The
+    callers raise vmem_limit_bytes to 64MB. Tiling only pays at SHORT
+    sequences (BERT S=52) where a single sample under-fills the MXU row
+    dim; at ViT's S=197 tile=2 measured slower for both the fwd (4100 vs
+    4156 img/s, attn_cell_tile note) and the bwd (639.9 vs 664 pairs/s
+    train step) — the [S,S] fp32 prob live-set doubles and evicts the
+    weight blocks."""
+    if width % 128 or seq > 64:
+        return 1
+    weights = (3 * width * width + width * width) * esize
+    per = (seq * 3 * width * 8                      # fp32 qkv + dqkv
+           + heads * _rup(seq, 8) * seq * 8         # probs + multiplier
+           + seq * width * 4 * 6                    # fp32 row buffers
+           + seq * width * esize * 2 * 9)           # io blocks, dbl-buffered
+    t = max(1, (48 * 1024 * 1024 - weights) // per)
+    t = min(t, 8)
+    while t > 1 and b % t:
+        t -= 1
+    return int(t)
+
+
 def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
                 dx_ref, xn_ref, ctx_ref, dqkv_ref, *, heads: int, eps: float):
-    x = x_ref[0]
-    g = g_ref[0].astype(jnp.float32)                 # [S, W]
-    w = x.shape[-1]
+    # the cell may hold T samples: LN/QKV/dctx/dxn run flattened at
+    # [T*S, .] MXU shapes, the attention fwd+bwd loops per (sample, head)
+    t, seq, w = x_ref.shape
+    x = x_ref[:].reshape(t * seq, w)
+    g = g_ref[:].reshape(t * seq, w).astype(jnp.float32)
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
 
@@ -106,41 +140,44 @@ def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
-    ctx_parts = []
-    dq_parts = []
-    dk_parts = []
-    dv_parts = []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
-        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)   # [S, S] fp32
-        pb = p.astype(x.dtype)
-        ctx_h = jnp.dot(pb, v, preferred_element_type=jnp.float32)
-        ctx_parts.append(ctx_h)
+    ctx_rows, dqkv_rows = [], []
+    for tt in range(t):
+        sl = slice(tt * seq, (tt + 1) * seq)
+        ctx_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+        for h in range(heads):
+            q = qkv[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+            k = qkv[sl, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+            v = qkv[sl, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)   # [S, S] fp32
+            pb = p.astype(x.dtype)
+            ctx_parts.append(jnp.dot(pb, v, preferred_element_type=jnp.float32))
 
-        dctx_h = dctx[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        dv_h = jax.lax.dot_general(pb, dctx_h, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(dctx_h, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - delta)                         # [S, S] fp32
-        dsb = ds.astype(x.dtype)
-        dq_parts.append(jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale)
-        dk_parts.append(jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32) * scale)
-        dv_parts.append(dv_h)
-
-    ctx = jnp.concatenate(ctx_parts, axis=-1)
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dq_parts, axis=-1),
-         jnp.concatenate(dk_parts, axis=-1),
-         jnp.concatenate(dv_parts, axis=-1)], axis=-1)  # [S, 3W] fp32
+            dctx_h = dctx[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+            dv_parts.append(jax.lax.dot_general(
+                pb, dctx_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(dctx_h, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - delta)                         # [S, S] fp32
+            dsb = ds.astype(x.dtype)
+            dq_parts.append(jnp.dot(dsb, k,
+                                    preferred_element_type=jnp.float32) * scale)
+            dk_parts.append(jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        ctx_rows.append(jnp.concatenate(ctx_parts, axis=-1))
+        dqkv_rows.append(jnp.concatenate(
+            [jnp.concatenate(dq_parts, axis=-1),
+             jnp.concatenate(dk_parts, axis=-1),
+             jnp.concatenate(dv_parts, axis=-1)], axis=-1))
+    ctx = jnp.concatenate(ctx_rows, axis=0) if t > 1 else ctx_rows[0]
+    dqkv = (jnp.concatenate(dqkv_rows, axis=0) if t > 1
+            else dqkv_rows[0])                            # [T*S, 3W] fp32
 
     # dxn = dqkv @ wqkv^T
     dxn = jax.lax.dot_general(dqkv.astype(x.dtype), wqkv_ref[:],
@@ -152,10 +189,11 @@ def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
     mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
 
-    dx_ref[0] = (g + dx_ln).astype(dx_ref.dtype)
-    xn_ref[0] = xn.astype(xn_ref.dtype)
-    ctx_ref[0] = ctx.astype(ctx_ref.dtype)
-    dqkv_ref[0] = dqkv.astype(dqkv_ref.dtype)
+    sh3 = lambda c: (t, seq, c)
+    dx_ref[:] = (g + dx_ln).reshape(sh3(w)).astype(dx_ref.dtype)
+    xn_ref[:] = xn.reshape(sh3(w)).astype(xn_ref.dtype)
+    ctx_ref[:] = ctx.reshape(sh3(w)).astype(ctx_ref.dtype)
+    dqkv_ref[:] = dqkv.reshape(sh3(3 * w)).astype(dqkv_ref.dtype)
 
 
 def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
@@ -163,48 +201,64 @@ def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
                      dx_ref, dqkv_ref, ctx_ref, dproj_ref, uhat_ref,
                      *, heads: int, eps: float, attn_drop: float,
                      hid_drop: float, masked: bool):
-    """Recompute the BERT post-LN attention forward (same PRNG stream as
-    the fwd kernel) and produce dx + the activations for weight grads."""
-    x = x_ref[0]
-    g = g_ref[0].astype(jnp.float32)
-    w = x.shape[-1]
-    seq = x.shape[0]
+    """Recompute the BERT post-LN attention forward (same per-SAMPLE PRNG
+    stream as the fwd kernel) and produce dx + the activations for weight
+    grads. The cell may hold T samples (batch tiling): the row-parallel
+    matmuls run flattened at [T*S, .] MXU shapes; the attention itself and
+    all PRNG draws are per sample (seeded by GLOBAL sample index, the same
+    stream at any tile). Dropout masks are kept as fp32 scale-or-zero
+    multipliers (Mosaic cannot concatenate i1 vregs across samples)."""
+    t, seq, w = x_ref.shape
+    x = x_ref[:].reshape(t * seq, w)
+    g = g_ref[:].reshape(t * seq, w).astype(jnp.float32)
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
     dropping = attn_drop > 0.0 or hid_drop > 0.0
-    if dropping:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     # ---- forward recompute (identical op/PRNG order to _kernel) ----
     qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:].astype(jnp.float32)
 
-    p_pre, keeps, ctx_parts = [], [], []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
-        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if masked:
-            s = s + kb_ref[0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        p_pre.append(p)
-        if attn_drop > 0.0:
-            keep = _keep_mask((seq, seq), attn_drop)
-            keeps.append(keep)
-            p = jnp.where(keep, p * (1.0 / (1.0 - attn_drop)), 0.0)
-        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+    # per-sample attention recompute; fp32 probs (pre-dropout) and mask
+    # multipliers are held for the backward head loop below
+    p_pre = [[None] * heads for _ in range(t)]
+    amult = [[None] * heads for _ in range(t)]
+    ctx_rows, hmults = [], []
+    for tt in range(t):
+        if dropping:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * t + tt)
+        sl = slice(tt * seq, (tt + 1) * seq)
+        parts = []
+        for h in range(heads):
+            q = qkv[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+            k = qkv[sl, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+            v = qkv[sl, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if masked:
+                s = s + kb_ref[tt]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p_pre[tt][h] = p
+            if attn_drop > 0.0:
+                amult[tt][h] = jnp.where(_keep_mask((seq, seq), attn_drop),
+                                         1.0 / (1.0 - attn_drop), 0.0)
+                p = p * amult[tt][h]
+            parts.append(jnp.dot(p.astype(x.dtype), v,
                                  preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)
+        ctx_rows.append(jnp.concatenate(parts, axis=-1))
+        if hid_drop > 0.0:
+            hmults.append(jnp.where(_keep_mask((seq, w), hid_drop),
+                                    1.0 / (1.0 - hid_drop), 0.0))
+    ctx = (jnp.concatenate(ctx_rows, axis=0) if t > 1
+           else ctx_rows[0]).astype(x.dtype)
 
     proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     proj = proj + bo_ref[:].astype(jnp.float32)
     if hid_drop > 0.0:
-        keep_h = _keep_mask((seq, w), hid_drop)
-        proj = jnp.where(keep_h, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+        hmult = jnp.concatenate(hmults, axis=0) if t > 1 else hmults[0]
+        proj = proj * hmult
     u = proj + x.astype(jnp.float32)
     uhat, rstd = _ln_fwd_stats(u, s1_ref, eps)
 
@@ -212,50 +266,52 @@ def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
     du = _ln_bwd(g, s1_ref[:].astype(jnp.float32), uhat, rstd)
     dproj = du
     if hid_drop > 0.0:
-        dproj = jnp.where(keep_h, dproj * (1.0 / (1.0 - hid_drop)), 0.0)
+        dproj = dproj * hmult
     dctx = jax.lax.dot_general(dproj.astype(x.dtype), wo_ref[:],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
-        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-        p = p_pre[h]
-        pd = p
-        if attn_drop > 0.0:
-            pd = jnp.where(keeps[h], p * (1.0 / (1.0 - attn_drop)), 0.0)
-        pdb = pd.astype(x.dtype)
-        dctx_h = dctx[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        dv_parts.append(jax.lax.dot_general(pdb, dctx_h,
-                                            (((0,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32))
-        dpd = jax.lax.dot_general(dctx_h, v, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dp = dpd
-        if attn_drop > 0.0:
-            dp = jnp.where(keeps[h], dpd * (1.0 / (1.0 - attn_drop)), 0.0)
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - delta)
-        dsb = ds.astype(x.dtype)
-        dq_parts.append(jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale)
-        dk_parts.append(jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32) * scale)
-
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dq_parts, axis=-1),
-         jnp.concatenate(dk_parts, axis=-1),
-         jnp.concatenate(dv_parts, axis=-1)], axis=-1)
+    dqkv_rows = []
+    for tt in range(t):
+        sl = slice(tt * seq, (tt + 1) * seq)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(heads):
+            q = qkv[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+            k = qkv[sl, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
+            v = qkv[sl, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
+            p = p_pre[tt][h]
+            pd = p if attn_drop == 0.0 else p * amult[tt][h]
+            pdb = pd.astype(x.dtype)
+            dctx_h = dctx[sl, h * dh:(h + 1) * dh].astype(x.dtype)
+            dv_parts.append(jax.lax.dot_general(
+                pdb, dctx_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dpd = jax.lax.dot_general(dctx_h, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dp = dpd if attn_drop == 0.0 else dpd * amult[tt][h]
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            dsb = ds.astype(x.dtype)
+            dq_parts.append(jnp.dot(dsb, k,
+                                    preferred_element_type=jnp.float32) * scale)
+            dk_parts.append(jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        dqkv_rows.append(jnp.concatenate(
+            [jnp.concatenate(dq_parts, axis=-1),
+             jnp.concatenate(dk_parts, axis=-1),
+             jnp.concatenate(dv_parts, axis=-1)], axis=-1))
+    dqkv = jnp.concatenate(dqkv_rows, axis=0) if t > 1 else dqkv_rows[0]
 
     dx_qkv = jax.lax.dot_general(dqkv.astype(x.dtype), wqkv_ref[:],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    dx_ref[0] = (du + dx_qkv).astype(dx_ref.dtype)
-    dqkv_ref[0] = dqkv.astype(dqkv_ref.dtype)
-    ctx_ref[0] = ctx.astype(ctx_ref.dtype)
-    dproj_ref[0] = dproj.astype(dproj_ref.dtype)
-    uhat_ref[0] = uhat.astype(uhat_ref.dtype)
+    sh3 = lambda c: (t, seq, c)
+    dx_ref[:] = (du + dx_qkv).reshape(sh3(w)).astype(dx_ref.dtype)
+    dqkv_ref[:] = dqkv.reshape(sh3(3 * w)).astype(dqkv_ref.dtype)
+    ctx_ref[:] = ctx.reshape(sh3(w)).astype(ctx_ref.dtype)
+    dproj_ref[:] = dproj.reshape(sh3(w)).astype(dproj_ref.dtype)
+    uhat_ref[:] = uhat.reshape(sh3(w)).astype(uhat_ref.dtype)
 
 
 def fused_bert_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
@@ -279,17 +335,18 @@ def fused_bert_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    tile = attn_bwd_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    blk = lambda c: pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((tile, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bert_bwd_kernel, heads=heads, eps=eps,
                           attn_drop=attn_drop, hid_drop=hid_drop,
                           masked=masked),
-        grid=(b,),
+        grid=(b // tile,),
         in_specs=[blk(w), vec(w), vec(w), mat(w, 3 * w), vec(3 * w),
                   mat(w, w), vec(w),
-                  pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+                  pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM), blk(w)],
         out_specs=[blk(w), blk(3 * w), blk(w), blk(w), blk(w)],
@@ -300,6 +357,8 @@ def fused_bert_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, g)
 
@@ -313,12 +372,13 @@ def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
         d_ln_scale = sum(dxn * xhat), d_ln_bias = sum(dxn) (via caller's xhat)
     """
     b, s, w = x.shape
+    tile = attn_bwd_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    blk = lambda c: pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((tile, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, eps=eps),
-        grid=(b,),
+        grid=(b // tile,),
         in_specs=[blk(w), vec(w), vec(w), mat(w, 3 * w), vec(3 * w),
                   mat(w, w), blk(w)],
         out_specs=[blk(w), blk(w), blk(w), blk(3 * w)],
@@ -328,6 +388,8 @@ def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
             jax.ShapeDtypeStruct((b, s, 3 * w), x.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, g)
 
@@ -337,6 +399,24 @@ def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
 # dropout). Per-sample recompute of LN -> fc1 -> act -> fc2 (+ the same
 # PRNG keep mask as the forward), then dx in the same VMEM pass.
 # ---------------------------------------------------------------------------
+
+
+def mlp_bwd_cell_tile(b: int, seq: int, width: int, inter: int,
+                      esize: int = 2) -> int:
+    """Batch tile for the MLP bwd kernel (row-parallel, so tiling just
+    fills the MXU row dim). fp32 h_pre/dact/dh + fp32 row buffers +
+    double-buffered io; both fc weights resident; vmem_limit 64MB."""
+    if width % 128:
+        return 1
+    weights = 2 * width * inter * esize
+    per = (seq * inter * 4 * 3                       # fp32 h_pre/dact/dh
+           + seq * width * 4 * 4                     # fp32 row buffers
+           + seq * (5 * width + 2 * inter) * esize * 2)  # io, dbl-buffered
+    t = max(1, (48 * 1024 * 1024 - weights) // per)
+    t = min(t, 8)
+    while t > 1 and b % t:
+        t -= 1
+    return int(t)
 
 
 def _act_and_grad(h_pre, act: str):
@@ -355,12 +435,12 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     dx_ref, xn_ref, h_ref, dhpre_ref, dproj_ref, lnstat_ref,
                     dxn_ref, *, act: str, eps: float, post_ln: bool,
                     hid_drop: float):
-    x = x_ref[0]
-    g = g_ref[0].astype(jnp.float32)
-    w = x.shape[-1]
-    seq = x.shape[0]
-    if hid_drop > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # the cell may hold T samples: the whole sub-block is row-parallel so
+    # everything flattens to [T*S, .]; only the PRNG keep-mask draws are
+    # per sample (seeded by GLOBAL index — the same stream at any tile)
+    t, seq, w = x_ref.shape
+    x = x_ref[:].reshape(t * seq, w)
+    g = g_ref[:].reshape(t * seq, w).astype(jnp.float32)
 
     # ---- forward recompute ----
     xf = x.astype(jnp.float32)
@@ -380,8 +460,13 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     proj = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     proj = proj + b2_ref[:].astype(jnp.float32)
     if hid_drop > 0.0:
-        keep = _keep_mask((seq, w), hid_drop)
-        proj = jnp.where(keep, proj * (1.0 / (1.0 - hid_drop)), 0.0)
+        mults = []
+        for tt in range(t):
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * t + tt)
+            mults.append(jnp.where(_keep_mask((seq, w), hid_drop),
+                                   1.0 / (1.0 - hid_drop), 0.0))
+        hmult = jnp.concatenate(mults, axis=0) if t > 1 else mults[0]
+        proj = proj * hmult
 
     # ---- backward ----
     if post_ln:
@@ -395,7 +480,7 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dproj = g
         lnstat = xhat
     if hid_drop > 0.0:
-        dproj = jnp.where(keep, dproj * (1.0 / (1.0 - hid_drop)), 0.0)
+        dproj = dproj * hmult
 
     dh = jax.lax.dot_general(dproj.astype(x.dtype), w2_ref[:],
                              (((1,), (1,)), ((), ())),
@@ -413,13 +498,15 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         mean_dx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         dx = du + rstd_in * (dxhat - mean_d - xhat * mean_dx)
 
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-    xn_ref[0] = xn.astype(xn_ref.dtype)
-    h_ref[0] = h.astype(h_ref.dtype)
-    dhpre_ref[0] = dh_pre.astype(dhpre_ref.dtype)
-    dproj_ref[0] = dproj.astype(dproj_ref.dtype)
-    lnstat_ref[0] = lnstat.astype(lnstat_ref.dtype)
-    dxn_ref[0] = dxn.astype(dxn_ref.dtype)
+    i = h.shape[-1]
+    sh3 = lambda c: (t, seq, c)
+    dx_ref[:] = dx.reshape(sh3(w)).astype(dx_ref.dtype)
+    xn_ref[:] = xn.reshape(sh3(w)).astype(xn_ref.dtype)
+    h_ref[:] = h.reshape(sh3(i)).astype(h_ref.dtype)
+    dhpre_ref[:] = dh_pre.reshape(sh3(i)).astype(dhpre_ref.dtype)
+    dproj_ref[:] = dproj.reshape(sh3(w)).astype(dproj_ref.dtype)
+    lnstat_ref[:] = lnstat.reshape(sh3(w)).astype(lnstat_ref.dtype)
+    dxn_ref[:] = dxn.reshape(sh3(w)).astype(dxn_ref.dtype)
 
 
 def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
@@ -438,13 +525,14 @@ def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    tile = mlp_bwd_cell_tile(b, s, w, i, jnp.dtype(x.dtype).itemsize)
     vec = lambda d: pl.BlockSpec((d,), lambda idx: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
-    blk = lambda c: pl.BlockSpec((1, s, c), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((tile, s, c), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, act=act, eps=eps, post_ln=post_ln,
                           hid_drop=hid_drop),
-        grid=(b,),
+        grid=(b // tile,),
         in_specs=[blk(w), vec(w), vec(w), mat(w, i), vec(i), mat(i, w),
                   vec(w), pl.BlockSpec(memory_space=pltpu.SMEM), blk(w)],
         out_specs=[blk(w), blk(w), blk(i), blk(i), blk(w), blk(w), blk(w)],
@@ -457,6 +545,8 @@ def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g)
 

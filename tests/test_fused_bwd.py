@@ -214,3 +214,68 @@ def test_chunked_attention_bwd_kernel_matches_vjp():
         assert err < 2e-3 * mag, (name, err, mag)
     assert attn_bwd_head_chunk(257, 1024, 16) is not None
     assert attn_bwd_head_chunk(257, 1280, 16) is not None  # ViT-H
+
+
+def test_bwd_kernels_batch_tiled():
+    """Lane-aligned width so the bwd cells hold tile > 1 samples: the
+    flattened [T*S, .] matmul phases must match the vjp oracle exactly
+    like the single-sample cells do."""
+    from nans_clip_tpu.ops.fused_block import _reference_mlp
+    from nans_clip_tpu.ops.fused_block_bwd import (attn_bwd_cell_tile,
+                                                   fused_attention_block_bwd,
+                                                   fused_bert_attention_block_bwd,
+                                                   fused_mlp_block_bwd,
+                                                   mlp_bwd_cell_tile)
+    B, S, W, I, H = 8, 20, 128, 512, 4
+    assert attn_bwd_cell_tile(B, S, W, H, 4) > 1
+    assert mlp_bwd_cell_tile(B, S, W, I, 4) > 1
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(W), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    wqkv = jnp.asarray(0.1 * rs.randn(W, 3 * W), jnp.float32)
+    bqkv = jnp.asarray(0.1 * rs.randn(3 * W), jnp.float32)
+    wo = jnp.asarray(0.1 * rs.randn(W, W), jnp.float32)
+    bo = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    g = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+
+    # --- ViT pre-LN attention ---
+    _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=H, eps=1e-5),
+                     x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    ref = vjp(g)
+    dx, xn, ctx, dqkv = fused_attention_block_bwd(
+        x, ln_s, ln_b, wqkv, bqkv, wo, g, H, 1e-5, INTERPRET)
+    assert float(jnp.abs(dx - ref[0]).max()) < 1e-3
+
+    # --- BERT post-LN masked attention ---
+    mask = np.ones((B, S), np.float32)
+    mask[:, 16:] = 0.0
+    key_bias = jnp.asarray((1.0 - mask) * -10000.0)
+    _, vjp = jax.vjp(
+        lambda *a: _reference_block(*a, heads=H, eps=1e-12,
+                                    key_bias=key_bias, post_ln=True),
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    ref = vjp(g)
+    dx, dqkv, ctx, dproj, uhat = fused_bert_attention_block_bwd(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo, key_bias, None, g, H, 1e-12,
+        0.0, 0.0, INTERPRET)
+    assert float(jnp.abs(dx - ref[0]).max()) < 1e-3
+    dwqkv = jnp.einsum("bsw,bsu->wu", x, dqkv)
+    assert float(jnp.abs(dwqkv - ref[3]).max()) < 1e-2
+
+    # --- MLP (both LN layouts) ---
+    w1 = jnp.asarray(0.1 * rs.randn(W, I), jnp.float32)
+    b1 = jnp.asarray(0.1 * rs.randn(I), jnp.float32)
+    w2 = jnp.asarray(0.1 * rs.randn(I, W), jnp.float32)
+    b2 = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+    for act, post_ln in (("quick_gelu", False), ("gelu", True)):
+        _, vjp = jax.vjp(
+            lambda *a: _reference_mlp(*a, act=act, eps=1e-5, post_ln=post_ln),
+            x, ln_s, ln_b, w1, b1, w2, b2)
+        ref = vjp(g)
+        dx, xn, h, dh_pre, dproj, lnstat, dxn = fused_mlp_block_bwd(
+            x, ln_s, ln_b, w1, b1, w2, b2, None, g, act, 1e-5, post_ln,
+            0.0, INTERPRET)
+        assert float(jnp.abs(dx - ref[0]).max()) < 2e-3, (act, post_ln)
+        dw1 = jnp.einsum("bsw,bsi->wi", xn, dh_pre)
+        assert float(jnp.abs(dw1 - ref[3]).max()) < 1e-2, (act, post_ln)
