@@ -590,6 +590,33 @@ def _wide_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
 def _wide_bwd(heads, eps, heads_per_chunk, interpret, batch_tile, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo = res
     if jax.default_backend() == "tpu":
+        from nans_clip_tpu.ops.fused_block_bwd import (
+            fits_attention_bwd, fused_attention_block_bwd)
+        if fits_attention_bwd(x.shape[1], x.shape[2], heads):
+            # one-shot bwd cell (fits with the raised 64MB vmem limit):
+            # measured faster than the head-chunked kernel at ViT-L
+            # (167.9 -> 174.7 pairs/s) — same assembly as _bwd above
+            dx, xn, ctx, dqkv = fused_attention_block_bwd(
+                x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, eps,
+                interpret)
+            gf = g.astype(jnp.float32)
+            dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv,
+                               preferred_element_type=jnp.float32)
+            dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+            dwo = jnp.einsum("bsw,bsu->wu", ctx, g,
+                             preferred_element_type=jnp.float32)
+            dbo = jnp.sum(gf, axis=(0, 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+            dxn = jnp.einsum("bsu,wu->bsw", dqkv.astype(jnp.float32),
+                             wqkv.astype(jnp.float32))
+            d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
+            d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
+            return (dx, d_scale, d_bias, dwqkv.astype(wqkv.dtype),
+                    dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                    dbo.astype(bo.dtype))
         # head-chunked bwd kernel: the XLA vjp fallback would materialize
         # [B, H, S, S] fp32 probs per layer (HBM OOM at ViT-H training)
         from nans_clip_tpu.ops.fused_block_bwd import (
