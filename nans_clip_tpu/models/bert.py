@@ -131,12 +131,13 @@ def bert_features(params: dict, input_ids: jax.Array,
 
     use_fused_mlp = False
     if use_fused:
-        from nans_clip_tpu.ops.fused_block import (fits_fused, fits_fused_mlp,
+        from nans_clip_tpu.ops.fused_block import (fits_fused,
+                                                   fits_fused_mlp_oneshot,
                                                    fused_bert_attention_block,
                                                    fused_mlp_block)
         from nans_clip_tpu.ops.fused_block_bwd import (fits_bert_attention_bwd,
                                                        fits_fused_mlp_bwd)
-        use_fused_mlp = (fits_fused_mlp(s, cfg.hidden_size)
+        use_fused_mlp = (fits_fused_mlp_oneshot(s, cfg.hidden_size)
                          and cfg.hidden_act == "gelu")
         use_fused = fits_fused(s, cfg.hidden_size)
         if not det:  # dropout active: the bwd kernels must also fit VMEM

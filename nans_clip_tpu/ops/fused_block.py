@@ -657,6 +657,17 @@ def fits_fused_mlp(seq: int, width: int) -> bool:
     return width <= MAX_FUSED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
 
 
+def fits_fused_mlp_oneshot(seq: int, width: int) -> bool:
+    """One-shot MLP kernel routing: classic widths always; wider towers
+    only at SHORT sequences (RoBERTa-large S=52, W=1024) where the cell
+    fits the raised 64MB vmem limit — what lets the large text tower run
+    fully fused (incl. in-kernel dropout; the chunk-streamed variants
+    have no dropout support)."""
+    if fits_fused_mlp(seq, width):
+        return True
+    return seq <= 64 and width <= 1024
+
+
 def _reference_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str,
                    eps: float, post_ln: bool):
     from nans_clip_tpu.ops.activations import ACT2FN
@@ -721,6 +732,10 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
     b, s, w = x.shape
     i = w1.shape[-1]
     assert b % tile == 0
+    # wide one-shot cells (RoBERTa-large W=1024: fc weights alone 16.8MB)
+    # exceed the 16MB default scoped-vmem budget — raise the limit
+    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+              if w > MAX_FUSED_MLP_WIDTH else None)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     else:
@@ -739,6 +754,7 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
         out_specs=pl.BlockSpec((tile, s, w), lambda idx: (idx, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=params,
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed)
 
@@ -754,7 +770,10 @@ def mlp_cell_tile(b: int, seq: int, width: int, inter: int,
     per_sample = seq * (inter * (4 + 2 * esize) + width * 6 * esize)
     if dropout:
         per_sample += _rup(seq, 8) * width * 4     # live hidden keep mask
-    t = max(1, (14 * 1024 * 1024 - weights) // per_sample)
+    # W <= 768 keeps the measured 14MB budget (16MB default scoped vmem);
+    # wide short-seq cells run with vmem_limit raised to 64MB
+    budget = (40 if width > MAX_FUSED_MLP_WIDTH else 14) * 1024 * 1024
+    t = max(1, (budget - weights) // per_sample)
     t = min(t, 8)
     while t > 1 and b % t:
         t -= 1
@@ -961,7 +980,7 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
     fwd rule (they must agree: the one-shot kernel's fc weights exceed VMEM
     at widths the tiled variant exists for)."""
     w = x.shape[-1]
-    if w > MAX_FUSED_MLP_WIDTH:
+    if not fits_fused_mlp_oneshot(x.shape[1], w):
         assert hid_drop == 0.0, "tiled MLP kernel has no dropout support"
         i = w1.shape[-1]
         esize = jnp.dtype(x.dtype).itemsize

@@ -69,7 +69,12 @@ def fits_fused_mlp_bwd(seq: int, width: int) -> bool:
     cutoff."""
     weights = 2 * width * 4 * width * 2
     inter = 3 * _rup(seq, 8) * 4 * width * 4
-    return weights + inter < 13 * 1024 * 1024
+    if weights + inter < 13 * 1024 * 1024:
+        return True
+    # short-seq wide towers (RoBERTa-large S=52, W=1024): the ~22MB cell
+    # fits the raised 64MB vmem limit, and fusing is what keeps dropout
+    # training on the kernel path (PRNG stream regeneration)
+    return seq <= 64 and width <= 1024
 
 
 def _ln_fwd_stats(u, gamma_ref, eps):

@@ -189,3 +189,31 @@ def test_dropout_grads_match_finite_difference_tiled():
         fd = (float(fj(x + eps * v)) - float(fj(x - eps * v))) / (2 * eps)
         an = float(jnp.vdot(g, v))
         assert abs(fd - an) < 5e-2 * max(1.0, abs(an)), (fd, an)
+
+
+def test_wide_mlp_dropout_grads_finite_difference():
+    """RoBERTa-large MLP shape (W=1024, I=4096, S=52): the one-shot MLP
+    kernel newly routed at short-seq wide towers, dropout in-kernel,
+    fwd/bwd PRNG streams must agree (custom_vjp vs finite differences)."""
+    import nans_clip_tpu.ops.fused_block as fb
+
+    rs = np.random.RandomState(11)
+    B, S, W, I = 4, 52, 1024, 4096
+    assert fb.fits_fused_mlp_oneshot(S, W)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    margs = (jnp.ones((W,), jnp.float32), jnp.zeros((W,), jnp.float32),
+             jnp.asarray(0.05 * rs.randn(W, I), jnp.float32),
+             jnp.zeros((I,), jnp.float32),
+             jnp.asarray(0.05 * rs.randn(I, W), jnp.float32),
+             jnp.zeros((W,), jnp.float32))
+    seed = jnp.int32(23)
+    f = lambda x: jnp.sum(jnp.sin(fused_mlp_block(
+        x, *margs, "gelu", 1e-12, True, False, 0.1, seed)))
+    g = jax.jit(jax.grad(f))(x)
+    fj = jax.jit(f)
+    for _ in range(2):
+        v = jnp.asarray(rs.randn(*x.shape), jnp.float32)
+        eps = 1e-3
+        fd = (float(fj(x + eps * v)) - float(fj(x - eps * v))) / (2 * eps)
+        an = float(jnp.vdot(g, v))
+        assert abs(fd - an) < 5e-2 * max(1.0, abs(an)), (fd, an)
