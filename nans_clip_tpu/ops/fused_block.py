@@ -197,6 +197,9 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
     # (global index), matching the bwd kernels' one-sample-per-cell streams
     tile = attn_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize,
                           dropout=attn_drop > 0.0 or hid_drop > 0.0)
+    # H-class one-shot cells exceed the 16MB default scoped-vmem budget
+    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+              if w > MAX_FUSED_WIDTH else None)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -213,6 +216,7 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
         out_specs=pl.BlockSpec((tile, s, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=params,
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed)
 
@@ -376,7 +380,11 @@ def fused_bert_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
 
 
 def fits_fused(seq: int, width: int) -> bool:
-    return width <= MAX_FUSED_WIDTH and seq <= MAX_FUSED_SEQ
+    if width <= MAX_FUSED_WIDTH and seq <= MAX_FUSED_SEQ:
+        return True
+    # H-class one-shot cells (W=1280: weights 13.1MB + ~11.5MB/sample)
+    # fit once _fused_call raises vmem_limit to 64MB for W > 1024
+    return width <= 1280 and seq <= 320
 
 
 # ---------------------------------------------------------------------------
