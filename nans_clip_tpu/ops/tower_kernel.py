@@ -35,7 +35,7 @@ def _tower_kernel(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
                   bo_ref, s2_ref, b2_ref, w1_ref, bm1_ref, w2_ref, bm2_ref,
                   o_ref, xs_ref, *, heads: int, eps: float, act: str,
                   post_ln: bool, masked: bool, n_layers: int, batch: int):
-    l = pl.program_id(0)
+    l = pl.program_id(1)               # grid (batch_tile, layer), layer fastest
     rows, w = xs_ref.shape
     s0 = rows // batch
     dh = w // heads
@@ -106,22 +106,36 @@ def _tower_kernel(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
     o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-def fits_tower(b: int, s: int, w: int, inter: int, esize: int = 2) -> bool:
-    """VMEM gate: double-buffered per-layer weights + live activations.
-    The serving shapes this kernel exists for (batch <= ~32 text,
-    <= ~8 image) fit comfortably; big-batch throughput paths route the
-    per-sub-block kernels instead."""
+def tower_batch_tile(b: int, s: int, w: int, inter: int,
+                     esize: int = 2) -> int:
+    """Samples per tower cell. The grid is (B/tile, L): within one batch
+    tile the activations never leave VMEM across all L layers; a new tile
+    re-streams the weights (L blocks), so bigger tiles amortize weight
+    traffic. Budget: double-buffered per-layer weights + live activations
+    against the raised 110MB vmem limit."""
     if w % 128 or w > 768:
-        # w > 768 (RoBERTa-large / ViT-L+) would double-buffer >= 50MB of
-        # weights — unmeasured VMEM pressure; route per-sub-block kernels
-        # until validated on hardware.
-        return False
+        # w > 768 would double-buffer >= 50MB of weights — unmeasured VMEM
+        # pressure; route per-sub-block kernels until validated.
+        return 0
     weights = 2 * (4 * w * w + 2 * w * inter) * esize   # double-buffered
-    rows = b * s
-    acts = rows * (3 * w * 4          # fp32 qkv
-                   + inter * 4        # fp32 h
-                   + w * (4 * esize + 4))  # x/xn/ctx/out + scratch
-    return weights + acts <= 100 * 1024 * 1024
+    per = s * (3 * w * 4              # fp32 qkv
+               + inter * 4            # fp32 h
+               + w * (4 * esize + 4))  # x/xn/ctx/out + scratch
+    t = (100 * 1024 * 1024 - weights) // per
+    t = min(t, 32, b)
+    while t > 1 and b % t:
+        t -= 1
+    return int(max(t, 0))
+
+
+def fits_tower(b: int, s: int, w: int, inter: int, esize: int = 2) -> bool:
+    """Route the tower kernel only while weight re-streaming stays
+    bounded (<= 4 batch tiles): it wins decisively at serving batches
+    (1.2-1.5x, see PARITY) but at bs256 the per-tile weight re-streams
+    cancel the saved activation round trips (measured 3100 vs 3121
+    pairs/s — noise); the per-sub-block kernels keep the big batches."""
+    t = tower_batch_tile(b, s, w, inter, esize)
+    return t >= 1 and b <= 4 * t
 
 
 def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
@@ -132,7 +146,10 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
 
     All parameter arrays are layer-stacked ([L, ...]); ln1 is the
     attention-side LayerNorm (pre-LN for ViT, post-LN for BERT), ln2 the
-    MLP-side. ``key_bias``: [B, 1, S] additive mask or None.
+    MLP-side. ``key_bias``: [B, 1, S] additive mask or None. The grid is
+    (B/tile, L) with the layer axis fastest: each batch tile's
+    activations stay in the VMEM scratch across all L layers (no
+    inter-layer HBM round trips), weights re-stream once per batch tile.
     """
     b, s, w = x.shape
     L = wqkv.shape[0]
@@ -142,24 +159,26 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
         key_bias = jnp.zeros((b, 1, s), jnp.float32)
     else:
         key_bias = jnp.asarray(key_bias, jnp.float32).reshape(b, 1, s)
+    tile = tower_batch_tile(b, s, w, inter, jnp.dtype(x.dtype).itemsize)
+    assert tile >= 1 and b % tile == 0, (b, s, w, tile)
 
     # [L, d] stacked vectors must present [L, 1, d] blocks: a (1, d) tail
     # is only tile-legal when the sublane dim equals the array's (the same
     # singleton trick as the wide kernel's bqkv re-lay)
     r3 = lambda a: a.reshape(a.shape[0], 1, a.shape[1])
-    cst = lambda *shape: pl.BlockSpec(shape, lambda l: (0,) * len(shape),
+    bat = lambda *shape: pl.BlockSpec(shape, lambda bt, l: (bt,) + (0,) * (len(shape) - 1),
                                       memory_space=pltpu.VMEM)
     lyr = lambda *shape: pl.BlockSpec((1,) + shape,
-                                      lambda l: (l,) + (0,) * len(shape),
+                                      lambda bt, l: (l,) + (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_tower_kernel, heads=heads, eps=eps, act=act,
                           post_ln=post_ln, masked=masked, n_layers=L,
-                          batch=b),
-        grid=(L,),
+                          batch=tile),
+        grid=(b // tile, L),
         in_specs=[
-            cst(b, s, w),              # x (fetched once: constant index)
-            cst(b, 1, s),              # key_bias
+            bat(tile, s, w),           # x (fetched once per batch tile)
+            bat(tile, 1, s),           # key_bias
             lyr(1, w), lyr(1, w),      # ln1 scale/bias
             lyr(w, 3 * w), lyr(1, 3 * w),  # wqkv/bqkv
             lyr(w, w), lyr(1, w),      # wo/bo
@@ -167,11 +186,11 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
             lyr(w, inter), lyr(1, inter),  # w1/b1
             lyr(inter, w), lyr(1, w),  # w2/b2
         ],
-        out_specs=cst(b, s, w),
+        out_specs=bat(tile, s, w),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((b * s, w), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((tile * s, w), x.dtype)],
         # double-buffered per-layer weights alone exceed the default 16MB
-        # scoped-vmem budget; raise it (the fits_tower gate keeps the true
+        # scoped-vmem budget; raise it (tower_batch_tile keeps the true
         # footprint under ~100MB of the chip's 128MB VMEM)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),

@@ -52,7 +52,8 @@ def test_fused_block_grads():
 def test_fits_fused():
     assert fits_fused(197, 768)
     assert fits_fused(577, 1024)
-    assert not fits_fused(197, 1280)  # ViT-H falls back
+    assert fits_fused(257, 1280)       # ViT-H one-shot (raised vmem limit)
+    assert not fits_fused(577, 1280)   # H@336px -> wide chunked kernels
     assert not fits_fused(1024, 768)
 
 

@@ -61,11 +61,38 @@ def test_tower_matches_oracle(post_ln, act, masked, B, S, W, I, heads):
 
 
 def test_fits_tower_gate():
+    from nans_clip_tpu.ops.tower_kernel import tower_batch_tile
     assert fits_tower(1, 52, 768, 3072)      # text batch-1
     assert fits_tower(32, 52, 768, 3072)     # text batch-32
     assert fits_tower(8, 197, 768, 3072)     # ViT-B batch-8
-    assert not fits_tower(256, 197, 768, 3072)   # throughput path
+    # throughput shapes run the (batch_tile, layer) grid
+    assert tower_batch_tile(256, 197, 768, 3072) == 8
+    assert tower_batch_tile(256, 52, 768, 3072, 4) >= 8
     assert not fits_tower(1, 52, 769, 3072)  # lane alignment
+    assert not fits_tower(64, 257, 1024, 4096)  # ViT-L: unvalidated width
+
+
+def test_tower_batch_tiled_grid():
+    """(batch_tile, layer) grid: B > tile exercises the per-tile scratch
+    re-init and weight re-streaming."""
+    import nans_clip_tpu.ops.tower_kernel as tk
+    B, S, W, I, heads = 6, 12, 128, 512, 4
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    p = _stacked(3, W, I, seed=4)
+    orig = tk.tower_batch_tile
+    tk.tower_batch_tile = lambda *a, **k: 2    # force B=6 into 3 tiles
+    try:
+        out = fused_tower(x, None, p["ln1_s"], p["ln1_b"], p["wqkv"],
+                          p["bqkv"], p["wo"], p["bo"], p["ln2_s"],
+                          p["ln2_b"], p["w1"], p["b1"], p["w2"], p["b2"],
+                          heads, 1e-5, "quick_gelu", False,
+                          interpret=INTERPRET)
+    finally:
+        tk.tower_batch_tile = orig
+    ref = _oracle(x, p, heads, 1e-5, "quick_gelu", False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_tower_routing_through_encode():
