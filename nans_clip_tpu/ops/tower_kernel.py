@@ -113,9 +113,10 @@ def tower_batch_tile(b: int, s: int, w: int, inter: int,
     re-streams the weights (L blocks), so bigger tiles amortize weight
     traffic. Budget: double-buffered per-layer weights + live activations
     against the raised 110MB vmem limit."""
-    if w % 128 or w > 768:
-        # w > 768 would double-buffer >= 50MB of weights — unmeasured VMEM
-        # pressure; route per-sub-block kernels until validated.
+    if w % 128 or w > 1024:
+        # W=1280+ would double-buffer >= 77MB of weights before any
+        # activations; route per-sub-block kernels there. W=1024 (ViT-L /
+        # RoBERTa-large) double-buffers 50MB and is TPU-validated.
         return 0
     weights = 2 * (4 * w * w + 2 * w * inter) * esize   # double-buffered
     per = s * (3 * w * 4              # fp32 qkv
