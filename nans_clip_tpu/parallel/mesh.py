@@ -63,24 +63,55 @@ _TP_RULES_2D = {
 }
 
 
-def param_spec(path: tuple, leaf) -> P:
-    """PartitionSpec for one parameter, by its pytree path."""
+# Leaves smaller than this stay replicated under FSDP: gathering a few KB
+# per step costs more in collective latency than the storage it frees.
+_FSDP_MIN_SIZE = 65536
+
+
+def param_spec(path: tuple, leaf, fsdp: int = 1) -> P:
+    """PartitionSpec for one parameter, by its pytree path.
+
+    ``fsdp`` > 1 additionally shards the largest TP-free dimension that
+    divides by the data-axis size over ``data`` — ZeRO-3-style fully-sharded
+    storage of parameters (and, since optimizer init inherits input
+    shardings, of the Adam moments). Compute is unchanged: XLA's SPMD
+    partitioner inserts the per-use all-gather and turns the gradient
+    all-reduce into reduce-scatter where the cotangent feeds a sharded
+    update — the TPU-native equivalent of torch FSDP, which the reference
+    (DDP-only, training/main.py:135) does not have. Storage per chip drops
+    from P·(4+8) bytes (bf16 params + fp32 Adam) toward that ÷ data_size:
+    the lever past the documented ViT-H 16 GB HBM ceiling (PARITY.md)."""
     name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    spec = P()
     if leaf.ndim == 3 and name in _TP_RULES_3D:
-        return _TP_RULES_3D[name]
-    if leaf.ndim == 2 and name in _TP_RULES_2D:
-        return _TP_RULES_2D[name]
-    return P()
+        spec = _TP_RULES_3D[name]
+    elif leaf.ndim == 2 and name in _TP_RULES_2D:
+        spec = _TP_RULES_2D[name]
+    if fsdp <= 1 or leaf.size < _FSDP_MIN_SIZE:
+        return spec
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    free = [d for d in range(leaf.ndim)
+            if entries[d] is None and leaf.shape[d] % fsdp == 0]
+    if not free:
+        return spec
+    d = max(free, key=lambda i: leaf.shape[i])
+    entries[d] = DATA_AXIS
+    return P(*entries)
 
 
-def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree for a CLIP parameter pytree (TP over 'model')."""
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding pytree for a CLIP parameter pytree (TP over 'model',
+    optional FSDP over 'data'). Also valid for any pytree that mirrors the
+    parameter names/shapes (Adam moments): the rules key on the LAST path
+    entry and the leaf shape only."""
+    n = mesh.shape[DATA_AXIS] if fsdp else 1
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params)
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, fsdp=n)),
+        params)
 
 
-def shard_params(params, mesh: Mesh):
-    return jax.device_put(params, param_shardings(params, mesh))
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    return jax.device_put(params, param_shardings(params, mesh, fsdp=fsdp))
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -35,7 +35,9 @@ from nans_clip_tpu.parallel import create_mesh, shard_params
 from nans_clip_tpu.parallel.distributed import global_batch_from_host_batch
 from nans_clip_tpu.training.params import parse_args
 from nans_clip_tpu.training.trainer import (TrainConfig, create_train_state,
-                                            make_eval_step, make_train_step)
+                                            make_eval_step, make_train_step,
+                                            shard_train_state,
+                                            train_state_shardings)
 from nans_clip_tpu.utils.checkpoint import (latest_exists, restore_checkpoint,
                                             save_checkpoint)
 from nans_clip_tpu.utils.torch_interop import (load_torch_state_dict,
@@ -167,8 +169,14 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.logs, args.name, "checkpoints")
 
     with jax.set_mesh(mesh):
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=args.fsdp)
         state = create_train_state(params, batch_stats, tcfg)
+        # Optimizer init mostly inherits the param shardings (zeros_like),
+        # but not everywhere (the compact-Adam state is built with fresh
+        # zeros) — commit the whole state explicitly, and pin the train
+        # step's OUTPUT to the same tree so FSDP storage stays sharded.
+        state = shard_train_state(state, mesh, fsdp=args.fsdp)
+        state_sh = train_state_shardings(state, mesh, fsdp=args.fsdp)
 
         # auto-resume (reference main.py:201-237)
         start_epoch, start_step = 0, 0
@@ -187,7 +195,8 @@ def main(argv=None):
                 logging.info("resumed from %s (epoch %d, step %d)",
                              resume_tag, start_epoch, start_step)
 
-        train_step = make_train_step(cfg, tcfg, options, teacher=teacher)
+        train_step = make_train_step(cfg, tcfg, options, teacher=teacher,
+                                     state_shardings=state_sh)
         eval_step = make_eval_step(cfg, options)
         rng = jax.random.PRNGKey(args.seed)
 

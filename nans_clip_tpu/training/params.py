@@ -95,6 +95,10 @@ def parse_args(argv=None):
     p.add_argument("--label-smoothing", type=float, default=0.0)
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis size")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully shard params + Adam moments over the data "
+                        "axis (ZeRO-3 storage; XLA inserts the per-use "
+                        "all-gather / gradient reduce-scatter)")
     # misc
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax platform (the axon sitecustomize hook "

@@ -177,6 +177,24 @@ def create_train_state(params, batch_stats, tcfg: TrainConfig) -> TrainState:
                       opt_state=tx.init(params), batch_stats=batch_stats or {})
 
 
+def train_state_shardings(state: TrainState, mesh, fsdp: bool = False):
+    """NamedSharding pytree covering the WHOLE TrainState (params, Adam
+    moments, counters). The param rules (parallel/mesh.py) key on the last
+    path entry + leaf shape, and the optimizer moments mirror the parameter
+    dict inside ``ScaleByAdamState``, so one path-keyed map shards both
+    identically; scalars and batch_stats fall through to replicated."""
+    from jax.sharding import NamedSharding
+    from nans_clip_tpu.parallel.mesh import DATA_AXIS, param_spec
+    n = mesh.shape[DATA_AXIS] if fsdp else 1
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, fsdp=n)),
+        state)
+
+
+def shard_train_state(state: TrainState, mesh, fsdp: bool = False) -> TrainState:
+    return jax.device_put(state, train_state_shardings(state, mesh, fsdp=fsdp))
+
+
 def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
     """Both-tower features, optionally scanning accum_freq microbatches with
     remat (full-negative grad accumulation)."""
@@ -223,11 +241,17 @@ def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
 
 def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
                     teacher: Optional[Tuple[CLIPConfig, Any]] = None,
-                    constrain: bool = True) -> Callable:
+                    constrain: bool = True,
+                    state_shardings: Optional[TrainState] = None) -> Callable:
     """Build the jitted train step. ``teacher``: (teacher_cfg, teacher_params)
     for distillation. Teacher params are threaded as a traced argument —
     closing a large pytree into the jaxpr embeds it as XLA constants and
-    blows up compile time."""
+    blows up compile time.
+
+    ``state_shardings`` (a ``train_state_shardings`` tree) pins the OUTPUT
+    state to those shardings. Required for FSDP: without the constraint the
+    partitioner may materialize updated params/moments replicated, undoing
+    the sharded-storage memory saving the input shardings bought."""
     teacher_opts = ModelOptions(attn_impl=options.attn_impl,
                                 compute_dtype=options.compute_dtype)
     teacher_cfg = teacher[0] if teacher is not None else None
@@ -260,6 +284,8 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
                   "logit_scale": jnp.clip(params["logit_scale"], max=LOGIT_SCALE_MAX)}
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, batch_stats=new_stats)
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(new_state, state_shardings)
         return new_state, {"loss": loss, **metrics}
 
     jitted = jax.jit(step_fn, donate_argnums=(0,))

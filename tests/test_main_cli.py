@@ -51,3 +51,27 @@ def test_train_resume_cycle(data_dir, tmp_path):
     state2 = train_main(common + ["--max-epochs", "2"])
     assert int(state2.step) == 4
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch2"))
+
+
+def test_train_fsdp_cycle(data_dir, tmp_path, monkeypatch):
+    """--fsdp: params + Adam moments stored sharded over 'data', full
+    train -> Orbax checkpoint -> auto-resume cycle (restore must rebuild
+    the sharded arrays from the sharded-state template)."""
+    from nans_clip_tpu.parallel import mesh as mesh_mod
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 1024)
+    logs = str(tmp_path / "logs")
+    common = [
+        "--train-data", data_dir,
+        "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+        "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+        "--log-interval", "1", "--logs", logs, "--name", "fsdp_test",
+        "--num-workers", "2", "--fsdp", "--tp", "2",
+    ]
+    state = train_main(common + ["--max-epochs", "1"])
+    assert int(state.step) == 4  # 32 pairs / (bs2 x data4) = 4 steps
+    wqkv = state.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "data" in str(wqkv.sharding.spec)
+    state2 = train_main(common + ["--max-epochs", "2"])
+    assert int(state2.step) == 8
+    wqkv2 = state2.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "data" in str(wqkv2.sharding.spec)
