@@ -161,8 +161,26 @@ def bert_features(params: dict, input_ids: jax.Array,
                 enc["mlp"]["w2"], enc["mlp"]["b2"], heads,
                 cfg.layer_norm_eps, "gelu", True, interpret=fused_interpret)
 
+    # Deterministic forwards at one-shot shapes: whole-layer kernel (see
+    # models/vit.py note; ops/layer_kernel.py).
+    use_layer = False
+    if use_fused and use_fused_mlp and det and cfg.hidden_act == "gelu":
+        from nans_clip_tpu.ops.layer_kernel import (fused_layer_block,
+                                                    route_layer)
+        use_layer = route_layer(b, s, cfg.hidden_size, cfg.intermediate_size,
+                                jnp.dtype(x.dtype).itemsize)
+
     def layer(carry, lp):
         x, idx = carry
+        if use_layer:
+            x = fused_layer_block(
+                x, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"], lp["attn"]["wo"],
+                lp["attn"]["bo"], lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"], lp["mlp"]["w2"],
+                lp["mlp"]["b2"], heads, cfg.layer_norm_eps, "gelu", True,
+                key_bias=key_bias, interpret=fused_interpret)
+            return (x, idx + 1), None
         if det:
             a_rng = h1 = h2 = seed_a = seed_m = None
         else:

@@ -195,7 +195,26 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
             options.attn_impl == "fused" or not options.deterministic)
         use_fused = fits_fused(x.shape[1], cfg.width)
 
+    # Deterministic forwards at one-shot shapes: the whole-LAYER kernel
+    # (attn + MLP in one pallas_call, ops/layer_kernel.py) removes the
+    # hidden-state HBM round trip between the sub-blocks and halves the
+    # launches. Training keeps the split (per-sub-block custom_vjps).
+    use_layer = False
+    if use_fused and use_fused_mlp and options.deterministic:
+        from nans_clip_tpu.ops.layer_kernel import (fused_layer_block,
+                                                    route_layer)
+        use_layer = route_layer(x.shape[0], x.shape[1], cfg.width,
+                                4 * cfg.width, jnp.dtype(x.dtype).itemsize)
+
     def block(x, lp):
+        if use_layer:
+            return fused_layer_block(
+                x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"], lp["attn"]["wo"],
+                lp["attn"]["bo"], lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"], lp["mlp"]["w2"],
+                lp["mlp"]["b2"], heads, 1e-5, "quick_gelu", False,
+                interpret=fused_interpret)
         if use_fused:
             x = fused_attention_block(x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
                                       lp["attn"]["wqkv"], lp["attn"]["bqkv"],

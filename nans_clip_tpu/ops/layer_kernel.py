@@ -34,8 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nans_clip_tpu.ops.fused_block import (MAX_FUSED_SEQ, _erf, _ln,
-                                           attn_cell_tile, mlp_cell_tile)
+from nans_clip_tpu.ops.fused_block import MAX_FUSED_SEQ, _erf, _ln, _rup
 
 
 def _layer_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
@@ -104,13 +103,43 @@ def _layer_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
 
 def layer_cell_tile(b: int, seq: int, width: int, inter: int,
                     esize: int = 2) -> int:
-    """Batch tile: the largest tile BOTH sub-block estimators admit (their
-    live sets don't overlap peak-to-peak, so the min is conservative)."""
-    t = min(attn_cell_tile(b, seq, width, max(1, width // 64), esize),
-            mlp_cell_tile(b, seq, width, inter, esize))
+    """Batch tile against the kernel's OWN budget (both weight sets
+    resident + both sub-blocks' per-sample live sets, inside the raised
+    64 MB scoped-vmem limit with io-double-buffer headroom) — the
+    sub-block estimators' 14 MB budgets would cap the tile at the MLP's
+    answer and throw away the attention part's row fill at short seqs."""
+    heads = max(1, width // 64)
+    weights = 12 * width * width * esize
+    attn_ps = (seq * 3 * width * 4 + heads * _rup(seq, 8) * seq * 4
+               + seq * width * 5 * esize)
+    mlp_ps = seq * (inter * (4 + 2 * esize) + width * 6 * esize)
+    t = max(1, (48 * 1024 * 1024 - weights) // (attn_ps + mlp_ps))
+    t = min(t, 8)
     while t > 1 and b % t:
         t -= 1
     return int(t)
+
+
+# Models route the whole-layer kernel for deterministic forwards when this
+# is on (and route_layer admits the shape); kept as a module switch so
+# hardware A/Bs can flip it per-process. Hardware verdict (v5e, bs256,
+# 12-layer scan, same-process A/Bs):
+#   * text S=52 tile=8 WINS 1.040x (13447 vs 12932 samples/s) — at short
+#     seqs the combined cell keeps the attention part's 8-sample row fill
+#     AND drops the inter-sub-block HBM round trip;
+#   * image S=197 tile=1 LOSES 0.963x (4032 vs 4188 img/s — the bigger
+#     kernel's VMEM footprint costs more pipelining than the saved round
+#     trip buys).
+# Hence the tile >= 4 routing gate: row-fill is what pays. (S=197 rows
+# already fill the MXU alone; historical tile=2 attention A/Bs at ViT
+# shapes also lost, fused_block.py:attn_cell_tile docstring.)
+ROUTE = True
+
+
+def route_layer(b: int, seq: int, width: int, inter: int,
+                esize: int = 2) -> bool:
+    return (ROUTE and fits_layer(seq, width, inter)
+            and layer_cell_tile(b, seq, width, inter, esize) >= 4)
 
 
 def fits_layer(seq: int, width: int, inter: int) -> bool:

@@ -70,6 +70,46 @@ def test_layer_kernel_tile_invariance():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_layer_routing_through_encode(monkeypatch):
+    """With the tower gate off, deterministic fused encodes route the
+    whole-layer kernel (interpret off-TPU) and must equal the XLA path."""
+    from nans_clip_tpu import configs as C
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip
+    import nans_clip_tpu.ops.layer_kernel as lk
+    import nans_clip_tpu.ops.tower_kernel as tk
+
+    cfg = C.CLIPConfig(
+        embed_dim=64,
+        vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                              width=128, patch_size=16, head_width=32),
+        text=C.TextConfig(hidden_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=512),
+        name="tiny128")
+    monkeypatch.setattr(tk, "fits_tower", lambda *a, **k: False)
+    monkeypatch.setattr(lk, "ROUTE", True)
+    calls = []
+    orig = lk.fused_layer_block
+    monkeypatch.setattr(lk, "fused_layer_block",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    params, _ = init_clip(jax.random.PRNGKey(1), cfg)
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(8, 32, 32, 3), jnp.float32)
+    texts = np.zeros((8, 52), np.int32)
+    texts[:, 0] = 101
+    texts[:, 1:12] = rs.randint(1000, 20000, (8, 11))
+    texts[:, 12] = 102
+    texts = jnp.asarray(texts)
+
+    for enc, data in ((encode_image, images), (encode_text, texts)):
+        ref = enc(params, cfg, data, ModelOptions(attn_impl="xla"))
+        calls.clear()
+        out = enc(params, cfg, data, ModelOptions(attn_impl="fused"))
+        assert calls, "whole-layer kernel was not routed"
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-4)
+
+
 def test_fits_layer_gates():
     assert fits_layer(197, 768, 3072)        # ViT-B
     assert fits_layer(52, 1024, 4096)        # RoBERTa-large
