@@ -166,23 +166,24 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     use_wide = False
     if use_fused:
         from nans_clip_tpu.ops.fused_block import (fits_fused,
+                                                   fits_fused_mlp_oneshot,
                                                    fits_fused_wide,
                                                    fused_attention_block,
                                                    fused_attention_block_wide,
                                                    fused_mlp_block,
                                                    fused_mlp_routable)
-        # One-shot widths always; L-class regrid widths (<= 1024) always
-        # too — measured a tie-or-better vs the XLA MLP at inference (787
-        # vs 766 img/s at L bs64) and its custom_vjp's block-input-only
-        # residuals are what make ViT-L fit HBM in training (the inline
-        # XLA MLP under scan saves [L, B, S, 4W] gelu intermediates).
-        # H-class widths (> 1024) only when TRAINING or forced: there the
-        # chunk streaming costs ~10% for pure inference (302 vs 337 img/s
-        # at H bs16), so deterministic forwards route the XLA MLP.
+        # One-shot widths always. Chunk-streamed widths (ViT-L/H image
+        # shapes) only when TRAINING or forced: there the fused MLP's
+        # custom_vjp stores only block inputs — what makes ViT-L/H fit HBM
+        # (the inline XLA MLP under scan saves [L, B, S, 4W] gelu
+        # intermediates, 12 GB at L bs64) — but for pure inference XLA is
+        # faster (L bs64 full-encode same-process A/B: 793.9 XLA vs 729.3
+        # regrid tile2 / 736.3 tile4 img/s; H: 337 vs 302 tiled), so
+        # deterministic forwards route the XLA MLP.
         use_fused_mlp = fused_mlp_routable(
             x.shape[0], x.shape[1], cfg.width, 4 * cfg.width,
             jnp.dtype(x.dtype).itemsize) and (
-                cfg.width <= 1024
+                fits_fused_mlp_oneshot(x.shape[1], cfg.width)
                 or options.attn_impl == "fused"
                 or not options.deterministic)
         # ViT-H class: the wide fused kernel only pays in TRAINING — its

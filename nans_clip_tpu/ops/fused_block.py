@@ -948,10 +948,16 @@ def _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
     # Mosaic refuses; 2-D rows always get the standard tiled layout
     row = lambda d: pl.BlockSpec((1, d), lambda bb, cc: (0, 0),
                                  memory_space=pltpu.VMEM)
+    # Mosaic double-buffers the streamed weight chunks AND the in/out
+    # blocks across grid steps, so the cell's true VMEM footprint is ~2x
+    # the mlp_batch_tile estimate (ViT-L tile=2: 16.71M > the 16M default
+    # scoped-vmem limit). Raise the limit like the other wide kernels.
     return pl.pallas_call(
         functools.partial(_mlp_batched_kernel, act=act, eps=eps,
                           post_ln=post_ln, n_chunks=n_chunks),
         grid=(b // tile, n_chunks),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
             row(w), row(w),
