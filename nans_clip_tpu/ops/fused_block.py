@@ -470,6 +470,8 @@ def _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((heads, s, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
 
@@ -550,6 +552,8 @@ def _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
         # ctx is written once per head (no accumulation), so the scratch
         # can be input-precision — halves the dominant VMEM term
         scratch_shapes=[pltpu.VMEM((tile, heads, s, dh), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
 
@@ -854,6 +858,8 @@ def _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((s, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
 
@@ -1157,6 +1163,8 @@ def _partial_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias, heads,
         out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias)
 
@@ -1233,6 +1241,8 @@ def _mlp_partial_call(x, ln_scale, ln_bias, w1, b1, w2, act, eps, pre_ln,
         out_specs=pl.BlockSpec((1, s, w), lambda idx: (idx, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2)
 

@@ -678,6 +678,8 @@ def fused_mlp_block_bwd_chunked(x, ln_scale, ln_bias, w1, b1, w2, g,
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((tile * s, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, g)
 
@@ -841,6 +843,8 @@ def fused_attention_block_bwd_chunked(x, ln_scale, ln_bias, wqkv, bqkv, wo,
             jax.ShapeDtypeStruct((b, n_chunks, s, 3 * hpc * dh), x.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((s, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, g)
 
