@@ -197,9 +197,12 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
     # (global index), matching the bwd kernels' one-sample-per-cell streams
     tile = attn_cell_tile(b, s, w, heads, jnp.dtype(x.dtype).itemsize,
                           dropout=attn_drop > 0.0 or hid_drop > 0.0)
-    # H-class one-shot cells exceed the 16MB default scoped-vmem budget
+    # H-class one-shot cells exceed the 16MB default scoped-vmem budget,
+    # and so do long-seq W=1024 cells (ViT-L-336 S=577 needs 18.4MB: it
+    # compiled inside the train step, where sibling 64MB-pinned calls
+    # raise the module budget, but failed standalone at the 16MB default)
     params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-              if w > MAX_FUSED_WIDTH else None)
+              if w > MAX_FUSED_WIDTH or s > 320 else None)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -984,11 +987,23 @@ def _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
 def mlp_batch_tile(b: int, seq: int, width: int, inter: int,
                    chunk: int, esize: int = 2) -> int:
     """Largest batch tile whose cell fits the VMEM budget (x + out bf16,
-    acc fp32, h fp32 per chunk, plus the weight chunks)."""
+    acc fp32, h fp32 per chunk, plus the weight chunks). The call pins
+    vmem_limit_bytes=64MB and the true footprint is ~2x this estimate
+    (Mosaic double-buffers weight chunks + in/out blocks), so the 26MB
+    budget targets ~52-56MB real. Routing matters beyond speed: tile > 1
+    is what routes fused_mlp_block for wide TRAINING forwards, whose
+    input-only vjp residuals keep ViT-L/H(+336) inside HBM — at S=577
+    this gives tile=2 where the old 13MB budget forced tile=1 and the
+    XLA MLP scan-saved 3.4GB of gelu intermediates (bs32 OOM). Capped at
+    2: same-process TPU A/Bs measured tile=2 faster than tile=4 at both
+    ViT-H (3.530 vs 3.622 ms) and ViT-L-336 (3.843 vs 4.218 ms) — bigger
+    tiles shrink the weight-stream amortization win by evicting the x/out
+    blocks' double buffers."""
     weights = 2 * width * chunk * esize
     per_sample = seq * width * (2 * esize + 4) + seq * chunk * 4
-    budget = 13 * 1024 * 1024 - weights
+    budget = 26 * 1024 * 1024 - weights
     t = max(1, budget // per_sample)
+    t = min(t, 2)
     while t > 1 and b % t:
         t -= 1
     return int(t)

@@ -49,6 +49,23 @@ def test_fits_fused_mlp():
     assert not fits_fused_mlp_tiled(197, 768)  # small widths use the 1-shot
 
 
+def test_wide_training_shapes_route_the_regrid():
+    # tile > 1 is what routes fused_mlp_block for wide TRAINING forwards;
+    # its input-only vjp residuals keep ViT-L/H(+336) inside HBM (the
+    # inline XLA MLP under scan saves [L, B, S, 4W] gelu intermediates —
+    # 3.4 GB at L-336 bs32, an observed OOM at the old 13MB budget).
+    from nans_clip_tpu.ops.fused_block import (fused_mlp_routable,
+                                               mlp_batch_tile,
+                                               mlp_chunk_size)
+    for b, s, w, i in [(128, 257, 1024, 4096),   # ViT-L/14 @ 224
+                       (32, 577, 1024, 4096),    # ViT-L/14 @ 336
+                       (32, 257, 1280, 5120)]:   # ViT-H/14
+        chunk = mlp_chunk_size(w, i, 2)
+        assert chunk is not None
+        assert mlp_batch_tile(b, s, w, i, chunk, 2) > 1, (b, s, w)
+        assert fused_mlp_routable(b, s, w, i, 2), (b, s, w)
+
+
 @pytest.mark.parametrize("act,post", [("quick_gelu", False), ("gelu", True)])
 def test_tiled_mlp_matches_reference(act, post):
     from nans_clip_tpu.ops.fused_block import _fused_mlp_tiled_call
