@@ -164,6 +164,7 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
 
     use_fused_mlp = False
     use_wide = False
+    use_flash_train = False
     if use_fused:
         from nans_clip_tpu.ops.fused_block import (fits_fused,
                                                    fits_fused_mlp_oneshot,
@@ -195,6 +196,19 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         use_wide = fits_fused_wide(x.shape[1], cfg.width) and (
             options.attn_impl == "fused" or not options.deterministic)
         use_fused = fits_fused(x.shape[1], cfg.width)
+        # Long-seq training (ViT-L-336, S=577): the one-shot bwd cell does
+        # not fit VMEM (74MB > the 48MB gate) so the backward would run the
+        # head-chunked kernel — which measured SLOWER than the full-row
+        # flash kernel's ENTIRE fwd+bwd (15.6 ms bwd alone vs 12.3 ms
+        # flash fwd+bwd at bs32 S=577 W=1024, same process). Route flash
+        # (ops/attention.py custom_vjp; saves per-layer q/k/v/o + lse, no
+        # [B,H,S,S] probs) for training forwards at these shapes.
+        if (use_fused and not options.deterministic
+                and not fused_interpret):
+            from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
+            if not fits_attention_bwd(x.shape[1], cfg.width, heads):
+                use_fused = False
+                use_flash_train = True
 
     # Deterministic forwards at one-shot shapes: the whole-LAYER kernel
     # (attn + MLP in one pallas_call, ops/layer_kernel.py) removes the
@@ -232,6 +246,15 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
                 lp["attn"]["wo"], lp["attn"]["bo"], heads, 1e-5,
                 4, fused_interpret, 1)
+        elif use_flash_train:
+            # Block-level custom_vjp: stores only x/ctx/lse and recomputes
+            # LN+QKV in bwd — plain AD through the flash kernel saved the
+            # padded per-head q/k/v/o under the scan (17.6 GB at bs32 OOM).
+            from nans_clip_tpu.ops.attention import flash_attention_block
+            x = flash_attention_block(
+                x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"], lp["attn"]["wo"],
+                lp["attn"]["bo"], heads, 1e-5, 128, fused_interpret)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
             x = x + mha(layer_norm(x, **lp["ln_1"]), lp["attn"], heads, impl=impl)

@@ -212,6 +212,112 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 # --------------------------------------------------------------------------
+# Block-level flash path for long-seq TRAINING (ViT-L-336, S=577)
+#
+# Plain AD through ``x + mha(ln(x), impl="pallas")`` saves the PADDED,
+# per-head q/k/v/o under the layer scan — bf16[L,B,H,640,64] x4, where the
+# dh=64 lane dim tile-pads 2x — plus fp32 LN intermediates: 17.6 GB at
+# L-336 bs32, an observed HBM OOM. This custom_vjp stores only x, the
+# merged context, and the lse rows (~78 MB/layer at bs32) and recomputes
+# LN + the QKV projection in the backward (one extra [B*S,W]x[W,3W]
+# matmul, ~0.5 ms — cheap next to the 12 ms attention bwd).
+# --------------------------------------------------------------------------
+
+def _flash_block_parts(x, ln_scale, ln_bias, wqkv, bqkv, heads, eps, block_q):
+    """Recomputable prefix: LN -> QKV -> per-head split -> pad to block_q.
+    Returns (xn, q, k, v, key-bias) with q/k/v [B, H, SP, dh]."""
+    from nans_clip_tpu.ops.layernorm import layer_norm
+    b, s, w = x.shape
+    xn = layer_norm(x, ln_scale, ln_bias, eps)
+    qkv = xn @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (split_heads(t, heads) for t in (q, k, v))
+    sp = ((s + block_q - 1) // block_q) * block_q
+    pad = sp - s
+    bias = jnp.zeros((b, s), jnp.float32)
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    return xn, q, k, v, bias[:, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def flash_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                          heads: int, eps: float = 1e-5,
+                          block_q: int = 128, interpret: bool = False):
+    """Pre-LN ViT attention block via the flash kernels:
+    x + out_proj(flash_mha(LN(x))). x: [B, S, W], no key mask."""
+    out, _ = _flash_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                              heads, eps, block_q, interpret)
+    return out
+
+
+def _flash_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
+                     block_q, interpret):
+    b, s, w = x.shape
+    _, q, k, v, bias = _flash_block_parts(x, ln_scale, ln_bias, wqkv, bqkv,
+                                          heads, eps, block_q)
+    ctx, lse = _flash_fwd_call(q, k, v, bias, block_q, interpret)
+    ctx_m = merge_heads(ctx[:, :, :s, :])
+    out = x + ctx_m @ wo + bo
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, ctx_m, lse)
+
+
+def _flash_block_bwd(heads, eps, block_q, interpret, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, ctx_m, lse = res
+    b, s, w = x.shape
+    sp = lse.shape[-1]
+    pad = sp - s
+    xn, q, k, v, bias = _flash_block_parts(x, ln_scale, ln_bias, wqkv, bqkv,
+                                           heads, eps, block_q)
+    gf = g.astype(jnp.float32)
+
+    # Output-projection grads
+    dwo = jnp.einsum("bsw,bsu->wu", ctx_m, g,
+                     preferred_element_type=jnp.float32).astype(wo.dtype)
+    dbo = jnp.sum(gf, axis=(0, 1)).astype(wo.dtype)
+    dctx_m = jnp.einsum("bsu,wu->bsw", g, wo,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # Attention bwd: padded rows carry do=0/o=0, so their dk/dv
+    # contributions vanish (ds rows are exactly zero) and their dq rows
+    # are dropped by the unpad below.
+    rowpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+    dctx = jnp.pad(split_heads(dctx_m, heads), rowpad)
+    o_pad = jnp.pad(split_heads(ctx_m, heads), rowpad)
+    dq, dk, dv = _flash_bwd_call(q, k, v, bias, o_pad, dctx, lse, interpret)
+    dqkv = jnp.concatenate(
+        [merge_heads(t[:, :, :s, :]) for t in (dq, dk, dv)], axis=-1)
+
+    # QKV-projection grads
+    dqkv_f = dqkv.astype(jnp.float32)
+    dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv,
+                       preferred_element_type=jnp.float32).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dqkv_f, axis=(0, 1)).astype(bqkv.dtype)
+    dxn = jnp.einsum("bsu,wu->bsw", dqkv_f, wqkv.astype(jnp.float32))
+
+    # LayerNorm bwd (fp32, matching ops/layernorm.py statistics)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
+    d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
+    dxhat = dxn * ln_scale.astype(jnp.float32)
+    dx_ln = inv * (dxhat
+                   - jnp.mean(dxhat, axis=-1, keepdims=True)
+                   - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx = (gf + dx_ln).astype(x.dtype)
+    return dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo
+
+
+flash_attention_block.defvjp(_flash_block_fwd, _flash_block_bwd)
+
+
+# --------------------------------------------------------------------------
 # Public entry point
 # --------------------------------------------------------------------------
 

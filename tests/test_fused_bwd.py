@@ -279,3 +279,14 @@ def test_bwd_kernels_batch_tiled():
         assert float(jnp.abs(dx - ref[0]).max()) < 2e-3, (act, post_ln)
         dw1 = jnp.einsum("bsw,bsi->wi", xn, dh_pre)
         assert float(jnp.abs(dw1 - ref[3]).max()) < 1e-2, (act, post_ln)
+
+
+def test_longseq_training_routes_flash():
+    # ViT-L-336 (S=577, W=1024): the one-shot attention bwd cell is 74MB >
+    # the 48MB gate, so training forwards route the full-row flash kernel
+    # (vit.py use_flash_train) whose entire fwd+bwd measured faster than
+    # the head-chunked bwd alone (12.3 vs 15.6 ms at bs32, same process).
+    from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
+    assert fits_attention_bwd(257, 1024, 16)      # ViT-L @224: one-shot bwd
+    assert fits_attention_bwd(257, 1280, 16)      # ViT-H @224: one-shot bwd
+    assert not fits_attention_bwd(577, 1024, 16)  # L-336 -> flash route

@@ -57,6 +57,25 @@ def test_attention_grads_match_xla():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)
 
 
+def test_attention_grads_match_xla_padded_multiblock():
+    # The long-seq training route (ViT-L-336, S=577) runs the flash kernel
+    # with seq padded across MULTIPLE q-blocks (577 -> 640 at block_q=128,
+    # no key mask). Cover the padded multi-block vjp at a cheap analogue.
+    shape = (1, 2, 130, 64)  # 130 -> 256: 2 q-blocks, 126 padded rows
+    q, k, v = _rand(0, shape), _rand(1, shape), _rand(2, shape)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(jnp.sin(fn(q, k, v)))
+        return f
+
+    g_ref = jax.grad(loss(lambda q, k, v: attention_xla(q, k, v)), (0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(lambda q, k, v: attention_pallas(q, k, v, interpret=INTERPRET)),
+                     (0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)
+
+
 def test_masked_keys_get_zero_attention():
     # With key j masked for batch 0, changing k/v at j must not change output.
     shape = (2, 2, 52, 64)
@@ -103,3 +122,40 @@ def test_mha_block():
     assert out.shape == x.shape
     out_p = mha(x, params, heads, impl="pallas", interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_block_grads_match_oracle():
+    # The long-seq training route (vit.py use_flash_train): block-level
+    # custom_vjp over LN -> QKV -> flash attention -> out-proj + residual,
+    # with S padded across multiple q-blocks (S=130 -> 256 here, the cheap
+    # analogue of ViT-L-336's 577 -> 640).
+    from nans_clip_tpu.ops.attention import flash_attention_block
+
+    b, s, w, heads = 2, 130, 128, 2
+    ks = [jax.random.PRNGKey(i) for i in range(8)]
+    x = jax.random.normal(ks[0], (b, s, w), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(ks[1], (w,))
+    bias = 0.1 * jax.random.normal(ks[2], (w,))
+    wqkv = 0.1 * jax.random.normal(ks[3], (w, 3 * w))
+    bqkv = 0.1 * jax.random.normal(ks[4], (3 * w,))
+    wo = 0.1 * jax.random.normal(ks[5], (w, w))
+    bo = 0.1 * jax.random.normal(ks[6], (w,))
+
+    def oracle(x, scale, bias, wqkv, bqkv, wo, bo):
+        p = {"wqkv": wqkv, "bqkv": bqkv, "wo": wo, "bo": bo}
+        h = x + mha(layer_norm(x, scale, bias), p, heads, impl="xla")
+        return jnp.sum(jnp.sin(h))
+
+    def ours(x, scale, bias, wqkv, bqkv, wo, bo):
+        h = flash_attention_block(x, scale, bias, wqkv, bqkv, wo, bo,
+                                  heads, 1e-5, 128, INTERPRET)
+        return jnp.sum(jnp.sin(h))
+
+    args = (x, scale, bias, wqkv, bqkv, wo, bo)
+    np.testing.assert_allclose(np.asarray(ours(*args)), np.asarray(oracle(*args)),
+                               rtol=1e-5)
+    g_ref = jax.grad(oracle, tuple(range(7)))(*args)
+    g_out = jax.grad(ours, tuple(range(7)))(*args)
+    for name, a, o in zip("x scale bias wqkv bqkv wo bo".split(), g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4, err_msg=name)
