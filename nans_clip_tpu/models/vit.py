@@ -196,11 +196,12 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         use_wide = fits_fused_wide(x.shape[1], cfg.width) and (
             options.attn_impl == "fused" or not options.deterministic)
         use_fused = fits_fused(x.shape[1], cfg.width)
-        # Long-seq training (ViT-L-336, S=577): the one-shot bwd cell does
-        # not fit VMEM (74MB > the 48MB gate) so the backward would run the
-        # head-chunked kernel — which measured SLOWER than the full-row
-        # flash kernel's ENTIRE fwd+bwd (15.6 ms bwd alone vs 12.3 ms
-        # flash fwd+bwd at bs32 S=577 W=1024, same process). Route flash
+        # Long-seq training (ViT-L-336, S=577): neither attention bwd
+        # kernel fits VMEM (one-shot cell 74MB > the 48MB gate; the
+        # head-chunked cell also exceeds its gate), so the backward would
+        # fall to the XLA-recompute vjp — which measured SLOWER than the
+        # full-row flash kernel's ENTIRE fwd+bwd (15.6 ms bwd alone vs
+        # 12.3 ms flash fwd+bwd at bs32 S=577 W=1024, same process). Route
         # (ops/attention.py custom_vjp; saves per-layer q/k/v/o + lse, no
         # [B,H,S,S] probs) for training forwards at these shapes.
         if (use_fused and not options.deterministic

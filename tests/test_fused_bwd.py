@@ -283,9 +283,10 @@ def test_bwd_kernels_batch_tiled():
 
 def test_longseq_training_routes_flash():
     # ViT-L-336 (S=577, W=1024): the one-shot attention bwd cell is 74MB >
-    # the 48MB gate, so training forwards route the full-row flash kernel
-    # (vit.py use_flash_train) whose entire fwd+bwd measured faster than
-    # the head-chunked bwd alone (12.3 vs 15.6 ms at bs32, same process).
+    # the 48MB gate (and the head-chunked cell exceeds its own gate), so
+    # training forwards route the full-row flash kernel (vit.py
+    # use_flash_train) whose entire fwd+bwd measured faster than the
+    # XLA-recompute bwd alone (12.3 vs 15.6 ms at bs32, same process).
     from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
     assert fits_attention_bwd(257, 1024, 16)      # ViT-L @224: one-shot bwd
     assert fits_attention_bwd(257, 1280, 16)      # ViT-H @224: one-shot bwd
