@@ -180,7 +180,14 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         # intermediates, 12 GB at L bs64) — but for pure inference XLA is
         # faster (L bs64 full-encode same-process A/B: 793.9 XLA vs 729.3
         # regrid tile2 / 736.3 tile4 img/s; H: 337 vs 302 tiled), so
-        # deterministic forwards route the XLA MLP.
+        # deterministic forwards route the XLA MLP. A checkpointed XLA
+        # MLP (input-only residuals, like the regrid vjp) beat the regrid
+        # in ISOLATED fwd+grad A/Bs at every wide shape (L224 13.17 vs
+        # 13.99 ms, L336 8.15 vs 8.48, H 6.17 vs 6.54) but measured
+        # NEUTRAL-to-SLOWER in the full train step (L224 176.5 vs 176.9,
+        # L336 63.9 vs 63.7, H 77.3 vs 79.3 pairs/s — the checkpoint
+        # boundary defeats scheduling/fusion wins the kernel path keeps),
+        # so the regrid stays routed for wide training forwards.
         use_fused_mlp = fused_mlp_routable(
             x.shape[0], x.shape[1], cfg.width, 4 * cfg.width,
             jnp.dtype(x.dtype).itemsize) and (

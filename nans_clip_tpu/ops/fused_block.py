@@ -889,11 +889,14 @@ def fused_mlp_routable(b: int, seq: int, width: int, inter: int,
                        esize: int = 2) -> bool:
     """Should the model route fused_mlp_block at this shape? One-shot
     widths always; wider ones only when the batch-tiled regrid applies
-    (tile > 1 — measured tied with XLA at ViT-L where the single-sample
-    tiled variant lost). Routing the fused block also matters for TRAINING
+    (tile > 1 — the single-sample tiled variant re-streams weight chunks
+    and lost to XLA). Routing the fused block also matters for TRAINING
     memory: its custom_vjp stores only the block inputs, where the inline
     XLA MLP under scan saves [L, B, S, 4W] gelu intermediates (12 GB at
-    ViT-L bs64 — an HBM OOM)."""
+    ViT-L bs64 — an HBM OOM). A jax.checkpoint'd XLA MLP shares that
+    memory property and won isolated kernel A/Bs, but measured
+    neutral-to-slower in the full train step (see vit.py) — the regrid
+    stays routed for wide training forwards."""
     if fits_fused_mlp(seq, width):
         return True
     if not fits_fused_mlp_tiled(seq, width):

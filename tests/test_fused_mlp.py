@@ -52,8 +52,10 @@ def test_fits_fused_mlp():
 def test_wide_training_shapes_route_the_regrid():
     # tile > 1 is what routes fused_mlp_block for wide TRAINING forwards;
     # its input-only vjp residuals keep ViT-L/H(+336) inside HBM (the
-    # inline XLA MLP under scan saves [L, B, S, 4W] gelu intermediates —
-    # 3.4 GB at L-336 bs32, an observed OOM at the old 13MB budget).
+    # inline XLA MLP under scan saves [L, B, S, 4W] gelu intermediates --
+    # 3.4 GB at L-336 bs32, an observed OOM at the old 13MB budget). A
+    # checkpointed XLA MLP shares the memory property but measured
+    # neutral-to-slower in the full train step (H 77.3 vs 79.3 pairs/s).
     from nans_clip_tpu.ops.fused_block import (fused_mlp_routable,
                                                mlp_batch_tile,
                                                mlp_chunk_size)
