@@ -203,18 +203,23 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         use_wide = fits_fused_wide(x.shape[1], cfg.width) and (
             options.attn_impl == "fused" or not options.deterministic)
         use_fused = fits_fused(x.shape[1], cfg.width)
-        # Long-seq training (ViT-L-336, S=577): neither attention bwd
-        # kernel fits VMEM (one-shot cell 74MB > the 48MB gate; the
-        # head-chunked cell also exceeds its gate), so the backward would
-        # fall to the XLA-recompute vjp — which measured SLOWER than the
-        # full-row flash kernel's ENTIRE fwd+bwd (15.6 ms bwd alone vs
-        # 12.3 ms flash fwd+bwd at bs32 S=577 W=1024, same process). Route
-        # (ops/attention.py custom_vjp; saves per-layer q/k/v/o + lse, no
-        # [B,H,S,S] probs) for training forwards at these shapes.
+        # Long-seq training (ViT-L-336, S=577): the one-shot attention bwd
+        # cell doesn't fit VMEM (74MB > the 48MB gate), so the backward
+        # runs the head-chunked bwd kernel (hpc=4 at the relaxed 24MB
+        # budget — same-process block fwd+grad 9.709 ms, the best of
+        # flash-block 11.024 / XLA-recompute 15.6 / hpc 2/8 variants).
+        # Only when the chunked cell doesn't fit either does 'auto' route
+        # the flash-block path (ops/attention.py custom_vjp: per-layer
+        # x/ctx/lse residuals, no [B,H,S,S] probs), which beat the
+        # XLA-recompute vjp 12.3 vs 15.6 ms and trains L-336 at 63.7
+        # pairs/s where plain AD through the flash kernel OOMed.
         if (use_fused and not options.deterministic
                 and not fused_interpret):
-            from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
-            if not fits_attention_bwd(x.shape[1], cfg.width, heads):
+            from nans_clip_tpu.ops.fused_block_bwd import (
+                attn_bwd_head_chunk, fits_attention_bwd)
+            if (not fits_attention_bwd(x.shape[1], cfg.width, heads)
+                    and attn_bwd_head_chunk(x.shape[1], cfg.width,
+                                            heads) is None):
                 use_fused = False
                 use_flash_train = True
 

@@ -787,7 +787,11 @@ def _attn_bwd_chunked_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref,
 
 
 def attn_bwd_head_chunk(seq: int, width: int, heads: int):
-    """Pick heads-per-chunk so the cell fits VMEM, or None."""
+    """Pick heads-per-chunk so the cell fits VMEM, or None. The 24MB
+    budget targets the call's 64MB vmem pin (double-buffered); at the
+    L-336 cell (S=577, W=1024) it picks hpc=4 — the same-process optimum
+    (9.709 ms block fwd+grad vs 10.111 at hpc=2, 10.392 at hpc=8, and
+    11.024 for the flash-block path it replaced)."""
     dh = width // heads
     for hpc in (8, 4, 2, 1):
         if heads % hpc:
@@ -795,7 +799,7 @@ def attn_bwd_head_chunk(seq: int, width: int, heads: int):
         weights = hpc * width * 3 * dh * 2 + hpc * dh * width * 2
         probs = 2 * _rup(seq, 8) * seq * 4 * max(1, hpc // 2)
         acts = _rup(seq, 8) * (width * 16 + 3 * hpc * dh * 8)
-        if weights + probs + acts < 10 * 1024 * 1024:
+        if weights + probs + acts < 24 * 1024 * 1024:
             return hpc
     return None
 

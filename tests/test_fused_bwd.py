@@ -281,13 +281,17 @@ def test_bwd_kernels_batch_tiled():
         assert float(jnp.abs(dw1 - ref[3]).max()) < 1e-2, (act, post_ln)
 
 
-def test_longseq_training_routes_flash():
+def test_longseq_training_bwd_routing():
     # ViT-L-336 (S=577, W=1024): the one-shot attention bwd cell is 74MB >
-    # the 48MB gate (and the head-chunked cell exceeds its own gate), so
-    # training forwards route the full-row flash kernel (vit.py
-    # use_flash_train) whose entire fwd+bwd measured faster than the
-    # XLA-recompute bwd alone (12.3 vs 15.6 ms at bs32, same process).
-    from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
+    # the 48MB gate, so training backwards run the head-chunked kernel at
+    # hpc=4 (same-process block fwd+grad optimum: 9.709 ms vs flash-block
+    # 11.024 / XLA-recompute 15.6). The flash-block path (vit.py
+    # use_flash_train) is the fallback when the chunked cell doesn't fit
+    # either.
+    from nans_clip_tpu.ops.fused_block_bwd import (attn_bwd_head_chunk,
+                                                   fits_attention_bwd)
     assert fits_attention_bwd(257, 1024, 16)      # ViT-L @224: one-shot bwd
     assert fits_attention_bwd(257, 1280, 16)      # ViT-H @224: one-shot bwd
-    assert not fits_attention_bwd(577, 1024, 16)  # L-336 -> flash route
+    assert not fits_attention_bwd(577, 1024, 16)  # L-336 -> chunked bwd
+    assert attn_bwd_head_chunk(577, 1024, 16) == 4
+    assert attn_bwd_head_chunk(577, 1280, 16) == 4  # hypothetical H-336
