@@ -68,8 +68,8 @@ def main():
     ctx = jax.set_mesh(mesh)
     ctx.__enter__()
 
-    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
-    state = create_train_state(params, {}, tcfg)
+    params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
+    state = create_train_state(params, batch_stats, tcfg)
     step = make_train_step(cfg, tcfg, options)
 
     BATCH = args.batch
