@@ -148,7 +148,7 @@ def bert_features(params: dict, input_ids: jax.Array,
 
     # Low-latency serving: whole-tower mega-kernel (ONE pallas_call for all
     # L layers — ops/tower_kernel.py), deterministic forwards only.
-    if use_fused and det and cfg.hidden_act == "gelu":
+    if use_fused and det and cfg.hidden_act == "gelu" and options.pp == 1:
         from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
         if fits_tower(b, s, cfg.hidden_size, cfg.intermediate_size,
                       jnp.dtype(x.dtype).itemsize):
@@ -170,7 +170,7 @@ def bert_features(params: dict, input_ids: jax.Array,
         use_layer = route_layer(b, s, cfg.hidden_size, cfg.intermediate_size,
                                 jnp.dtype(x.dtype).itemsize)
 
-    def layer(carry, lp):
+    def layer(carry, lp, kb, mb_idx=None):
         x, idx = carry
         if use_layer:
             x = fused_layer_block(
@@ -179,12 +179,14 @@ def bert_features(params: dict, input_ids: jax.Array,
                 lp["attn"]["bo"], lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"],
                 lp["mlp"]["w1"], lp["mlp"]["b1"], lp["mlp"]["w2"],
                 lp["mlp"]["b2"], heads, cfg.layer_norm_eps, "gelu", True,
-                key_bias=key_bias, interpret=fused_interpret)
+                key_bias=kb, interpret=fused_interpret)
             return (x, idx + 1), None
         if det:
             a_rng = h1 = h2 = seed_a = seed_m = None
         else:
             lrng = jax.random.fold_in(rng, idx)
+            if mb_idx is not None:  # decorrelate pipeline microbatches
+                lrng = jax.random.fold_in(lrng, mb_idx)
             a_rng, h1, h2 = jax.random.split(lrng, 3)
             # int32 seeds for the in-kernel Mosaic PRNG (offset per sample
             # inside the kernel); independent draws per layer and sub-block
@@ -194,13 +196,13 @@ def bert_features(params: dict, input_ids: jax.Array,
             x = fused_bert_attention_block(
                 x, lp["attn_ln"]["scale"], lp["attn_ln"]["bias"],
                 lp["attn"]["wqkv"], lp["attn"]["bqkv"],
-                lp["attn"]["wo"], lp["attn"]["bo"], key_bias, heads,
+                lp["attn"]["wo"], lp["attn"]["bo"], kb, heads,
                 cfg.layer_norm_eps, interpret=fused_interpret,
                 attn_dropout=0.0 if det else ad,
                 hidden_dropout=0.0 if det else hd, seed=seed_a)
         else:
             impl = "xla" if options.attn_impl in ("fused", "auto") else options.attn_impl
-            a = mha(x, lp["attn"], heads, key_bias, impl=impl,
+            a = mha(x, lp["attn"], heads, kb, impl=impl,
                     dropout_rate=ad, dropout_rng=a_rng, deterministic=det)
             a = dropout(a, hd, h1, det)
             x = layer_norm(x + a, **lp["attn_ln"], eps=cfg.layer_norm_eps)
@@ -218,6 +220,36 @@ def bert_features(params: dict, input_ids: jax.Array,
             x = layer_norm(x + h, **lp["mlp_ln"], eps=cfg.layer_norm_eps)
         return (x, idx + 1), None
 
-    body = jax.checkpoint(layer) if options.remat else layer
+    if options.pp > 1:
+        # Pipeline the encoder layers over the 'pipe' mesh axis
+        # (parallel/pp.py). The key bias rides as the microbatched aux;
+        # the per-layer rng folds in the GLOBAL layer index (stage offset
+        # + local position) and the microbatch index.
+        assert options.tp == 1, "pp>1 requires tp==1"
+        from nans_clip_tpu.parallel.pp import pp_transformer
+        l_total = params["encoder"]["attn"]["bo"].shape[0]
+        l_local = l_total // options.pp
+        masked = key_bias is not None
+
+        def stage_fn(state, local_params, stage, mb_idx, aux_mb):
+            kb = aux_mb if masked else None
+
+            def body(c, lp):
+                return layer(c, lp, kb, mb_idx)
+
+            if options.remat:
+                body = jax.checkpoint(body)
+            (out, _), _ = jax.lax.scan(body, (state, stage * l_local),
+                                       local_params)
+            return out
+
+        return pp_transformer(x, params["encoder"], stage_fn, options.pp,
+                              options.pp_microbatches, aux=key_bias)
+
+    def body(c, lp):
+        return layer(c, lp, key_bias)
+
+    if options.remat:
+        body = jax.checkpoint(body)
     (x, _), _ = jax.lax.scan(body, (x, 0), params["encoder"])
     return x

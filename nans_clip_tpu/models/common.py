@@ -28,6 +28,13 @@ class ModelOptions:
                                      # shard_map tensor-parallel wrappers
                                      # (parallel/tp.py); requires an ambient
                                      # mesh with a 'model' axis of this size
+    pp: int = 1                      # pipe-axis size: >1 runs the stacked
+                                     # transformer layers as a GPipe pipeline
+                                     # (parallel/pp.py); requires an ambient
+                                     # mesh with a 'pipe' axis of this size;
+                                     # mutually exclusive with tp>1
+    pp_microbatches: int = 0         # 0 = auto (<= 2*pp divisor of the
+                                     # per-data-shard batch)
 
     def cast(self, x: jax.Array) -> jax.Array:
         if self.compute_dtype is None:

@@ -148,7 +148,7 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # deterministic forwards at VMEM-fitting batch sizes, where the
     # per-sub-block path's 2L launches + activation HBM round trips
     # dominate latency.
-    if use_fused and options.deterministic:
+    if use_fused and options.deterministic and options.pp == 1:
         from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
         if fits_tower(b, x.shape[1], w, 4 * w, jnp.dtype(x.dtype).itemsize):
             tr = params["transformer"]
@@ -282,7 +282,25 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         return x + h
 
     body = jax.checkpoint(block) if options.remat else block
-    x, _ = jax.lax.scan(lambda c, lp: (body(c, lp), None), x, params["transformer"])
+
+    if options.pp > 1:
+        # Pipeline the stacked blocks over the 'pipe' mesh axis
+        # (parallel/pp.py): each stage scans its own L/pp layers, the
+        # activation rides a ppermute ring. The block body (incl. any
+        # fused-kernel routing above) is unchanged.
+        assert options.tp == 1, "pp>1 requires tp==1"
+        from nans_clip_tpu.parallel.pp import pp_transformer
+
+        def stage_fn(state, local_params, stage, mb_idx, aux_mb):
+            out, _ = jax.lax.scan(lambda c, lp: (body(c, lp), None),
+                                  state, local_params)
+            return out
+
+        x = pp_transformer(x, params["transformer"], stage_fn, options.pp,
+                           options.pp_microbatches)
+    else:
+        x, _ = jax.lax.scan(lambda c, lp: (body(c, lp), None), x,
+                            params["transformer"])
 
     x = layer_norm(x[:, 0, :], **params["ln_post"])
     return x @ params["proj"]

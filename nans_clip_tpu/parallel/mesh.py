@@ -19,15 +19,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1,
-                devices: Optional[Sequence] = None) -> Mesh:
+                devices: Optional[Sequence] = None, pipe: int = 1) -> Mesh:
+    """2-D ``(data, model)`` mesh, or 3-D ``(data, model, pipe)`` when
+    ``pipe`` > 1 (pipeline stages — parallel/pp.py). The pipe axis is the
+    innermost so stage neighbours sit on adjacent devices and the
+    stage-to-stage ``ppermute`` rides ICI hops."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        data = n // (model * pipe)
+    assert data * model * pipe == n, \
+        f"mesh {data}x{model}x{pipe} != {n} devices"
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(data, model, pipe)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -68,7 +77,7 @@ _TP_RULES_2D = {
 _FSDP_MIN_SIZE = 65536
 
 
-def param_spec(path: tuple, leaf, fsdp: int = 1) -> P:
+def param_spec(path: tuple, leaf, fsdp: int = 1, pp: int = 1) -> P:
     """PartitionSpec for one parameter, by its pytree path.
 
     ``fsdp`` > 1 additionally shards the largest TP-free dimension that
@@ -80,33 +89,45 @@ def param_spec(path: tuple, leaf, fsdp: int = 1) -> P:
     update — the TPU-native equivalent of torch FSDP, which the reference
     (DDP-only, training/main.py:135) does not have. Storage per chip drops
     from P·(4+8) bytes (bf16 params + fp32 Adam) toward that ÷ data_size:
-    the lever past the documented ViT-H 16 GB HBM ceiling (PARITY.md)."""
-    name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    the lever past the documented ViT-H 16 GB HBM ceiling (PARITY.md).
+
+    ``pp`` > 1 shards the stacked-layer leading dim of the transformer
+    block pytrees over ``pipe`` — each pipeline stage stores only its own
+    L/pp layers, which is exactly the slice the pp shard_map consumes
+    (parallel/pp.py), so stage weights never move."""
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    name = names[-1]
     spec = P()
     if leaf.ndim == 3 and name in _TP_RULES_3D:
         spec = _TP_RULES_3D[name]
     elif leaf.ndim == 2 and name in _TP_RULES_2D:
         spec = _TP_RULES_2D[name]
-    if fsdp <= 1 or leaf.size < _FSDP_MIN_SIZE:
-        return spec
     entries = list(spec) + [None] * (leaf.ndim - len(spec))
-    free = [d for d in range(leaf.ndim)
-            if entries[d] is None and leaf.shape[d] % fsdp == 0]
-    if not free:
-        return spec
-    d = max(free, key=lambda i: leaf.shape[i])
-    entries[d] = DATA_AXIS
+    if (pp > 1 and leaf.ndim >= 2 and entries[0] is None
+            and ("transformer" in names or "encoder" in names)
+            and leaf.shape[0] % pp == 0):
+        entries[0] = PIPE_AXIS
+    if fsdp > 1 and leaf.size >= _FSDP_MIN_SIZE:
+        free = [d for d in range(leaf.ndim)
+                if entries[d] is None and leaf.shape[d] % fsdp == 0]
+        if free:
+            d = max(free, key=lambda i: leaf.shape[i])
+            entries[d] = DATA_AXIS
+    while entries and entries[-1] is None:
+        entries.pop()
     return P(*entries)
 
 
 def param_shardings(params, mesh: Mesh, fsdp: bool = False):
     """NamedSharding pytree for a CLIP parameter pytree (TP over 'model',
-    optional FSDP over 'data'). Also valid for any pytree that mirrors the
-    parameter names/shapes (Adam moments): the rules key on the LAST path
-    entry and the leaf shape only."""
+    PP over 'pipe' when the mesh has one, optional FSDP over 'data'). Also
+    valid for any pytree that mirrors the parameter names/shapes (Adam
+    moments): the rules key on the path entries and the leaf shape only."""
     n = mesh.shape[DATA_AXIS] if fsdp else 1
+    pp = mesh.shape.get(PIPE_AXIS, 1)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, fsdp=n)),
+        lambda path, leaf: NamedSharding(
+            mesh, param_spec(path, leaf, fsdp=n, pp=pp)),
         params)
 
 

@@ -70,10 +70,13 @@ def build_model(args):
                               num_attention_heads=4, intermediate_size=128),
             name="tiny")
     compute_dtype = None if args.precision == "fp32" else "bfloat16"
+    assert not (args.tp > 1 and args.pp > 1), "--tp and --pp are exclusive"
     train_options = ModelOptions(attn_impl=args.attn_impl,
                                  remat=args.grad_checkpointing,
                                  compute_dtype=compute_dtype,
-                                 deterministic=False)
+                                 deterministic=False,
+                                 tp=args.tp, pp=args.pp,
+                                 pp_microbatches=args.pp_microbatches)
     params, batch_stats = init_clip(jax.random.PRNGKey(args.seed), cfg)
     if args.clip_weight_path or args.bert_weight_path:
         clip_sd = load_torch_state_dict(args.clip_weight_path) if args.clip_weight_path else None
@@ -109,9 +112,9 @@ def main(argv=None):
     log_path = setup_logging(args.logs, args.name)
     logging.info("devices: %s", jax.devices())
 
-    mesh = create_mesh(model=args.tp)
+    mesh = create_mesh(model=args.tp, pipe=args.pp)
     data_size = mesh.shape["data"]
-    logging.info("mesh: data=%d model=%d", data_size, args.tp)
+    logging.info("mesh: data=%d model=%d pipe=%d", data_size, args.tp, args.pp)
 
     cfg, params, batch_stats, options = build_model(args)
     resolution = cfg.vision.image_resolution

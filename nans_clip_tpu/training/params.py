@@ -99,6 +99,14 @@ def parse_args(argv=None):
                    help="fully shard params + Adam moments over the data "
                         "axis (ZeRO-3 storage; XLA inserts the per-use "
                         "all-gather / gradient reduce-scatter)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel mesh axis size: each stage "
+                        "stores and runs layers/pp transformer layers, "
+                        "activations ride a ppermute ring (GPipe schedule); "
+                        "mutually exclusive with --tp > 1")
+    p.add_argument("--pp-microbatches", type=int, default=0,
+                   help="pipeline microbatches per step (0 = auto, "
+                        "<= 2*pp divisor of the per-data-shard batch)")
     # misc
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax platform (the axon sitecustomize hook "

@@ -184,10 +184,12 @@ def train_state_shardings(state: TrainState, mesh, fsdp: bool = False):
     dict inside ``ScaleByAdamState``, so one path-keyed map shards both
     identically; scalars and batch_stats fall through to replicated."""
     from jax.sharding import NamedSharding
-    from nans_clip_tpu.parallel.mesh import DATA_AXIS, param_spec
+    from nans_clip_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS, param_spec
     n = mesh.shape[DATA_AXIS] if fsdp else 1
+    pp = mesh.shape.get(PIPE_AXIS, 1)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, fsdp=n)),
+        lambda path, leaf: NamedSharding(
+            mesh, param_spec(path, leaf, fsdp=n, pp=pp)),
         state)
 
 

@@ -75,3 +75,25 @@ def test_train_fsdp_cycle(data_dir, tmp_path, monkeypatch):
     assert int(state2.step) == 8
     wqkv2 = state2.params["visual"]["transformer"]["attn"]["wqkv"]
     assert "data" in str(wqkv2.sharding.spec)
+
+
+def test_train_pp_cycle(data_dir, tmp_path):
+    """--pp 2: transformer layers stored per pipeline stage (leading dim
+    sharded over 'pipe'), full train -> checkpoint -> auto-resume cycle
+    through the GPipe shard_map path (parallel/pp.py)."""
+    logs = str(tmp_path / "logs")
+    common = [
+        "--train-data", data_dir,
+        "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+        "--batch-size", "4", "--lr", "1e-4", "--warmup", "2",
+        "--log-interval", "1", "--logs", logs, "--name", "pp_test",
+        "--num-workers", "2", "--pp", "2",
+    ]
+    state = train_main(common + ["--max-epochs", "1"])
+    assert int(state.step) == 2  # 32 pairs / (bs4 x data4) = 2 steps
+    wqkv = state.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "pipe" in str(wqkv.sharding.spec)
+    ckpt_dir = os.path.join(logs, "pp_test", "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "LATEST"))
+    state2 = train_main(common + ["--max-epochs", "2"])
+    assert int(state2.step) == 4

@@ -1,0 +1,156 @@
+"""Pipeline parallelism (GPipe schedule over the 'pipe' mesh axis,
+parallel/pp.py) vs the single-device oracle. The reference has no pipeline
+engine (SURVEY §2.8 — DDP only); this is the framework's third bonus axis
+after TP and FSDP, so the bar is equivalence with the unsharded math:
+forward, both towers, and a full train step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nans_clip_tpu import configs as C
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.bert import bert_features
+from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip
+from nans_clip_tpu.parallel import create_mesh, shard_batch, shard_params
+from nans_clip_tpu.parallel.pp import pick_microbatches, pp_transformer
+from nans_clip_tpu.training import (TrainConfig, create_train_state,
+                                    make_train_step)
+from tests.test_trainer import TINY, _batch
+
+# 4 layers per tower so a 4-stage pipeline is exercised too
+TINY4 = dataclasses.replace(
+    TINY,
+    vision=dataclasses.replace(TINY.vision, layers=4),
+    text=dataclasses.replace(TINY.text, num_hidden_layers=4),
+)
+
+
+def _mesh(pipe, data=None):
+    n = len(jax.devices())
+    return create_mesh(data=data or n // pipe, model=1, pipe=pipe)
+
+
+def test_pick_microbatches():
+    assert pick_microbatches(16, 2) == 4
+    assert pick_microbatches(16, 4) == 8
+    assert pick_microbatches(6, 4) == 6
+    assert pick_microbatches(5, 2) == 1  # prime batch: single microbatch
+    assert pick_microbatches(2, 4) == 2
+
+
+def test_pp_transformer_matches_scan():
+    """Bare pp_transformer (4 stages, aux threaded) == plain scan."""
+    rs = np.random.RandomState(0)
+    L, b, s, w = 4, 8, 12, 16
+    x = jnp.asarray(rs.randn(b, s, w), jnp.float32)
+    ws = jnp.asarray(0.3 * rs.randn(L, w, w), jnp.float32)
+    aux = jnp.asarray(rs.randn(b, s), jnp.float32)
+
+    def one_layer(state, wl, kb):
+        return jnp.tanh(state @ wl) + state + kb[:, :, None]
+
+    ref = x
+    for i in range(L):
+        ref = one_layer(ref, ws[i], aux)
+
+    def stage_fn(state, local_w, stage, mb_idx, aux_mb):
+        def body(c, wl):
+            return one_layer(c, wl, aux_mb), None
+        out, _ = jax.lax.scan(body, state, local_w)
+        return out
+
+    with jax.set_mesh(_mesh(4)):
+        out = pp_transformer(x, ws, stage_fn, 4, 0, aux=aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("pipe", [2, 4])
+def test_pp_towers_match_single_device(pipe):
+    cfg = TINY if pipe == 2 else TINY4
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    images, texts = _batch(8)
+    ref_i = encode_image(params, cfg, jnp.asarray(images),
+                         ModelOptions(attn_impl="xla"))
+    ref_t = encode_text(params, cfg, jnp.asarray(texts),
+                        ModelOptions(attn_impl="xla"))
+    mesh = _mesh(pipe)
+    opts = ModelOptions(attn_impl="xla", pp=pipe)
+    with jax.set_mesh(mesh):
+        params_s = shard_params(params, mesh)
+        out_i = encode_image(params_s, cfg,
+                             shard_batch(jnp.asarray(images), mesh), opts)
+        out_t = encode_text(params_s, cfg,
+                            shard_batch(jnp.asarray(texts), mesh), opts)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               atol=5e-5, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_pp_bert_masked_matches_oracle():
+    """Padding mask rides the aux lane through the pipeline microbatches."""
+    params, _ = init_clip(jax.random.PRNGKey(1), TINY)
+    _, texts = _batch(8, seed=3)
+    mask = (texts != 0).astype(np.float32)
+    mask[:, 20:] = 0.0
+    tx, mk = jnp.asarray(texts), jnp.asarray(mask)
+    ref = bert_features(params["bert"], tx, mk, TINY.text,
+                        ModelOptions(attn_impl="xla"))
+    mesh = _mesh(2)
+    with jax.set_mesh(mesh):
+        params_s = shard_params(params, mesh)
+        out = bert_features(params_s["bert"], shard_batch(tx, mesh),
+                            shard_batch(mk, mesh), TINY.text,
+                            ModelOptions(attn_impl="xla", pp=2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_pp_train_step_matches_single_device():
+    """Full train step (grads + AdamW) under data4 x pipe2: gradients flow
+    back through the ppermute ring and the masked psum broadcast, and the
+    per-stage weight grads land on the stage that stores the weights."""
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    images, texts = _batch(16)
+    im, tx = jnp.asarray(images), jnp.asarray(texts)
+    tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=10)
+
+    state = create_train_state(jax.tree.map(jnp.copy, params), {}, tcfg)
+    step = make_train_step(TINY, tcfg, ModelOptions(attn_impl="xla",
+                                                    deterministic=True),
+                           constrain=False)
+    ref_state, ref_metrics = step(state, im, tx, jax.random.PRNGKey(3))
+
+    mesh = _mesh(2, data=4)
+    with jax.set_mesh(mesh):
+        params_s = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        state = create_train_state(params_s, {}, tcfg)
+        step = make_train_step(TINY, tcfg,
+                               ModelOptions(attn_impl="xla", pp=2,
+                                            deterministic=True),
+                               constrain=False)
+        pp_state, pp_metrics = step(state, shard_batch(im, mesh),
+                                    shard_batch(tx, mesh),
+                                    jax.random.PRNGKey(3))
+        assert abs(float(pp_metrics["loss"]) - float(ref_metrics["loss"])) < 1e-4
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             ref_state.params, pp_state.params)
+    assert max(jax.tree.leaves(diffs)) < 5e-4, diffs
+
+
+def test_pp_param_shardings_split_layers():
+    """Stacked block leaves shard dim 0 over 'pipe'; everything else stays
+    replicated on that axis."""
+    from nans_clip_tpu.parallel import param_shardings
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    mesh = _mesh(2)
+    sh = param_shardings(params, mesh)
+    assert sh["visual"]["transformer"]["attn"]["wqkv"].spec[0] == "pipe"
+    assert sh["bert"]["encoder"]["mlp"]["w1"].spec[0] == "pipe"
+    assert sh["visual"]["positional_embedding"].spec == ()
+    assert sh["bert"]["embeddings"]["word"].spec == ()
