@@ -143,6 +143,29 @@ def test_pp_train_step_matches_single_device():
     assert max(jax.tree.leaves(diffs)) < 5e-4, diffs
 
 
+def test_pp_with_fused_kernels_matches_oracle():
+    """The Pallas fused sub-blocks run inside the pipeline's shard_map
+    (interpret mode on the CPU mesh) — the shipping TPU path, pipelined."""
+    params, _ = init_clip(jax.random.PRNGKey(2), TINY)
+    images, texts = _batch(8, seed=5)
+    ref_i = encode_image(params, TINY, jnp.asarray(images),
+                         ModelOptions(attn_impl="xla"))
+    ref_t = encode_text(params, TINY, jnp.asarray(texts),
+                        ModelOptions(attn_impl="xla"))
+    mesh = _mesh(2)
+    opts = ModelOptions(attn_impl="fused", pp=2)
+    with jax.set_mesh(mesh):
+        params_s = shard_params(params, mesh)
+        out_i = encode_image(params_s, TINY,
+                             shard_batch(jnp.asarray(images), mesh), opts)
+        out_t = encode_text(params_s, TINY,
+                            shard_batch(jnp.asarray(texts), mesh), opts)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               atol=5e-5, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               atol=5e-5, rtol=5e-4)
+
+
 def test_pp_param_shardings_split_layers():
     """Stacked block leaves shard dim 0 over 'pipe'; everything else stays
     replicated on that axis."""
