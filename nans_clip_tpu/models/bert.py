@@ -60,6 +60,8 @@ def bert_features(params: dict, input_ids: jax.Array,
                   rng: Optional[jax.Array] = None,
                   token_type_ids: Optional[jax.Array] = None) -> jax.Array:
     """Sequence output [B, S, H]. ``attention_mask``: [B, S] 1=keep, 0=pad."""
+    assert options.tp == 1 or options.pp == 1, \
+        "tp>1 and pp>1 are mutually exclusive"
     params = cast_tree(params, options)
     b, s = input_ids.shape
     emb = params["embeddings"]
@@ -167,10 +169,17 @@ def bert_features(params: dict, input_ids: jax.Array,
     if use_fused and use_fused_mlp and det and cfg.hidden_act == "gelu":
         from nans_clip_tpu.ops.layer_kernel import (fused_layer_block,
                                                     route_layer)
-        use_layer = route_layer(b, s, cfg.hidden_size, cfg.intermediate_size,
+        # under pp the kernel executes at the per-shard microbatch, so the
+        # batch-dependent tile gate must be evaluated there
+        lb = b
+        if options.pp > 1:
+            from nans_clip_tpu.parallel.pp import pp_kernel_batch
+            lb = pp_kernel_batch(b, options.pp, options.pp_microbatches)
+        use_layer = route_layer(lb, s, cfg.hidden_size,
+                                cfg.intermediate_size,
                                 jnp.dtype(x.dtype).itemsize)
 
-    def layer(carry, lp, kb, mb_idx=None):
+    def layer(carry, lp, kb, mb_idx=None, shard_idx=None):
         x, idx = carry
         if use_layer:
             x = fused_layer_block(
@@ -187,6 +196,10 @@ def bert_features(params: dict, input_ids: jax.Array,
             lrng = jax.random.fold_in(rng, idx)
             if mb_idx is not None:  # decorrelate pipeline microbatches
                 lrng = jax.random.fold_in(lrng, mb_idx)
+            if shard_idx is not None:  # ...and data shards: inside the pp
+                # shard_map the closed-over rng is replicated, so without
+                # this every data shard would draw identical dropout masks
+                lrng = jax.random.fold_in(lrng, shard_idx)
             a_rng, h1, h2 = jax.random.split(lrng, 3)
             # int32 seeds for the in-kernel Mosaic PRNG (offset per sample
             # inside the kernel); independent draws per layer and sub-block
@@ -225,7 +238,7 @@ def bert_features(params: dict, input_ids: jax.Array,
         # (parallel/pp.py). The key bias rides as the microbatched aux;
         # the per-layer rng folds in the GLOBAL layer index (stage offset
         # + local position) and the microbatch index.
-        assert options.tp == 1, "pp>1 requires tp==1"
+        from nans_clip_tpu.parallel.mesh import DATA_AXIS
         from nans_clip_tpu.parallel.pp import pp_transformer
         l_total = params["encoder"]["attn"]["bo"].shape[0]
         l_local = l_total // options.pp
@@ -233,9 +246,10 @@ def bert_features(params: dict, input_ids: jax.Array,
 
         def stage_fn(state, local_params, stage, mb_idx, aux_mb):
             kb = aux_mb if masked else None
+            didx = jax.lax.axis_index(DATA_AXIS)
 
             def body(c, lp):
-                return layer(c, lp, kb, mb_idx)
+                return layer(c, lp, kb, mb_idx, didx)
 
             if options.remat:
                 body = jax.checkpoint(body)

@@ -86,6 +86,8 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                  mask_ratio: float = 0.0,
                  rng: Optional[jax.Array] = None) -> jax.Array:
     """Full ViT forward. images: [B, R, R, 3] NHWC. Returns [B, embed_dim]."""
+    assert options.tp == 1 or options.pp == 1, \
+        "tp>1 and pp>1 are mutually exclusive"
     params = cast_tree(params, options)
     images = options.cast(images)
     b = images.shape[0]
@@ -188,8 +190,15 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         # L336 63.9 vs 63.7, H 77.3 vs 79.3 pairs/s — the checkpoint
         # boundary defeats scheduling/fusion wins the kernel path keeps),
         # so the regrid stays routed for wide training forwards.
+        # Batch-dependent gates must see the batch the kernel EXECUTES at:
+        # under pp that is the per-data-shard microbatch, not the global b.
+        gate_b = x.shape[0]
+        if options.pp > 1:
+            from nans_clip_tpu.parallel.pp import pp_kernel_batch
+            gate_b = pp_kernel_batch(x.shape[0], options.pp,
+                                     options.pp_microbatches)
         use_fused_mlp = fused_mlp_routable(
-            x.shape[0], x.shape[1], cfg.width, 4 * cfg.width,
+            gate_b, x.shape[1], cfg.width, 4 * cfg.width,
             jnp.dtype(x.dtype).itemsize) and (
                 fits_fused_mlp_oneshot(x.shape[1], cfg.width)
                 or options.attn_impl == "fused"
@@ -231,7 +240,12 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     if use_fused and use_fused_mlp and options.deterministic:
         from nans_clip_tpu.ops.layer_kernel import (fused_layer_block,
                                                     route_layer)
-        use_layer = route_layer(x.shape[0], x.shape[1], cfg.width,
+        lb = x.shape[0]
+        if options.pp > 1:
+            from nans_clip_tpu.parallel.pp import pp_kernel_batch
+            lb = pp_kernel_batch(x.shape[0], options.pp,
+                                 options.pp_microbatches)
+        use_layer = route_layer(lb, x.shape[1], cfg.width,
                                 4 * cfg.width, jnp.dtype(x.dtype).itemsize)
 
     def block(x, lp):
@@ -288,7 +302,6 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
         # (parallel/pp.py): each stage scans its own L/pp layers, the
         # activation rides a ppermute ring. The block body (incl. any
         # fused-kernel routing above) is unchanged.
-        assert options.tp == 1, "pp>1 requires tp==1"
         from nans_clip_tpu.parallel.pp import pp_transformer
 
         def stage_fn(state, local_params, stage, mb_idx, aux_mb):

@@ -51,6 +51,22 @@ def pick_microbatches(batch: int, pp: int) -> int:
     return 1
 
 
+def pp_kernel_batch(global_batch: int, pp: int, microbatches: int = 0) -> int:
+    """The batch the per-layer kernels actually see inside the pipeline:
+    global batch / data shards / microbatches. Batch-dependent routing
+    gates (fused_mlp_routable, route_layer tile picks) must be evaluated
+    at THIS size, not the global one — the A/B measurements they encode
+    were taken at the executed kernel shape."""
+    try:
+        from jax.sharding import get_abstract_mesh
+        data = dict(get_abstract_mesh().shape).get(DATA_AXIS, 1)
+    except Exception:
+        data = 1
+    local = max(1, global_batch // max(1, data))
+    m = microbatches or pick_microbatches(local, pp)
+    return max(1, local // m)
+
+
 def pp_transformer(x: jax.Array, stacked_params: Any, layers_fn: LayersFn,
                    pp: int, microbatches: int = 0,
                    aux: Optional[jax.Array] = None) -> jax.Array:

@@ -208,6 +208,32 @@ def test_pp_composes_with_fsdp(monkeypatch):
     assert max(jax.tree.leaves(diffs)) < 5e-4, diffs
 
 
+def test_pp_dropout_decorrelated_across_data_shards():
+    """With dropout on under pp, every data shard must draw DIFFERENT
+    masks: the closed-over rng is replicated inside the pp shard_map, so
+    the layer rng folds in the data-shard index. Feed identical rows to
+    all shards — outputs must differ across shards (same microbatch slot,
+    different shard => different mask)."""
+    params, _ = init_clip(jax.random.PRNGKey(1), TINY)
+    _, texts = _batch(8, seed=3)
+    texts = np.tile(texts[:1], (8, 1))  # identical input rows
+    tx = jnp.asarray(texts)
+    mesh = _mesh(2, data=4)  # local batch 2, M auto -> microbatch 1
+    with jax.set_mesh(mesh):
+        params_s = shard_params(params, mesh)
+        out = bert_features(params_s["bert"], shard_batch(tx, mesh), None,
+                            TINY.text,
+                            ModelOptions(attn_impl="xla", pp=2,
+                                         deterministic=False),
+                            rng=jax.random.PRNGKey(9))
+    out = np.asarray(out[:, 0, :])  # [8, H] CLS rows
+    # rows living on different data shards must differ; 8 rows / 4 shards
+    shard_rows = out.reshape(4, 2, -1)
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not np.allclose(shard_rows[a], shard_rows[b]), (a, b)
+
+
 def test_pp_param_shardings_split_layers():
     """Stacked block leaves shard dim 0 over 'pipe'; everything else stays
     replicated on that axis."""
