@@ -87,8 +87,10 @@ class LMDBReader:
         (self.psize, _flags, self.depth, self.branch_pages, self.leaf_pages,
          self.overflow_pages, self.entries, self.root) = meta
 
-    def _read_meta(self, pgno: int):
-        off = pgno * PSIZE + PAGEHDRSZ
+    def _read_meta(self, byte_off: int):
+        off = byte_off + PAGEHDRSZ
+        if off + _META_HEAD.size + 2 * _DB.size + _META_TAIL.size > len(self._mm):
+            return None
         magic, version, _addr, _mapsize = _META_HEAD.unpack_from(self._mm, off)
         if magic != MDB_MAGIC or version not in (MDB_VERSION, 999):
             return None
@@ -100,8 +102,19 @@ class LMDBReader:
         return txnid, (psize,) + db1[1:]
 
     def _pick_meta(self):
+        # Meta 0 is always at byte 0; meta 1 sits at the file's ACTUAL page
+        # size (recorded in meta 0's free-DB md_pad), which is the host's
+        # OS page size at creation time — 16K/64K files from e.g. aarch64
+        # hosts put meta 1 well past the 4K default.
         m0 = self._read_meta(0)
-        m1 = self._read_meta(1)
+        if m0 is not None:
+            m1 = self._read_meta(m0[1][0])
+        else:
+            m1 = None
+            for ps in (PSIZE, 8192, 16384, 32768, 65536):
+                m1 = self._read_meta(ps)
+                if m1 is not None:
+                    break
         if m0 is None and m1 is None:
             raise LMDBError(f"{self.path}: no valid LMDB meta page")
         if m0 is None:
@@ -373,12 +386,16 @@ class Transaction:
         self._write = write
         self._buffers = buffers
         self._pending: Dict[bytes, bytes] = {}
+        # Deletes are staged HERE, not on the environment: an aborted
+        # transaction's deletes must vanish, and uncommitted deletes must
+        # be invisible to other transactions (real lmdb isolation).
+        self._dels: set = set()
         self._done = False
 
     def get(self, key: bytes, default=None):
         key = bytes(key)
         val = self._pending.get(key)
-        if val is None:
+        if val is None and key not in self._dels:
             val = self._env._get(key)
         if val is None:
             return default
@@ -387,37 +404,43 @@ class Transaction:
     def put(self, key: bytes, value: bytes, **_kw) -> bool:
         if not self._write:
             raise LMDBError("put() on a read-only transaction")
-        self._pending[bytes(key)] = bytes(value)
+        key = bytes(key)
+        self._dels.discard(key)
+        self._pending[key] = bytes(value)
         return True
 
     def delete(self, key: bytes) -> bool:
         if not self._write:
             raise LMDBError("delete() on a read-only transaction")
         key = bytes(key)
-        existed = (key in self._pending) or (self._env._get(key) is not None)
+        existed = (key in self._pending) or (
+            key not in self._dels and self._env._get(key) is not None)
         self._pending.pop(key, None)
-        self._env._deletes.add(key)
+        self._dels.add(key)
         return existed
 
     def cursor(self) -> Cursor:
-        return Cursor(self._env._items_merged(self._pending), self._buffers)
+        return Cursor(self._env._items_merged(self._pending, self._dels),
+                      self._buffers)
 
     def stat(self) -> dict:
-        n = self._env._entries() + sum(
-            1 for k in self._pending if self._env._get(k) is None)
-        return {"entries": n, "psize": PSIZE, "depth": 0, "branch_pages": 0,
-                "leaf_pages": 0, "overflow_pages": 0}
+        n = self._env._entries()
+        n -= sum(1 for k in self._dels if self._env._get(k) is not None)
+        n += sum(1 for k in self._pending if self._env._get(k) is None)
+        return {"entries": n, "psize": self._env._reader.psize, "depth": 0,
+                "branch_pages": 0, "leaf_pages": 0, "overflow_pages": 0}
 
     def commit(self):
         if self._done:
             return
         self._done = True
-        if self._write and (self._pending or self._env._deletes):
-            self._env._commit(self._pending)
+        if self._write and (self._pending or self._dels):
+            self._env._commit(self._pending, self._dels)
 
     def abort(self):
         self._done = True
         self._pending.clear()
+        self._dels.clear()
 
     def __enter__(self):
         return self
@@ -439,7 +462,6 @@ class Environment:
         self._readonly = readonly
         self._reader: Optional[LMDBReader] = None
         self._staged: Optional[Dict[bytes, bytes]] = None  # write-side cache
-        self._deletes: set = set()
         self._txnid = 0
         exists = os.path.exists(self._data_path)
         if not exists:
@@ -457,8 +479,6 @@ class Environment:
         self._reader = LMDBReader(self._data_path)
 
     def _get(self, key: bytes) -> Optional[bytes]:
-        if key in self._deletes:
-            return None
         if self._staged is not None:
             return self._staged.get(key)
         return self._reader.get(key)
@@ -468,22 +488,21 @@ class Environment:
             return len(self._staged)
         return self._reader.entries
 
-    def _items_merged(self, pending: Dict[bytes, bytes]):
+    def _items_merged(self, pending: Dict[bytes, bytes], dels=()):
         if self._staged is not None:
             base: Dict[bytes, bytes] = dict(self._staged)
         else:
             base = dict(self._reader.items())
-        for k in self._deletes:
+        for k in dels:
             base.pop(k, None)
         base.update(pending)
         return iter(sorted(base.items()))
 
-    def _commit(self, pending: Dict[bytes, bytes]):
+    def _commit(self, pending: Dict[bytes, bytes], dels=()):
         if self._staged is None:
             self._staged = dict(self._reader.items())
-        for k in self._deletes:
+        for k in dels:
             self._staged.pop(k, None)
-        self._deletes.clear()
         self._staged.update(pending)
         self._txnid += 1
         write_lmdb(self._data_path, self._staged, self._map_size,
@@ -497,7 +516,7 @@ class Environment:
         return Transaction(self, write, buffers)
 
     def stat(self) -> dict:
-        return {"entries": self._entries(), "psize": PSIZE,
+        return {"entries": self._entries(), "psize": self._reader.psize,
                 "depth": self._reader.depth,
                 "branch_pages": self._reader.branch_pages,
                 "leaf_pages": self._reader.leaf_pages,

@@ -109,7 +109,10 @@ def layer_cell_tile(b: int, seq: int, width: int, inter: int,
     sub-block estimators' 14 MB budgets would cap the tile at the MLP's
     answer and throw away the attention part's row fill at short seqs."""
     heads = max(1, width // 64)
-    weights = 12 * width * width * esize
+    # attn wqkv+wo (4*w*w) + MLP w1+w2 (2*w*inter) — matches the
+    # tower_batch_tile estimator; inter != 4*w widths were previously
+    # under-counted by the hardcoded 12*w*w form
+    weights = (4 * width * width + 2 * width * inter) * esize
     attn_ps = (seq * 3 * width * 4 + heads * _rup(seq, 8) * seq * 4
                + seq * width * 5 * esize)
     mlp_ps = seq * (inter * (4 + 2 * esize) + width * 6 * esize)

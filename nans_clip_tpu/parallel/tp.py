@@ -40,6 +40,20 @@ from nans_clip_tpu.ops.layernorm import layer_norm
 from nans_clip_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
+def _check_tp(tp: int):
+    """Fail fast when options.tp desyncs from the ambient mesh: a mismatch
+    would otherwise clamp _local_qkv's dynamic_slice so two shards silently
+    recompute the same trailing heads and the psum double-counts them."""
+    try:
+        from jax.sharding import get_abstract_mesh
+        msize = dict(get_abstract_mesh().shape).get(MODEL_AXIS)
+    except Exception:
+        return
+    if msize is not None:
+        assert msize == tp, \
+            f"tp={tp} but the ambient mesh's '{MODEL_AXIS}' axis is {msize}"
+
+
 def _local_qkv(wqkv, bqkv, heads: int, tp: int):
     """Slice this model shard's heads out of the fused q|k|v weight.
 
@@ -63,6 +77,7 @@ def tp_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads: int,
     """TP attention sub-block. pre-LN (ViT): x + proj(MHA(LN(x))) + bo;
     post-LN (BERT): LN(x + proj(MHA(x)) + bo), additive key_bias mask."""
     assert heads % tp == 0, f"heads {heads} not divisible by tp {tp}"
+    _check_tp(tp)
     b, seq, _ = x.shape
     # key_bias convention everywhere: [B, S] additive bias ([B] zeros when
     # unmasked keeps the shard_map arity fixed)
@@ -101,6 +116,7 @@ def tp_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str, tp: int,
                  eps: float = 1e-5, post_ln: bool = False,
                  impl: str = "fused", interpret: bool = False):
     """TP MLP sub-block: column-split fc1 / row-split fc2, one psum."""
+    _check_tp(tp)
 
     def shard_body(x_l, s_, b_, w1_l, b1_l, w2_l, b2_r):
         if impl == "fused":

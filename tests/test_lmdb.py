@@ -246,3 +246,79 @@ def test_build_dataset_lmdb_format(tmp_path):
     assert int(pairs.get(b"num_samples")) == 2
     assert pickle.loads(pairs.get(b"1")) == (2, 0, "山水")
     pairs.close()
+
+
+def test_txn_abort_rolls_back_deletes(tmp_path):
+    """Deletes are staged per-transaction: an aborted txn's deletes vanish,
+    are invisible to other txns before commit, and a later unrelated
+    commit must not drop the key (regression: deletes used to mutate the
+    shared environment immediately)."""
+    env = L.open(str(tmp_path / "e"))
+    with env.begin(write=True) as t:
+        t.put(b"k", b"v")
+    txn = env.begin(write=True)
+    assert txn.delete(b"k") is True
+    assert txn.get(b"k") is None          # visible inside the txn
+    assert env.begin().get(b"k") == b"v"  # invisible outside
+    txn.abort()
+    assert env.begin().get(b"k") == b"v"
+    with env.begin(write=True) as t2:     # unrelated commit keeps the key
+        t2.put(b"other", b"x")
+    assert env.begin().get(b"k") == b"v"
+    t3 = env.begin(write=True)            # delete-then-put in one txn
+    t3.delete(b"k")
+    assert t3.get(b"k") is None
+    t3.put(b"k", b"v2")
+    assert t3.stat()["entries"] == 2
+    t3.commit()
+    assert env.begin().get(b"k") == b"v2"
+    env.close()
+
+
+def test_reader_nondefault_page_size(tmp_path):
+    """Files written by liblmdb on 16K-page hosts put meta page 1 at the
+    REAL page size, not the 4K default; the reader must locate it via meta
+    0's recorded psize (regression: it probed byte 4096 and silently fell
+    back to the stale meta 0)."""
+    import struct
+
+    psize = 16384
+    buf = bytearray(psize * 3)
+    items = [(b"alpha", b"A" * 10), (b"beta", b"B" * 20)]
+    base = 2 * psize  # leaf page, pgno 2
+    off, ptrs = psize, []
+    for k, v in items:
+        nb = L._NODEHDR.pack(len(v) & 0xFFFF, len(v) >> 16, 0, len(k)) + k + v
+        off -= L._even(len(nb))
+        buf[base + off:base + off + len(nb)] = nb
+        ptrs.append(off)
+    lower = L.PAGEHDRSZ + 2 * len(ptrs)
+    L._PAGEHDR.pack_into(buf, base, 2, 0, L.P_LEAF, lower, off)
+    struct.pack_into(f"<{len(ptrs)}H", buf, base + L.PAGEHDRSZ, *ptrs)
+
+    def meta(pgno, txnid, root, entries, leaf_pages, depth):
+        o = pgno * psize
+        L._PAGEHDR.pack_into(buf, o, pgno, 0, L.P_META, 0, 0)
+        o += L.PAGEHDRSZ
+        L._META_HEAD.pack_into(buf, o, L.MDB_MAGIC, L.MDB_VERSION, 0,
+                               psize * 3)
+        L._DB.pack_into(buf, o + L._META_HEAD.size,        # free DB: pad
+                        psize, 0, 0, 0, 0, 0, 0, L.P_INVALID)  # = psize
+        L._DB.pack_into(buf, o + L._META_HEAD.size + L._DB.size,
+                        0, 0, depth, 0, leaf_pages, 0, entries, root)
+        L._META_TAIL.pack_into(buf, o + L._META_HEAD.size + 2 * L._DB.size,
+                               2, txnid)
+
+    meta(0, 1, L.P_INVALID, 0, 0, 0)  # stale empty snapshot
+    meta(1, 2, 2, 2, 1, 1)            # live snapshot -> leaf pgno 2
+    d = tmp_path / "big16k"
+    d.mkdir()
+    (d / "data.mdb").write_bytes(bytes(buf))
+
+    r = L.LMDBReader(str(d))
+    assert r.psize == psize
+    assert r.entries == 2
+    assert r.get(b"alpha") == b"A" * 10
+    assert r.get(b"beta") == b"B" * 20
+    assert r.get(b"gamma") is None
+    r.close()

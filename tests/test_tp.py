@@ -129,3 +129,12 @@ def test_tp_train_step_matches_single_device():
         diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                              ref_state.params, tp_state.params)
     assert max(jax.tree.leaves(diffs)) < 5e-4, diffs
+
+
+def test_tp_mesh_mismatch_fails_fast():
+    """options.tp desynced from the mesh's 'model' axis must raise, not
+    silently clamp the head slice and double-count shards in the psum."""
+    x, *args = _attn_args(0, 24, 64)
+    with jax.set_mesh(_mesh(4)):
+        with pytest.raises(AssertionError, match="mesh"):
+            tp_attention_block(x, *args, 4, 2, impl="xla")
