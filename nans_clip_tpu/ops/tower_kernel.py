@@ -102,8 +102,13 @@ def _tower_kernel(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
         out = _ln(out, s2_ref[0], b2_ref[0], eps)
 
     xs_ref[:] = out.astype(x.dtype)
-    # constant-index output block: flushed to HBM once, after the last step
-    o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+    # constant-index output block: flushed to HBM once after the final
+    # grid step, so only the last layer needs to store it — earlier
+    # layers' writes were dead VMEM traffic
+    @pl.when(l == n_layers - 1)
+    def _():
+        o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def tower_batch_tile(b: int, s: int, w: int, inter: int,
