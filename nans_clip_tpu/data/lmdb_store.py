@@ -463,6 +463,7 @@ class Environment:
         self._reader: Optional[LMDBReader] = None
         self._staged: Optional[Dict[bytes, bytes]] = None  # write-side cache
         self._txnid = 0
+        self._dirty = False
         exists = os.path.exists(self._data_path)
         if not exists:
             if readonly or not create:
@@ -471,6 +472,7 @@ class Environment:
                 os.makedirs(path, exist_ok=True)
             write_lmdb(self._data_path, {}, map_size, txnid=0)
         self._open_reader()
+        self._flushed_n = self._reader.entries
 
     # -- internals ----------------------------------------------------------
     def _open_reader(self):
@@ -505,8 +507,24 @@ class Environment:
             self._staged.pop(k, None)
         self._staged.update(pending)
         self._txnid += 1
+        self._dirty = True
+        # Amortized flush: rebuilding the whole file on EVERY commit makes
+        # the reference's periodic-commit ingest (a commit every 1000-5000
+        # puts, build_lmdb_dataset.py:70,88) quadratic in I/O. Reads stay
+        # correct between flushes (the staged dict is authoritative);
+        # sync()/close() always flush, so the file is complete on exit.
+        # Trade-off vs real lmdb: commit durability becomes close()
+        # durability — documented shim behavior.
+        if len(self._staged) >= 2 * max(1, self._flushed_n):
+            self._flush()
+
+    def _flush(self):
+        if not self._dirty:
+            return
         write_lmdb(self._data_path, self._staged, self._map_size,
                    txnid=self._txnid)
+        self._flushed_n = len(self._staged)
+        self._dirty = False
         self._open_reader()
 
     # -- public surface -----------------------------------------------------
@@ -522,8 +540,12 @@ class Environment:
                 "leaf_pages": self._reader.leaf_pages,
                 "overflow_pages": self._reader.overflow_pages}
 
+    def sync(self, force: bool = True):
+        self._flush()
+
     def close(self):
         if self._reader is not None:
+            self._flush()
             self._reader.close()
             self._reader = None
 

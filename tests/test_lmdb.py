@@ -322,3 +322,25 @@ def test_reader_nondefault_page_size(tmp_path):
     assert r.get(b"beta") == b"B" * 20
     assert r.get(b"gamma") is None
     r.close()
+
+
+def test_commit_flushes_are_amortized(tmp_path, monkeypatch):
+    """Periodic commits (the reference ingests with a commit every 1000-5000
+    puts) must not rewrite the whole file each time: flushes follow a
+    size-doubling schedule, with sync()/close() completing the file."""
+    calls = []
+    real = L.write_lmdb
+    monkeypatch.setattr(L, "write_lmdb",
+                        lambda *a, **kw: (calls.append(1), real(*a, **kw)))
+    env = L.open(str(tmp_path / "e"))
+    for c in range(10):                      # 10 commits x 100 records
+        with env.begin(write=True) as t:
+            for i in range(100):
+                t.put(f"{c:03d}-{i:03d}".encode(), b"v" * 50)
+    mid_flushes = len(calls)
+    assert mid_flushes <= 5, mid_flushes     # ~log2(1000), not 10
+    env.close()                              # final flush completes the file
+    r = L.LMDBReader(str(tmp_path / "e"))
+    assert r.entries == 1000
+    assert r.get(b"009-099") == b"v" * 50
+    r.close()
