@@ -37,46 +37,55 @@ from jax.experimental.pallas import tpu as pltpu
 from nans_clip_tpu.ops.fused_block import MAX_FUSED_SEQ, _erf, _ln, _rup
 
 
-def _layer_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                  s2_ref, b2_ref, w1_ref, b1m_ref, w2_ref, b2m_ref, kb_ref,
-                  o_ref, *, heads: int, eps: float, post_ln: bool,
-                  masked: bool, act: str):
-    t, s0, w = x_ref.shape
+def encoder_layer_math(x, kb, s1, b1, wqkv, bqkv, wo, bo, s2, b2, w1, bm1,
+                       w2, bm2, *, heads: int, eps: float, act: str,
+                       post_ln: bool, batch: int):
+    """One transformer layer on VMEM-resident VALUES: LN1 -> QKV ->
+    per-head block-diagonal attention -> out-proj -> residual [-> post-LN]
+    -> LN2 -> fc1 -> act -> fc2 -> residual [-> post-LN].
+
+    Shared by the whole-layer kernel below and the whole-tower kernel
+    (ops/tower_kernel.py) so the two serving paths cannot numerically
+    diverge. ``x``: [batch*S, W] flattened; ``kb``: [batch, 1, S] additive
+    key bias or None. Returns the layer output in fp32 (callers cast).
+    fp32 LN/softmax statistics throughout (the fp16-overflow guard)."""
+    rows, w = x.shape
+    s0 = rows // batch
     dh = w // heads
     scale = 1.0 / math.sqrt(dh)
-    x = x_ref[:].reshape(t * s0, w)
 
     # ---- attention sub-block (head-major loops, fused_block._kernel) ----
     if post_ln:
         xn = x
     else:
-        xn = _ln(x.astype(jnp.float32), s1_ref, b1_ref, eps).astype(x.dtype)
-    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[:].astype(jnp.float32)
+        xn = _ln(x.astype(jnp.float32), s1, b1, eps).astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv.astype(jnp.float32)
     ctx_parts = []
     for h in range(heads):                         # static unroll
         q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
         k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
         v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
         ctx_t = []
-        for tt in range(t):
+        for tt in range(batch):                    # block-diagonal attention
             sl = slice(tt * s0, (tt + 1) * s0)
             s = jax.lax.dot_general(q[sl], k[sl], (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
-            if masked:
-                s = s + kb_ref[tt]                 # [1, S] additive key bias
+            if kb is not None:
+                s = s + kb[tt]                     # [1, S] additive key bias
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             ctx_t.append(jnp.dot(p.astype(x.dtype), v[sl],
                                  preferred_element_type=jnp.float32))
-        ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if t > 1 else ctx_t[0])
+        ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if batch > 1
+                         else ctx_t[0])
     ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)
-    proj = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
-    proj = proj + bo_ref[:].astype(jnp.float32)
+    proj = jnp.dot(ctx, wo, preferred_element_type=jnp.float32)
+    proj = proj + bo.astype(jnp.float32)
     a = proj + x.astype(jnp.float32)
     if post_ln:
-        a = _ln(a, s1_ref, b1_ref, eps)
+        a = _ln(a, s1, b1, eps)
     # cast through the input dtype between sub-blocks: bit-identical to
     # the two-kernel path (the attention kernel's o_ref store)
     a = a.astype(x.dtype)
@@ -85,19 +94,33 @@ def _layer_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     if post_ln:
         hn = a
     else:
-        hn = _ln(a.astype(jnp.float32), s2_ref, b2_ref, eps).astype(x.dtype)
-    hmid = jnp.dot(hn, w1_ref[:], preferred_element_type=jnp.float32)
-    hmid = hmid + b1m_ref[:].astype(jnp.float32)
+        hn = _ln(a.astype(jnp.float32), s2, b2, eps).astype(x.dtype)
+    hmid = jnp.dot(hn, w1, preferred_element_type=jnp.float32)
+    hmid = hmid + bm1.astype(jnp.float32)
     if act == "quick_gelu":
         hmid = hmid * jax.nn.sigmoid(1.702 * hmid)
     else:                                          # exact-erf gelu (BERT)
         hmid = 0.5 * hmid * (1.0 + _erf(hmid * 0.7071067811865476))
     hmid = hmid.astype(x.dtype)
-    p2 = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
-    p2 = p2 + b2m_ref[:].astype(jnp.float32)
+    p2 = jnp.dot(hmid, w2, preferred_element_type=jnp.float32)
+    p2 = p2 + bm2.astype(jnp.float32)
     out = p2 + a.astype(jnp.float32)
     if post_ln:
-        out = _ln(out, s2_ref, b2_ref, eps)
+        out = _ln(out, s2, b2, eps)
+    return out
+
+
+def _layer_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                  s2_ref, b2_ref, w1_ref, b1m_ref, w2_ref, b2m_ref, kb_ref,
+                  o_ref, *, heads: int, eps: float, post_ln: bool,
+                  masked: bool, act: str):
+    t, s0, w = x_ref.shape
+    x = x_ref[:].reshape(t * s0, w)
+    kb = kb_ref[:] if masked else None
+    out = encoder_layer_math(
+        x, kb, s1_ref[:], b1_ref[:], wqkv_ref[:], bqkv_ref[:], wo_ref[:],
+        bo_ref[:], s2_ref[:], b2_ref[:], w1_ref[:], b1m_ref[:], w2_ref[:],
+        b2m_ref[:], heads=heads, eps=eps, act=act, post_ln=post_ln, batch=t)
     o_ref[:] = out.reshape(x_ref.shape).astype(o_ref.dtype)
 
 

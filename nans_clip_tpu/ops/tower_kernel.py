@@ -21,14 +21,13 @@ per-sub-block kernels whose backward twins recompute in VMEM.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nans_clip_tpu.ops.fused_block import _erf, _ln
+from nans_clip_tpu.ops.layer_kernel import encoder_layer_math
 
 
 def _tower_kernel(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
@@ -37,69 +36,20 @@ def _tower_kernel(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
                   post_ln: bool, masked: bool, n_layers: int, batch: int):
     l = pl.program_id(1)               # grid (batch_tile, layer), layer fastest
     rows, w = xs_ref.shape
-    s0 = rows // batch
-    dh = w // heads
-    scale = 1.0 / math.sqrt(dh)
 
     @pl.when(l == 0)
     def _():
         xs_ref[:] = x_ref[:].reshape(rows, w)
 
     x = xs_ref[:]
-
-    # ---- attention sub-block (head-major, no dropout: serving) ----
-    if post_ln:
-        xn = x
-    else:
-        xn = _ln(x.astype(jnp.float32), s1_ref[0], b1_ref[0], eps).astype(x.dtype)
-    qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-
-    ctx_parts = []
-    for h in range(heads):                         # static unroll
-        q = qkv[:, h * dh:(h + 1) * dh].astype(x.dtype)
-        k = qkv[:, w + h * dh:w + (h + 1) * dh].astype(x.dtype)
-        v = qkv[:, 2 * w + h * dh:2 * w + (h + 1) * dh].astype(x.dtype)
-        ctx_t = []
-        for tt in range(batch):                    # block-diagonal attention
-            sl = slice(tt * s0, (tt + 1) * s0)
-            s = jax.lax.dot_general(q[sl], k[sl], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
-            if masked:
-                s = s + kb_ref[tt]                 # [1, S] additive key bias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx_t.append(jnp.dot(p.astype(x.dtype), v[sl],
-                                 preferred_element_type=jnp.float32))
-        ctx_parts.append(jnp.concatenate(ctx_t, axis=0) if batch > 1
-                         else ctx_t[0])
-    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)
-
-    proj = jnp.dot(ctx, wo_ref[0], preferred_element_type=jnp.float32)
-    proj = proj + bo_ref[0].astype(jnp.float32)
-    out = proj + x.astype(jnp.float32)
-    if post_ln:
-        out = _ln(out, s1_ref[0], b1_ref[0], eps)
-    x = out.astype(x.dtype)
-
-    # ---- MLP sub-block ----
-    if post_ln:
-        xn = x
-    else:
-        xn = _ln(x.astype(jnp.float32), s2_ref[0], b2_ref[0], eps).astype(x.dtype)
-    h = jnp.dot(xn, w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + bm1_ref[0].astype(jnp.float32)
-    if act == "quick_gelu":
-        h = h * jax.nn.sigmoid(1.702 * h)
-    else:                                          # exact-erf gelu (BERT)
-        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-    h = h.astype(x.dtype)
-    proj = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
-    proj = proj + bm2_ref[0].astype(jnp.float32)
-    out = proj + x.astype(jnp.float32)
-    if post_ln:
-        out = _ln(out, s2_ref[0], b2_ref[0], eps)
+    kb = kb_ref[:] if masked else None
+    # the layer math (attention + MLP, head-major, fp32 stats) is shared
+    # with the whole-layer kernel so the two serving paths cannot diverge
+    out = encoder_layer_math(
+        x, kb, s1_ref[0], b1_ref[0], wqkv_ref[0], bqkv_ref[0], wo_ref[0],
+        bo_ref[0], s2_ref[0], b2_ref[0], w1_ref[0], bm1_ref[0], w2_ref[0],
+        bm2_ref[0], heads=heads, eps=eps, act=act, post_ln=post_ln,
+        batch=batch)
 
     xs_ref[:] = out.astype(x.dtype)
 
