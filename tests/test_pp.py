@@ -245,3 +245,39 @@ def test_pp_param_shardings_split_layers():
     assert sh["bert"]["encoder"]["mlp"]["w1"].spec[0] == "pipe"
     assert sh["visual"]["positional_embedding"].spec == ()
     assert sh["bert"]["embeddings"]["word"].spec == ()
+
+
+def test_pp_with_grad_accum_and_flip_matches_oracle():
+    """pp=2 composed with grad accumulation (scan+remat, full negatives)
+    and FLIP masking matches the unsharded step — the pipeline shard_map
+    nests inside the accumulation scan."""
+    import dataclasses as dc
+
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    images, texts = _batch(16)
+    im, tx = jnp.asarray(images), jnp.asarray(texts)
+    tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=10, accum_freq=2,
+                       mask_ratio=0.5)
+
+    state = create_train_state(jax.tree.map(jnp.copy, params), {}, tcfg)
+    step = make_train_step(TINY, tcfg,
+                           ModelOptions(attn_impl="xla", deterministic=True,
+                                        remat=True),
+                           constrain=False)
+    ref_state, ref_metrics = step(state, im, tx, jax.random.PRNGKey(3))
+
+    mesh = _mesh(2, data=4)
+    with jax.set_mesh(mesh):
+        params_s = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        state = create_train_state(params_s, {}, tcfg)
+        step = make_train_step(TINY, tcfg,
+                               ModelOptions(attn_impl="xla", pp=2,
+                                            deterministic=True, remat=True),
+                               constrain=False)
+        pp_state, pp_metrics = step(state, shard_batch(im, mesh),
+                                    shard_batch(tx, mesh),
+                                    jax.random.PRNGKey(3))
+        assert abs(float(pp_metrics["loss"]) - float(ref_metrics["loss"])) < 1e-4
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             ref_state.params, pp_state.params)
+    assert max(jax.tree.leaves(diffs)) < 5e-4, diffs
