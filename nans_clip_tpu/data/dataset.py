@@ -158,7 +158,13 @@ class DataLoader:
                 break
             self.decode_failures += int(bad.size)
             failed_ids = image_ids[bad].tolist()
-            idx[bad] = (idx[bad] + attempt * 9973) % len(self.ds)
+            n_ds = len(self.ds)
+            off = (attempt * 9973) % n_ds
+            if off == 0 and n_ds > 1:
+                # the prime stride is an identity when n_ds divides it
+                # (e.g. exactly 9973 samples) — fall back to a small shift
+                off = attempt % n_ds or 1
+            idx[bad] = (idx[bad] + off) % n_ds
             for j in bad:
                 p = self.ds.get_pair(int(idx[j]))
                 image_ids[j], text_ids[j] = p[0], p[1]
@@ -189,16 +195,30 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that watches the stop event: a consumer that
+            # abandons the iterator mid-epoch (max_steps break, preemption)
+            # must not leave the producer blocked in q.put forever, pinning
+            # the batch buffers it holds
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in range(n):
                     if stop.is_set():
                         return
                     sl = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(self._make_batch(sl))
-                q.put(None)
+                    if not put(self._make_batch(sl)):
+                        return
+                put(None)
             except BaseException as e:  # surface in the consumer, don't hang it
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

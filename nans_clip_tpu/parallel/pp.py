@@ -57,11 +57,11 @@ def pp_kernel_batch(global_batch: int, pp: int, microbatches: int = 0) -> int:
     gates (fused_mlp_routable, route_layer tile picks) must be evaluated
     at THIS size, not the global one — the A/B measurements they encode
     were taken at the executed kernel shape."""
-    try:
-        from jax.sharding import get_abstract_mesh
-        data = dict(get_abstract_mesh().shape).get(DATA_AXIS, 1)
-    except Exception:
-        data = 1
+    # no try/except: if this API moves in a jax upgrade we want a LOUD
+    # failure, not gates silently evaluated at the global batch (a
+    # mis-route the A/B-measured tile picks exist to prevent)
+    from jax.sharding import get_abstract_mesh
+    data = dict(get_abstract_mesh().shape).get(DATA_AXIS, 1)
     local = max(1, global_batch // max(1, data))
     m = microbatches or pick_microbatches(local, pp)
     return max(1, local // m)

@@ -110,6 +110,21 @@ def main(argv=None):
         except Exception as e:
             logging.warning("could not set platform %s: %s", args.platform, e)
     log_path = setup_logging(args.logs, args.name)
+
+    # Multi-host: initialize jax.distributed BEFORE any device call so each
+    # process sees the global topology (otherwise every host would silently
+    # train an independent replica on identical data — process_index()==0
+    # everywhere). Explicit env rendezvous (COORDINATOR_ADDRESS/
+    # NUM_PROCESSES/PROCESS_ID, parallel/distributed.py) or --distributed
+    # for TPU-pod metadata autodetect; single-host launches skip it (the
+    # autodetect probe can block on non-pod platforms).
+    if args.distributed or os.environ.get("COORDINATOR_ADDRESS") \
+            or os.environ.get("NUM_PROCESSES"):
+        from nans_clip_tpu.parallel.distributed import init_distributed
+        init_distributed()
+        logging.info("multi-host: process %d/%d", jax.process_index(),
+                     jax.process_count())
+
     logging.info("devices: %s", jax.devices())
 
     mesh = create_mesh(model=args.tp, pipe=args.pp)
@@ -192,9 +207,15 @@ def main(argv=None):
             state, meta = restore_checkpoint(ckpt_dir, resume_tag, state,
                                              reset_optimizer=args.reset_optimizer)
             if meta:
-                start_step = meta.get("step", int(state.step))
+                # The reference restores epoch AND step only when the data
+                # offset is kept (main.py:223-225): --reset-data-offset
+                # restarts the data order and the step counter together
+                # (else `step >= max_steps` fires immediately on a finished
+                # run). The LR schedule count lives in the optimizer state;
+                # pair with --reset-optimizer to re-warm it.
                 if not args.reset_data_offset:
                     start_epoch = meta.get("epoch", 0)
+                    start_step = meta.get("step", int(state.step))
                 logging.info("resumed from %s (epoch %d, step %d)",
                              resume_tag, start_epoch, start_step)
 
@@ -241,10 +262,19 @@ def main(argv=None):
         signal.signal(signal.SIGINT, _handle)
 
         profile_range = None
+        prof_active = {"flag": False}
         if args.profile_steps:
             lo, hi = args.profile_steps.split(":")
             profile_range = (int(lo), int(hi))
             profile_dir = os.path.join(args.logs, args.name, "profile")
+
+        def stop_profiler():
+            # flush the trace on ANY loop exit (max_steps break, preemption
+            # return) so a window that straddles the end still writes a file
+            if prof_active["flag"]:
+                jax.profiler.stop_trace()
+                prof_active["flag"] = False
+                logging.info("profiler trace written to %s", profile_dir)
 
         step = start_step
         for epoch in range(start_epoch, args.max_epochs):
@@ -267,13 +297,15 @@ def main(argv=None):
                 tx = global_batch_from_host_batch(texts, mesh)
                 rng, srng, arng = jax.random.split(rng, 3)
                 im = preprocess_images(arng, im, resolution, augment=args.use_augment)
-                if profile_range and step == profile_range[0]:
+                if profile_range and not prof_active["flag"] \
+                        and step == profile_range[0]:
                     jax.profiler.start_trace(profile_dir)
+                    prof_active["flag"] = True
                 state, metrics = train_step(state, im, tx, srng)
                 step += 1
-                if profile_range and step == profile_range[1]:
-                    jax.profiler.stop_trace()
-                    logging.info("profiler trace written to %s", profile_dir)
+                if profile_range and prof_active["flag"] \
+                        and step >= profile_range[1]:
+                    stop_profiler()
                     profile_range = None
 
                 if step % args.log_interval == 0:
@@ -295,6 +327,7 @@ def main(argv=None):
                     save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
                                     args.save_torch_format, cfg)
                 if preempted["flag"]:
+                    stop_profiler()
                     meta = {"epoch": epoch, "step": step, "name": args.name}
                     save_checkpoint(ckpt_dir, f"preempt_step_{step}", state, meta,
                                     args.save_torch_format, cfg)
@@ -312,6 +345,7 @@ def main(argv=None):
             save_checkpoint(ckpt_dir, tag, state, meta, args.save_torch_format, cfg)
             if step >= args.max_steps:
                 break
+        stop_profiler()
 
     logging.info("done: %d steps. log: %s", step, log_path)
     return state

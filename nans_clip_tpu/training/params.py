@@ -107,6 +107,11 @@ def parse_args(argv=None):
     p.add_argument("--pp-microbatches", type=int, default=0,
                    help="pipeline microbatches per step (0 = auto, "
                         "<= 2*pp divisor of the per-data-shard batch)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed via TPU-pod metadata "
+                        "autodetect (multi-host). Explicit rendezvous works "
+                        "without the flag via COORDINATOR_ADDRESS/"
+                        "NUM_PROCESSES/PROCESS_ID env vars")
     # misc
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax platform (the axon sitecustomize hook "

@@ -84,16 +84,22 @@ def no_decay_mask(params) -> Any:
     * the case-sensitive substring test does NOT match BERT's capitalized
       'LayerNorm.weight', so the reference decays text-tower LayerNorm
       scales (their biases are still caught by 'bias') — reproduced here
-      by applying the ln/bn exclusion only outside the 'bert' subtree."""
+      by applying the ln/bn exclusion only outside the 'bert' subtree;
+    * the RN50 downsample BatchNorm is the Sequential's anonymous index 1
+      ('downsample.1.weight' — no 'bn' substring), so the reference DECAYS
+      its scale; our pytree names it 'downsample'/'bn', so the bn
+      exclusion is suppressed under 'downsample' (its bias is still
+      caught by 'bias', same as the reference)."""
     bias_names = {"bias", "bqkv", "bo", "b1", "b2"}
 
     def is_excluded(path) -> bool:
         names = [p.key if hasattr(p, "key") else str(p) for p in path]
         in_text = "bert" in names
+        in_downsample = "downsample" in names
         for n in names:
             if n == "logit_scale" or n in bias_names:
                 return True
-            if not in_text and ("ln" in n or "bn" in n):
+            if not in_text and not in_downsample and ("ln" in n or "bn" in n):
                 return True
         return False
 
@@ -202,10 +208,20 @@ def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
     remat (full-negative grad accumulation)."""
     img_rng, txt_rng = jax.random.split(rng)
     new_stats = batch_stats
+    # freeze-vision freezes BN running statistics too: the reference puts
+    # every BatchNorm2d in eval mode when the tower is frozen
+    # (training/main.py:126-129), so the frozen RN50's inference outputs
+    # stay pinned to the pretrained stats.
+    bn_train = not tcfg.freeze_vision
     if tcfg.accum_freq <= 1:
         if cfg.is_resnet:
-            img_f, new_stats = encode_image(params, cfg, images, options,
-                                            batch_stats=batch_stats, training=True)
+            if bn_train:
+                img_f, new_stats = encode_image(params, cfg, images, options,
+                                                batch_stats=batch_stats,
+                                                training=True)
+            else:
+                img_f = encode_image(params, cfg, images, options,
+                                     batch_stats=batch_stats, training=False)
         else:
             img_f = encode_image(params, cfg, images, options,
                                  mask_ratio=tcfg.mask_ratio, rng=img_rng)
@@ -227,9 +243,13 @@ def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
             # BN running stats update every microbatch forward, like the
             # reference's two-pass protocol that keeps the model in train
             # mode (training/train.py:206-253); stats thread through the
-            # scan carry.
-            f_i, stats = encode_image(params, cfg, im_j, options,
-                                      batch_stats=stats, training=True)
+            # scan carry. With freeze-vision they stay frozen (see above).
+            if bn_train:
+                f_i, stats = encode_image(params, cfg, im_j, options,
+                                          batch_stats=stats, training=True)
+            else:
+                f_i = encode_image(params, cfg, im_j, options,
+                                   batch_stats=stats, training=False)
         else:
             f_i = encode_image(params, cfg, im_j, options,
                                mask_ratio=tcfg.mask_ratio, rng=r_i)
@@ -270,8 +290,22 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
                                       label_smoothing=tcfg.label_smoothing,
                                       constrain=constrain)
             if tcfg.distillation and teacher_params is not None:
-                t_feats = jax.lax.stop_gradient(
-                    encode_image(teacher_params, teacher_cfg, images, teacher_opts))
+                def t_enc(im_j):
+                    return encode_image(teacher_params, teacher_cfg, im_j,
+                                        teacher_opts)
+                if tcfg.accum_freq > 1:
+                    # microbatch the teacher like the student: a single
+                    # full-accumulated-batch teacher forward materializes
+                    # activations the accumulation exists to avoid (the
+                    # reference chunks teacher features too, train.py:206-253)
+                    m = tcfg.accum_freq
+                    im_r = images.reshape(m, images.shape[0] // m,
+                                          *images.shape[1:])
+                    t_feats = jax.lax.map(t_enc, im_r)
+                    t_feats = t_feats.reshape(images.shape[0], -1)
+                else:
+                    t_feats = t_enc(images)
+                t_feats = jax.lax.stop_gradient(t_feats)
                 kd = kd_cosine_loss(t_feats, img_f)
                 loss = loss + tcfg.kd_loss_weight * kd
                 metrics = {**metrics, "kd_loss": kd}

@@ -45,3 +45,31 @@ def test_distillation_step():
     # total loss includes KD: loss > plain contrastive component alone is
     # hard to assert; instead check KD decreases as student aligns
     assert losses[-1] <= losses[0] + 1e-3
+
+
+def test_distillation_teacher_microbatched_under_accum():
+    """With accum_freq > 1 the teacher is encoded per microbatch (lax.map)
+    instead of one full-accumulated-batch forward; the KD loss must equal
+    the accum_freq=1 value on the same data (deterministic towers)."""
+    student, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    teacher_params, _ = init_clip(jax.random.PRNGKey(1), TEACHER)
+    images, texts = _batch(8)
+    im, tx = jnp.asarray(images), jnp.asarray(texts)
+
+    def kd_of(accum):
+        tcfg = TrainConfig(lr=1e-4, warmup=2, max_steps=10,
+                           distillation=True, kd_loss_weight=0.5,
+                           accum_freq=accum)
+        state = create_train_state(jax.tree.map(jnp.copy, student), {}, tcfg)
+        step = make_train_step(TINY, tcfg,
+                               ModelOptions(attn_impl="xla",
+                                            deterministic=True),
+                               teacher=(TEACHER, teacher_params),
+                               constrain=False)
+        _, m = step(state, im, tx, jax.random.PRNGKey(0))
+        return float(m["kd_loss"]), float(m["loss"])
+
+    kd1, loss1 = kd_of(1)
+    kd2, loss2 = kd_of(2)
+    assert abs(kd1 - kd2) < 1e-5, (kd1, kd2)
+    assert abs(loss1 - loss2) < 1e-4, (loss1, loss2)

@@ -236,3 +236,44 @@ def test_adam_compact_trains():
                               jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_no_decay_mask_downsample_bn_decayed():
+    """Reference parity quirk: the RN50 downsample BN is the Sequential's
+    anonymous index 1 ('downsample.1.weight' — no 'bn' substring), so the
+    reference DECAYS its scale while every named bnN scale is excluded."""
+    fake = {"visual": {"layer1": {
+        "bn1": {"scale": 1.0, "bias": 1.0},
+        "downsample": {"conv": {"kernel": 1.0},
+                       "bn": {"scale": 1.0, "bias": 1.0}}}}}
+    mask = no_decay_mask(fake)
+    assert mask["visual"]["layer1"]["bn1"]["scale"] is True
+    assert mask["visual"]["layer1"]["downsample"]["bn"]["scale"] is False
+    assert mask["visual"]["layer1"]["downsample"]["bn"]["bias"] is True
+    assert mask["visual"]["layer1"]["downsample"]["conv"]["kernel"] is False
+
+
+def test_freeze_vision_freezes_bn_stats():
+    """--freeze-vision must pin BN running statistics too (the reference
+    puts BatchNorm2d in eval mode, training/main.py:126-129): the frozen
+    RN50's inference outputs cannot drift with the finetuning data."""
+    from tests.ref_loader import TINY_RN_KWARGS, tiny_config
+
+    cfg = tiny_config(TINY_RN_KWARGS)
+    params, stats = init_clip(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(8, 64, 64, 3), np.float32)
+    _, texts = _batch(8)
+    tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=10, freeze_vision=True)
+    # snapshot before the step: the jitted step donates the input state
+    stats0 = jax.tree.map(np.asarray, stats)
+    visual0 = jax.tree.map(np.asarray, params["visual"])
+    state = create_train_state(params, stats, tcfg)
+    step = make_train_step(cfg, tcfg, ModelOptions(attn_impl="xla",
+                                                   deterministic=True),
+                           constrain=False)
+    new_state, _ = step(state, images, jnp.asarray(texts), jax.random.PRNGKey(1))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        a, np.asarray(b)), stats0, new_state.batch_stats)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        a, np.asarray(b)), visual0, new_state.params["visual"])
