@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--precision", default="bf16")
     p.add_argument("--attn-impl", default="auto")
     p.add_argument("--json-output", default=None)
+    p.add_argument("--backend", default="jit", choices=["jit", "aot"],
+                   help="jit = dispatch-cached jax.jit; aot = ahead-of-"
+                        "time lowered+compiled executable at fixed shapes "
+                        "(the TensorRT-engine analog, same machinery as "
+                        "deploy.compile_tower)")
     p.add_argument("--inner", type=int, default=1,
                    help="forwards per dispatch (chained through a fori_loop "
                         "data dependency). >1 gives DEVICE-side latency on "
@@ -102,6 +107,10 @@ def main(argv=None):
         txt_jit = _loop(lambda p, t: encode_text(p, cfg, t, options),
                         lambda t, acc: jnp.where(acc < jnp.float32(np.inf),
                                                  t, t + 1))
+
+        if args.backend == "aot":
+            img_jit = img_jit.lower(params, images).compile()
+            txt_jit = txt_jit.lower(params, texts).compile()
 
         for tower, fn, x in (("image", img_jit, images), ("text", txt_jit, texts)):
             s = bench_fn(fn, (params, x), args.n, args.warmup)

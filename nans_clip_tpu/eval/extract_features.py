@@ -124,8 +124,17 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
 
     def decode_batch(chunk):
         if not pil:
-            raw, _ok = reader.decode_jpeg_batch(chunk, resolution,
-                                                args.num_threads)
+            raw, ok = reader.decode_jpeg_batch(chunk, resolution,
+                                               args.num_threads)
+            if not ok.all():
+                # fail like the pil path does on a corrupt file — a zero
+                # image would silently pollute the feature jsonl and every
+                # downstream top-k run
+                bad = np.asarray(chunk)[~ok.astype(bool)]
+                raise RuntimeError(
+                    f"JPEG decode failed for image_ids {bad[:8].tolist()} "
+                    f"({int((~ok.astype(bool)).sum())} total); rebuild the "
+                    "dataset or drop the corrupt records")
             return raw
         # reference-exact path: PIL decode + bicubic square resize +
         # normalize (clip/utils.py:179-186)

@@ -94,8 +94,9 @@ def metrics_at_k(sims: np.ndarray, ground_truth: Dict[int, set],
     return out
 
 
-def load_split(data_dir: str) -> Tuple[List[int], List[Tuple[int, str]], Dict[int, List[int]]]:
-    """(image_ids, [(text_id, text)], text->image ground truth)."""
+def load_split(data_dir: str) -> Tuple[List[int], List[Tuple[int, str]],
+                                       Dict[int, List[int]], "PairDataset"]:
+    """(image_ids, [(text_id, text)], text->image ground truth, dataset)."""
     ds = PairDataset(data_dir)
     text_by_id: Dict[int, str] = {}
     gt = defaultdict(list)
@@ -135,10 +136,18 @@ def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
         feats.append(np.asarray(img_fn(params, batch_stats, jnp.asarray(raw)))[: len(chunk)])
     gallery_ids = list(image_ids)
     if distractors:
-        for did, raw in distractors:
-            pad_raw = np.concatenate([raw[None], np.zeros((batch_size - 1,) + raw.shape, raw.dtype)])
-            feats.append(np.asarray(img_fn(params, batch_stats, jnp.asarray(pad_raw)))[:1])
-            gallery_ids.append(did)
+        # batch the distractors like the gallery (one padded dispatch per
+        # image would cost batch_size x the encoder FLOPs + a tunnel RTT each)
+        for i in range(0, len(distractors), batch_size):
+            chunk = distractors[i:i + batch_size]
+            raw = np.stack([r for _, r in chunk])
+            pad = batch_size - len(chunk)
+            if pad:
+                raw = np.concatenate(
+                    [raw, np.zeros((pad,) + raw.shape[1:], raw.dtype)])
+            feats.append(np.asarray(
+                img_fn(params, batch_stats, jnp.asarray(raw)))[: len(chunk)])
+            gallery_ids.extend(did for did, _ in chunk)
     image_features = np.concatenate(feats)
 
     tfeats = []
@@ -222,7 +231,8 @@ def main(argv=None):
             template = init_lora(jax.random.PRNGKey(0), params,
                                  rank=int(meta.get("rank", 4)))
             adapters, meta = load_lora(args.lora, template)
-        alpha = args.lora_alpha or meta.get("alpha", 16.0)
+        alpha = (args.lora_alpha if args.lora_alpha is not None
+                 else meta.get("alpha", 16.0))  # alpha=0 ablation is valid
         merged = merge_lora(params, adapters, alpha=alpha)
         results["lora"] = evaluate_model(cfg, merged, batch_stats, options, ds,
                                          image_ids, texts, gt, args.batch_size,

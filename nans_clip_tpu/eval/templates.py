@@ -42,7 +42,7 @@ def templates_for_dataset(dataset: str) -> List[str]:
     table = {
         "imagenet": imagenet_templates(),
         "imagenet-1k": imagenet_templates(),
-        "flower-102": cv["flower"],
+        "oxford-flower-102": cv["flower"],
         "food-101": cv["food"],
         "fgvc-aircraft-2013b-variants102": cv["aircraft"],
         "eurosat_clip": cv["eurosat"],

@@ -87,9 +87,16 @@ def iter_imagefolder(root):
 
 def run(cfg, params, batch_stats, options, classifier, datapath,
         batch_size=64, num_threads=8):
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     resolution = cfg.vision.image_resolution
+
+    def load_one(path):
+        img = Image.open(path).convert("RGB").resize(
+            (resolution, resolution), Image.BICUBIC)
+        return np.asarray(img)
 
     def img_forward(p, bs_, x):
         x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
@@ -108,10 +115,10 @@ def run(cfg, params, batch_stats, options, classifier, datapath,
     for i in range(0, len(samples), batch_size):
         chunk = samples[i:i + batch_size]
         imgs = np.zeros((batch_size, resolution, resolution, 3), np.uint8)
-        for j, (path, _) in enumerate(chunk):
-            img = Image.open(path).convert("RGB").resize((resolution, resolution),
-                                                         Image.BICUBIC)
-            imgs[j] = np.asarray(img)
+        with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
+            for j, arr in enumerate(pool.map(load_one,
+                                             [p_ for p_, _ in chunk])):
+                imgs[j] = arr
         logits = np.asarray(img_fn(params, batch_stats, jnp.asarray(imgs)))[: len(chunk)]
         pred = logits.argmax(-1)
         for (path, label), p_, lg in zip(chunk, pred, logits):

@@ -77,7 +77,9 @@ def fits_fused_mlp_bwd(seq: int, width: int) -> bool:
     return seq <= 64 and width <= 1024
 
 
-def _ln_fwd_stats(u, gamma_ref, eps):
+def _ln_fwd_stats(u, eps):
+    """Normalized activations + rstd only — the LN scale is applied by
+    callers (it is NOT folded into the returned stats)."""
     mean = jnp.mean(u, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(u - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
@@ -265,7 +267,7 @@ def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
         hmult = jnp.concatenate(hmults, axis=0) if t > 1 else hmults[0]
         proj = proj * hmult
     u = proj + x.astype(jnp.float32)
-    uhat, rstd = _ln_fwd_stats(u, s1_ref, eps)
+    uhat, rstd = _ln_fwd_stats(u, eps)
 
     # ---- backward ----
     du = _ln_bwd(g, s1_ref[:].astype(jnp.float32), uhat, rstd)
@@ -455,7 +457,7 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         xnf = xf
         xhat = None
     else:
-        xhat, rstd_in = _ln_fwd_stats(xf, s_ref, eps)
+        xhat, rstd_in = _ln_fwd_stats(xf, eps)
         xnf = xhat * gamma + b_ref[:].astype(jnp.float32)
         xn = xnf.astype(x.dtype)
     h_pre = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
@@ -476,7 +478,7 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # ---- backward ----
     if post_ln:
         u = xf + proj
-        uhat, rstd = _ln_fwd_stats(u, s_ref, eps)
+        uhat, rstd = _ln_fwd_stats(u, eps)
         du = _ln_bwd(g, gamma, uhat, rstd)
         dproj = du
         lnstat = uhat
@@ -577,7 +579,7 @@ def _mlp_bwd_chunked_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
 
     xf = x.astype(jnp.float32)
     gamma = s_ref[:].astype(jnp.float32)
-    xhat, rstd = _ln_fwd_stats(xf, s_ref, eps)
+    xhat, rstd = _ln_fwd_stats(xf, eps)
     xnf = xhat * gamma + b_ref[:].astype(jnp.float32)
     xn = xnf.astype(x.dtype)
 
@@ -709,7 +711,7 @@ def _attn_bwd_chunked_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref,
 
     xf = x.astype(jnp.float32)
     gamma = s1_ref[:].astype(jnp.float32)
-    xhat, rstd = _ln_fwd_stats(xf, s1_ref, eps)
+    xhat, rstd = _ln_fwd_stats(xf, eps)
     xn = (xhat * gamma + b1_ref[:].astype(jnp.float32)).astype(x.dtype)
 
     ctx_parts, dq_parts, dk_parts, dv_parts = [], [], [], []

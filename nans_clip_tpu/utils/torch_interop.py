@@ -401,6 +401,11 @@ def _resnet_to_sd(v: dict, stats: dict, sd: dict, put):
         put(key, np.transpose(kernel, (3, 2, 0, 1)))
 
     def bn_out(key, p, s):
+        # missing running stats (export without batch_stats) synthesize the
+        # torch BatchNorm2d init: mean 0 / var 1 — for every BN, not just
+        # the stem (block BNs used to KeyError on an empty stats dict)
+        if not s:
+            s = {"mean": 0 * p["bias"], "var": 0 * p["bias"] + 1}
         put(f"{key}.weight", p["scale"])
         put(f"{key}.bias", p["bias"])
         put(f"{key}.running_mean", s["mean"])
@@ -408,16 +413,16 @@ def _resnet_to_sd(v: dict, stats: dict, sd: dict, put):
 
     for i in (1, 2, 3):
         conv_out(f"visual.conv{i}.weight", v[f"conv{i}"]["kernel"])
-        bn_out(f"visual.bn{i}", v[f"bn{i}"], stats.get(f"bn{i}", {"mean": 0 * v[f"bn{i}"]["bias"], "var": 0 * v[f"bn{i}"]["bias"] + 1}))
+        bn_out(f"visual.bn{i}", v[f"bn{i}"], stats.get(f"bn{i}", {}))
     for stage in range(1, 5):
         for i, (bp, bs) in enumerate(zip(v[f"layer{stage}"], stats.get(f"layer{stage}", [{}] * len(v[f"layer{stage}"])))):
             base = f"visual.layer{stage}.{i}"
             for j in (1, 2, 3):
                 conv_out(f"{base}.conv{j}.weight", bp[f"conv{j}"]["kernel"])
-                bn_out(f"{base}.bn{j}", bp[f"bn{j}"], bs[f"bn{j}"])
+                bn_out(f"{base}.bn{j}", bp[f"bn{j}"], bs.get(f"bn{j}", {}))
             if "downsample" in bp:
                 conv_out(f"{base}.downsample.0.weight", bp["downsample"]["conv"]["kernel"])
-                bn_out(f"{base}.downsample.1", bp["downsample"]["bn"], bs["downsample_bn"])
+                bn_out(f"{base}.downsample.1", bp["downsample"]["bn"], bs.get("downsample_bn", {}))
     ap = v["attnpool"]
     put("visual.attnpool.positional_embedding", ap["positional_embedding"])
     for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("c", "c_proj")):

@@ -94,5 +94,7 @@ def test_templates():
     t = imagenet_templates()[0]
     assert "{}" in t
     assert "狗" in t.format("狗")
-    assert len(templates_for_dataset("flower-102")) == 32
+    # the reference's dataset key (zeroshot_evaluation.py:238) — a bare
+    # "flower-102" is NOT in the reference table and falls back to openai
+    assert len(templates_for_dataset("oxford-flower-102")) == 32
     assert templates_for_dataset("unknown-dataset")  # falls back to openai set
