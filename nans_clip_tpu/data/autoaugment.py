@@ -12,6 +12,16 @@ step on the VPU: 25 sub-policies of (op, prob, magnitude) pairs, with
   Equalize reproduces ``ImageOps.equalize``'s LUT construction
   (step/cumsum), Sharpness PIL's smoothing kernel + blend.
 
+Magnitude-to-argument mappings follow timm's ORIGINAL-policy conventions
+exactly (level denominator 10): Posterize keeps ``4 + int(level/10*4)``
+bits, Solarize threshold is ``int(level/10*256)`` (higher level = milder,
+the paper's quirk), enhance factors are ``level/10*1.8 + 0.1`` with NO
+sign randomization, Rotate/Shear are ``level/10*{30deg, 0.3}`` randomly
+negated. Geometric ops fill out-of-bounds with timm's ``img_mean`` gray
+(round(255*CLIP_MEAN) = (123, 117, 104)), not black. Known deviation:
+sampling is bilinear (map_coordinates order=1) where timm passes bicubic
+— interiors differ by ~1 gray level; documented rather than hidden.
+
 Ops operate on float images in [0, 255] (uint8 value grid) per image;
 randomness comes from the per-image PRNG key. Each op is golden-tested
 against PIL in tests/test_autoaugment.py.
@@ -21,6 +31,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# timm aa_params img_mean: round(255 * CLIP mean) — geometric-op fill color
+FILL = (123, 117, 104)
 
 # The canonical AutoAugment ImageNet ("original") policy:
 # 25 sub-policies of ((op, prob, magnitude), (op, prob, magnitude)).
@@ -59,33 +73,36 @@ _OP_INDEX = {n: i for i, n in enumerate(OP_NAMES)}
 
 
 # ---------------------------------------------------------------------------
-# Individual ops. img: [H, W, 3] float32 in [0, 255]. signed_mag in [-1, 1]
-# is magnitude/9 with a random sign (geometric/enhance ops use it).
+# Individual ops. img: [H, W, 3] float32 in [0, 255]. ``level`` is the raw
+# 0-10 policy magnitude (timm _LEVEL_DENOM = 10); ``sign`` is +/-1, drawn
+# per application and consumed ONLY by the geometric ops (timm randomly
+# negates rotate/shear but never the enhance factors).
 # ---------------------------------------------------------------------------
 
-def _identity(img, signed_mag):
+def _identity(img, level, sign):
     return img
 
 
-def _posterize(img, signed_mag):
-    # original policy range: 8 -> 4 bits as |mag| goes 0 -> 1
-    bits = 8 - (jnp.abs(signed_mag) * 4).astype(jnp.int32)
+def _posterize(img, level, sign):
+    # timm _posterize_original_level_to_arg: keep 4 + int(level/10*4) bits
+    bits = 4 + (level * 0.4).astype(jnp.int32)
     shift = (8 - bits).astype(jnp.uint8)
     xi = jnp.clip(img, 0, 255).astype(jnp.uint8)
     return ((xi >> shift) << shift).astype(img.dtype)
 
 
-def _solarize(img, signed_mag):
-    # threshold 256 -> 0 as |mag| goes 0 -> 1 (invert above threshold)
-    thresh = 256.0 * (1.0 - jnp.abs(signed_mag))
+def _solarize(img, level, sign):
+    # timm _solarize_level_to_arg: threshold int(level/10*256) — HIGHER
+    # level = HIGHER threshold = milder (the original paper's convention)
+    thresh = jnp.floor(level * 25.6)
     return jnp.where(img >= thresh, 255.0 - img, img)
 
 
-def _invert(img, signed_mag):
+def _invert(img, level, sign):
     return 255.0 - img
 
 
-def _autocontrast(img, signed_mag):
+def _autocontrast(img, level, sign):
     # PIL ImageOps.autocontrast(cutoff=0): per-channel remap min->0, max->255
     lo = jnp.min(img, axis=(0, 1), keepdims=True)
     hi = jnp.max(img, axis=(0, 1), keepdims=True)
@@ -94,7 +111,7 @@ def _autocontrast(img, signed_mag):
     return jnp.where(hi > lo, out, img)
 
 
-def _equalize(img, signed_mag):
+def _equalize(img, level, sign):
     # PIL ImageOps.equalize LUT: step = (npixels - count[last nonzero]) // 255
     # lut[i] = (step//2 + cumsum_exclusive(h)[i]) // step  (identity if step==0)
     def chan(c):
@@ -117,30 +134,30 @@ def _blend(a, b, factor):
     return jnp.clip(b + (a - b) * factor, 0.0, 255.0)
 
 
-def _enhance_factor(signed_mag):
-    # PIL-enhance convention from the original code: factor = 1 + signed*0.9
-    return 1.0 + signed_mag * 0.9
+def _enhance_factor(level):
+    # timm _enhance_level_to_arg: factor = level/10*1.8 + 0.1 (NOT signed)
+    return level * 0.18 + 0.1
 
 
-def _color(img, signed_mag):
+def _color(img, level, sign):
     # blend with grayscale (ITU-R 601-2 luma, like PIL convert("L"))
     gray = (img[..., 0] * 299 + img[..., 1] * 587 + img[..., 2] * 114) / 1000.0
     gray = jnp.floor(gray)[..., None] * jnp.ones_like(img)
-    return _blend(img, gray, _enhance_factor(signed_mag))
+    return _blend(img, gray, _enhance_factor(level))
 
 
-def _contrast(img, signed_mag):
+def _contrast(img, level, sign):
     gray = (img[..., 0] * 299 + img[..., 1] * 587 + img[..., 2] * 114) / 1000.0
     # PIL: mean of the L image (integer), +0.5 rounding
     mean = jnp.floor(jnp.mean(jnp.floor(gray)) + 0.5)
-    return _blend(img, jnp.full_like(img, mean), _enhance_factor(signed_mag))
+    return _blend(img, jnp.full_like(img, mean), _enhance_factor(level))
 
 
-def _brightness(img, signed_mag):
-    return _blend(img, jnp.zeros_like(img), _enhance_factor(signed_mag))
+def _brightness(img, level, sign):
+    return _blend(img, jnp.zeros_like(img), _enhance_factor(level))
 
 
-def _sharpness(img, signed_mag):
+def _sharpness(img, level, sign):
     # PIL ImageFilter.SMOOTH: kernel [[1,1,1],[1,5,1],[1,1,1]]/13, border kept
     k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
     smoothed = jax.lax.conv_general_dilated(
@@ -152,29 +169,38 @@ def _sharpness(img, signed_mag):
     xs = jnp.arange(ww)[None, :, None]
     interior = (ys > 0) & (ys < hh - 1) & (xs > 0) & (xs < ww - 1)
     smoothed = jnp.where(interior, smoothed, img)
-    return _blend(img, smoothed, _enhance_factor(signed_mag))
+    return _blend(img, smoothed, _enhance_factor(level))
 
 
 def _affine_sample(img, a, b, c, d, e, f):
     """PIL-convention inverse affine: out pixel (x, y) samples
     in(a(x+.5)+b(y+.5)+c-.5, d(x+.5)+e(y+.5)+f-.5) — PIL's bilinear
-    transform uses pixel-center coordinates. Zero fill outside."""
+    transform uses pixel-center coordinates. Out-of-bounds pixels fill
+    with timm's img_mean gray (FILL), like the reference's fillcolor."""
     hh, ww = img.shape[0], img.shape[1]
     ys, xs = jnp.meshgrid(jnp.arange(hh, dtype=jnp.float32) + 0.5,
                           jnp.arange(ww, dtype=jnp.float32) + 0.5, indexing="ij")
     sx = a * xs + b * ys + c - 0.5
     sy = d * xs + e * ys + f - 0.5
     coords = jnp.stack([sy, sx])
+    # validity mask sampled alongside so partially-covered border pixels
+    # blend toward the fill color exactly like PIL's fillcolor
+    ones = jnp.ones(img.shape[:2], jnp.float32)
 
     def chan(cimg):
-        return jax.scipy.ndimage.map_coordinates(cimg, coords, order=1, mode="constant")
+        return jax.scipy.ndimage.map_coordinates(cimg, coords, order=1,
+                                                 mode="constant")
 
-    return jnp.stack([chan(img[..., k]) for k in range(3)], axis=-1)
+    cov = jax.scipy.ndimage.map_coordinates(ones, coords, order=1,
+                                            mode="constant")[..., None]
+    fill = jnp.asarray(FILL, img.dtype)
+    out = jnp.stack([chan(img[..., k]) for k in range(3)], axis=-1)
+    return out + (1.0 - cov) * fill
 
 
-def _rotate(img, signed_mag):
-    # max 30 degrees, about the center, zero fill (PIL rotate semantics)
-    theta = signed_mag * 30.0 * jnp.pi / 180.0
+def _rotate(img, level, sign):
+    # timm _rotate_level_to_arg: level/10*30 degrees, randomly negated
+    theta = sign * level * 3.0 * jnp.pi / 180.0
     hh, ww = img.shape[0], img.shape[1]
     cx, cy = ww / 2.0, hh / 2.0  # PIL rotates about the exact center
     cos, sin = jnp.cos(theta), jnp.sin(theta)
@@ -186,13 +212,13 @@ def _rotate(img, signed_mag):
     return _affine_sample(img, a, b, c, d, e, f)
 
 
-def _shear_x(img, signed_mag):
-    s = signed_mag * 0.3
+def _shear_x(img, level, sign):
+    s = sign * level * 0.03  # timm _shear_level_to_arg: level/10*0.3
     return _affine_sample(img, 1.0, s, 0.0, 0.0, 1.0, 0.0)
 
 
-def _shear_y(img, signed_mag):
-    s = signed_mag * 0.3
+def _shear_y(img, level, sign):
+    s = sign * level * 0.03
     return _affine_sample(img, 1.0, 0.0, 0.0, s, 1.0, 0.0)
 
 
@@ -208,16 +234,18 @@ def _policy_tables():
     for (op1, p1, m1), (op2, p2, m2) in IMAGENET_POLICY:
         ops.append((_OP_INDEX[op1], _OP_INDEX[op2]))
         probs.append((p1, p2))
-        mags.append((m1 / 9.0, m2 / 9.0))
+        mags.append((float(m1), float(m2)))  # RAW 0-10 levels (timm denom 10)
     return (jnp.asarray(ops, jnp.int32), jnp.asarray(probs, jnp.float32),
             jnp.asarray(mags, jnp.float32))
 
 
-_SIGNED_OPS = {_OP_INDEX[n] for n in
-               ("Rotate", "ShearX", "ShearY", "Color", "Contrast",
-                "Brightness", "Sharpness")}
-_SIGNED_MASK = jnp.asarray([1.0 if i in _SIGNED_OPS else 0.0
-                            for i in range(len(OP_NAMES))])
+# only the geometric ops are randomly negated (timm: enhance factors are
+# NOT sign-randomized). Plain numpy: a module-level jnp array would
+# initialize the JAX backend as an import side effect, locking the
+# platform before callers can force CPU.
+_SIGNED_OPS = {_OP_INDEX[n] for n in ("Rotate", "ShearX", "ShearY")}
+_SIGNED_MASK = np.asarray([1.0 if i in _SIGNED_OPS else 0.0
+                           for i in range(len(OP_NAMES))], np.float32)
 
 
 def auto_augment(rng: jax.Array, img: jax.Array) -> jax.Array:
@@ -226,17 +254,18 @@ def auto_augment(rng: jax.Array, img: jax.Array) -> jax.Array:
     k_pol, k_a1, k_a2, k_s1, k_s2 = jax.random.split(rng, 5)
     pol = jax.random.randint(k_pol, (), 0, len(IMAGENET_POLICY))
 
-    def apply_op(img, op_idx, mag, apply_rng, sign_rng):
-        do = jax.random.uniform(apply_rng) < 1.0  # prob applied by caller
+    signed_mask = jnp.asarray(_SIGNED_MASK)
+
+    def apply_op(img, op_idx, level, sign_rng):
         sign = jnp.where(jax.random.bernoulli(sign_rng), 1.0, -1.0)
-        signed = mag * jnp.where(_SIGNED_MASK[op_idx] > 0, sign, 1.0)
-        return jax.lax.switch(op_idx, _OP_FNS, img, signed)
+        sign = jnp.where(signed_mask[op_idx] > 0, sign, 1.0)
+        return jax.lax.switch(op_idx, _OP_FNS, img, level, sign)
 
     def maybe(img, slot, apply_rng, sign_rng):
         op_idx = ops_t[pol, slot]
         prob = probs_t[pol, slot]
-        mag = mags_t[pol, slot]
-        applied = apply_op(img, op_idx, mag, apply_rng, sign_rng)
+        level = mags_t[pol, slot]
+        applied = apply_op(img, op_idx, level, sign_rng)
         do = jax.random.uniform(jax.random.fold_in(apply_rng, 1)) < prob
         return jnp.where(do, applied, img)
 

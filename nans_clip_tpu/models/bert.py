@@ -97,6 +97,12 @@ def bert_features(params: dict, input_ids: jax.Array,
     # non-deterministic mode falls back to the unfused XLA dropout path.
     use_fused = (det or on_tpu) and (options.attn_impl == "fused" or (
         options.attn_impl == "auto" and on_tpu))
+    if options.tp > 1:
+        # only the deterministic TP branch above runs kernels per-shard;
+        # dropout training under TP must take the annotation-sharded XLA
+        # path — a pallas_call on the globally-sharded arrays would make
+        # GSPMD gather/replicate them, silently defeating the TP split
+        use_fused = False
     # explicit "fused" off-TPU (CPU test meshes) runs in interpreter mode
     fused_interpret = not on_tpu
 

@@ -7,8 +7,12 @@ machinery is needed: adapters are a separate pytree and ``merge_lora``
 produces effective params functionally — differentiate w.r.t. the adapter
 pytree and the base stays frozen by construction.
 
-Injection points match ``inject_lora`` (clip/lora.py:78-121):
-* ViT: every attention q/k/v (the fused wqkv) + out projection;
+Injection points match what ``inject_lora`` (clip/lora.py:78-121)
+ACTUALLY trains:
+* ViT: the attention out projection only — the reference's q/k/v branch
+  is dead code on ``nn.MultiheadAttention`` (it has ``in_proj_weight``,
+  never ``q_proj`` submodules, so those getattr checks never match; the
+  reference's own docstring, clip/lora.py:64, says out_proj);
 * BERT: self-attention query and value projections only;
 * ``text_only`` restricts to the BERT tower.
 
@@ -43,10 +47,8 @@ def init_lora(rng: jax.Array, params: dict, rank: int = 4,
 
     if not text_only and "visual" in params and "transformer" in params["visual"]:
         attn = params["visual"]["transformer"]["attn"]
-        L, w, three_w = attn["wqkv"].shape
+        L, w, _ = attn["wqkv"].shape
         adapters["visual"] = {
-            "wqkv": {"a": _kaiming_uniform(keys[0], (L, 3, rank, w)),
-                     "b": jnp.zeros((L, 3, three_w // 3, rank))},
             "wo": {"a": _kaiming_uniform(keys[1], (L, rank, w)),
                    "b": jnp.zeros((L, w, rank))},
         }
@@ -83,8 +85,7 @@ def merge_lora(params: dict, adapters: dict, alpha: float = 16.0,
         visual = dict(params["visual"])
         transformer = dict(visual["transformer"])
         attn = dict(transformer["attn"])
-        dtype = attn["wqkv"].dtype
-        attn["wqkv"] = attn["wqkv"] + (scale * _delta_fused(va["wqkv"]["a"], va["wqkv"]["b"])).astype(dtype)
+        dtype = attn["wo"].dtype
         attn["wo"] = attn["wo"] + (scale * jnp.einsum(
             "lrw,lor->lwo", va["wo"]["a"], va["wo"]["b"])).astype(dtype)
         transformer["attn"] = attn

@@ -31,8 +31,11 @@ BN_MOMENTUM = 0.1
 
 
 def _conv_init(rng, kh, kw, cin, cout):
-    # He-uniform fan_in, matching torch Conv2d default
-    bound = math.sqrt(1.0 / (kh * kw * cin)) * math.sqrt(3.0)
+    # torch Conv2d default: kaiming_uniform_(a=sqrt(5)) -> gain
+    # sqrt(2/(1+5)) = 1/sqrt(3), bound = gain*sqrt(3/fan_in) =
+    # sqrt(1/fan_in). (An extra sqrt(3) factor here used to give 3x the
+    # reference's init variance.)
+    bound = math.sqrt(1.0 / (kh * kw * cin))
     return {"kernel": jax.random.uniform(rng, (kh, kw, cin, cout), jnp.float32, -bound, bound)}
 
 

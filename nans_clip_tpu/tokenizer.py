@@ -108,9 +108,12 @@ def load_vocab(vocab_file: str) -> dict:
     vocab: dict = {}
     with open(vocab_file, "r", encoding="utf-8") as f:
         for idx, line in enumerate(f):
-            tok = line.rstrip("\n")
-            if tok:
-                vocab[tok] = idx
+            # full strip like the reference (bert_tokenizer.load_vocab): a
+            # CRLF vocab.txt must not leave '\r' on every token. The google
+            # vocab's U+2028 entry (id 343) strips to '' — the reference
+            # inserts it anyway (no emptiness guard), keeping every id
+            # aligned and the size at 21128; so do we.
+            vocab[line.strip()] = idx
     return vocab
 
 

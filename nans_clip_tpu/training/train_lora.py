@@ -67,27 +67,34 @@ def parse_args(argv=None):
 def make_lora_step(cfg, options, alpha, label_smoothing, accum, tx):
     # NOTE: base params are a traced ARGUMENT, never a closure — closing over
     # a 188M-param pytree embeds it as XLA constants and the compile explodes.
-    def encode_batch(base_params, adapters, images, texts, rng):
+    # The reference trains with model.train() (train_lora.py:219), i.e. BERT
+    # hidden/attention dropout 0.1 ACTIVE — the train path mirrors that;
+    # eval stays deterministic.
+    import dataclasses as _dc
+    train_opts = _dc.replace(options, deterministic=False)
+
+    def encode_batch(base_params, adapters, images, texts, rng, opts):
         params = merge_lora(base_params, adapters, alpha)
         b = images.shape[0]
         if accum <= 1:
-            return (encode_image(params, cfg, images, options),
-                    encode_text(params, cfg, texts, options, rng=rng))
+            return (encode_image(params, cfg, images, opts),
+                    encode_text(params, cfg, texts, opts, rng=rng))
         m, micro = accum, b // accum
         im = images.reshape(m, micro, *images.shape[1:])
         tx_r = texts.reshape(m, micro, *texts.shape[1:])
 
         def enc(_, mb):
             j, im_j, tx_j = mb
-            return None, (encode_image(params, cfg, im_j, options),
-                          encode_text(params, cfg, tx_j, options,
+            return None, (encode_image(params, cfg, im_j, opts),
+                          encode_text(params, cfg, tx_j, opts,
                                       rng=jax.random.fold_in(rng, j)))
         _, (fi, ft) = jax.lax.scan(jax.checkpoint(enc), None,
                                    (jnp.arange(m), im, tx_r))
         return fi.reshape(b, -1), ft.reshape(b, -1)
 
-    def loss_fn(adapters, base_params, images, texts, rng):
-        fi, ft = encode_batch(base_params, adapters, images, texts, rng)
+    def loss_fn(adapters, base_params, images, texts, rng,
+                opts=train_opts):
+        fi, ft = encode_batch(base_params, adapters, images, texts, rng, opts)
         scale = jnp.exp(base_params["logit_scale"].astype(jnp.float32))
         loss, metrics = clip_loss(normalize(fi), normalize(ft), scale,
                                   label_smoothing=label_smoothing,
@@ -104,7 +111,8 @@ def make_lora_step(cfg, options, alpha, label_smoothing, accum, tx):
 
     @jax.jit
     def eval_step(base_params, adapters, images, texts):
-        loss, _ = loss_fn(adapters, base_params, images, texts, jax.random.PRNGKey(0))
+        loss, _ = loss_fn(adapters, base_params, images, texts,
+                          jax.random.PRNGKey(0), opts=options)
         return loss
     return train_step, eval_step
 
@@ -135,8 +143,10 @@ def main(argv=None):
     val_loader = None
     if args.val_data:
         val_loader = DataLoader(PairDataset(args.val_data), batch_size=micro,
-                                decode_size=resolution, shuffle=True,
-                                seed=args.seed, num_threads=args.num_threads)
+                                decode_size=resolution,
+                                context_length=args.context_length,
+                                shuffle=True, seed=args.seed,
+                                num_threads=args.num_threads)
 
     total_steps = loader.num_batches * args.epochs
     warmup_steps = max(1, int(total_steps * args.warmup_ratio))

@@ -32,7 +32,10 @@ def test_lora_structure():
     adapters = init_lora(jax.random.PRNGKey(1), params, rank=4)
     assert "visual" in adapters and "bert" in adapters
     L = TINY.vision.layers
-    assert adapters["visual"]["wqkv"]["a"].shape == (L, 3, 4, TINY.vision.width)
+    # ViT adapts the out projection ONLY (the reference's q/k/v injection
+    # is dead code on nn.MultiheadAttention — clip/lora.py:64 docstring)
+    assert set(adapters["visual"]) == {"wo"}
+    assert adapters["visual"]["wo"]["a"].shape == (L, 4, TINY.vision.width)
     # text_only
     t_only = init_lora(jax.random.PRNGKey(1), params, rank=4, text_only=True)
     assert "visual" not in t_only and "bert" in t_only
@@ -57,7 +60,7 @@ def test_lora_grads_flow_and_train():
     l0, grads = jax.value_and_grad(loss_fn)(adapters)
     # b matrices are zero-init: their grads must be nonzero (via a),
     # and a's grads are zero at init (since b is zero) -- standard LoRA.
-    gb = float(jnp.abs(grads["visual"]["wqkv"]["b"]).max())
+    gb = float(jnp.abs(grads["visual"]["wo"]["b"]).max())
     assert gb > 0, "no gradient reaches LoRA b matrices"
     # a sufficiently small SGD step decreases the loss (first-order check)
     gnorm2 = sum(float(jnp.vdot(g, g)) for g in jax.tree.leaves(grads))
