@@ -62,9 +62,22 @@ NPack* npack_open(const char* path) {
   memcpy(&p->count, b + 8, 8);
   uint64_t index_off;
   memcpy(&index_off, b + 16, 8);
+  // Validate the header against the file size: a truncated copy still
+  // carries the valid magic, and an index pointing past EOF would make
+  // the first lookup dereference unmapped memory (the python fallback
+  // raises cleanly for the same file). Also require 8-byte alignment of
+  // the index (the writer pads) so IndexEntry loads are well-defined.
+  const uint64_t isize = (uint64_t)st.st_size;
+  if (index_off < 24 || index_off > isize || (index_off & 7) != 0 ||
+      p->count > (isize - index_off) / sizeof(IndexEntry)) {
+    munmap(base, st.st_size); ::close(fd); delete p; return nullptr;
+  }
   p->index = reinterpret_cast<const IndexEntry*>(b + index_off);
-  // Readahead hint: training reads are sequential-ish after shuffling chunks.
-  madvise(const_cast<uint8_t*>(b), st.st_size, MADV_WILLNEED);
+  // Readahead the index eagerly; payload reads are random after shuffling,
+  // so whole-file WILLNEED would just storm I/O and evict useful pages.
+  madvise(const_cast<uint8_t*>(b) + (index_off & ~4095UL),
+          isize - (index_off & ~4095UL), MADV_WILLNEED);
+  madvise(const_cast<uint8_t*>(b), index_off & ~4095UL, MADV_RANDOM);
   return p;
 }
 
@@ -124,6 +137,11 @@ static int decode_one(const uint8_t* data, size_t len, int out_h, int out_w,
                       uint8_t* dst) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
+  // declared BEFORE setjmp: a longjmp from the libjpeg error handler does
+  // not unwind C++ destructors, so a vector constructed after setjmp would
+  // leak its buffer on every corrupt JPEG; this one is destroyed on the
+  // normal function exits either way
+  std::vector<uint8_t> buf;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return 0; }
@@ -146,7 +164,7 @@ static int decode_one(const uint8_t* data, size_t len, int out_h, int out_w,
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
-  std::vector<uint8_t> buf((size_t)w * h * 3);
+  buf.resize((size_t)w * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf.data() + (size_t)cinfo.output_scanline * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);

@@ -51,6 +51,9 @@ bool is_whitespace(uint32_t cp) { return in_ranges(cp, kWhitespaceRanges, kWhite
 bool is_control(uint32_t cp) { return in_ranges(cp, kControlRanges, kControlCount); }
 bool is_punct(uint32_t cp) { return in_ranges(cp, kPunctRanges, kPunctCount); }
 bool is_mn(uint32_t cp) { return in_ranges(cp, kMnRanges, kMnCount); }
+bool is_cased(uint32_t cp) { return in_ranges(cp, kCasedRanges, kCasedCount); }
+bool is_case_ign(uint32_t cp) { return in_ranges(cp, kCaseignRanges, kCaseignCount); }
+bool is_pyspace(uint32_t cp) { return in_ranges(cp, kPyspaceRanges, kPyspaceCount); }
 
 bool is_cjk(uint32_t cp) {
   return (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
@@ -130,7 +133,28 @@ std::vector<std::vector<uint32_t>> basic_tokenize(const std::vector<uint32_t>& c
   std::vector<std::vector<uint32_t>> out;
   for (auto& w : words) {
     std::vector<uint32_t> lowered;
-    for (uint32_t cp : w) {
+    for (size_t i = 0; i < w.size(); ++i) {
+      uint32_t cp = w[i];
+      if (cp == 0x3A3) {
+        // CPython str.lower applies the Unicode Final_Sigma rule: capital
+        // sigma lowers to U+03C2 when preceded by a cased character (after
+        // case-ignorables) and not followed by one; the per-codepoint
+        // table alone would always produce U+03C3.
+        bool before = false;
+        for (size_t j = i; j-- > 0;) {
+          if (is_case_ign(w[j])) continue;
+          before = is_cased(w[j]);
+          break;
+        }
+        bool after = false;
+        for (size_t j = i + 1; j < w.size(); ++j) {
+          if (is_case_ign(w[j])) continue;
+          after = is_cased(w[j]);
+          break;
+        }
+        lowered.push_back(before && !after ? 0x3C2 : 0x3C3);
+        continue;
+      }
       size_t n;
       const uint32_t* seq = map_lookup(cp, kLowerKeys, kLowerOffsets, kLowerPool,
                                        kLowerCount, &n);
@@ -202,8 +226,17 @@ Tok* tok_create(const char* vocab_path) {
   std::string line;
   int32_t idx = 0;
   while (std::getline(f, line)) {
-    if (!line.empty() && line.back() == '\r') line.pop_back();
-    if (!line.empty()) tok->vocab.emplace(line, idx);
+    // full python .strip(): trim str.isspace codepoints from both ends
+    // (CRLF files, padded tokens, and the google vocab's U+2028 entry all
+    // behave exactly like the python loader); duplicates resolve LAST-
+    // wins like a python dict
+    auto cps = utf8_decode(line.data(), line.size());
+    size_t a = 0, b = cps.size();
+    while (a < b && is_pyspace(cps[a])) ++a;
+    while (b > a && is_pyspace(cps[b - 1])) --b;
+    std::string tok_s;
+    for (size_t i = a; i < b; ++i) utf8_encode(cps[i], &tok_s);
+    tok->vocab[tok_s] = idx;
     idx++;
   }
   auto get = [&](const char* s, int32_t dflt) {

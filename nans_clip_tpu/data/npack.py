@@ -92,7 +92,18 @@ class NPackWriter:
 
     def close(self):
         self.entries.sort(key=lambda e: e[0])
-        index_offset = self.offset
+        # duplicate keys would make the C binary search and numpy
+        # searchsorted resolve the same key to DIFFERENT records
+        # (backend-dependent data) — reject at build time
+        for a, b in zip(self.entries, self.entries[1:]):
+            if a[0] == b[0]:
+                raise ValueError(f"duplicate key {a[0]} in npack")
+        # pad the index to 8-byte alignment so the native reader's
+        # IndexEntry loads are aligned (it rejects unaligned offsets)
+        pad = (-self.offset) % 8
+        if pad:
+            self.f.write(b"\0" * pad)
+        index_offset = self.offset + pad
         for key, off, length in self.entries:
             self.f.write(_ENTRY.pack(key, off, length))
         self.f.seek(0)
@@ -125,8 +136,12 @@ class NPackReader:
             raise ValueError(f"{path}: not an npack file")
         self.count = count
         self._index_offset = index_offset
+        if index_offset + 24 * count > len(self._mm):
+            raise ValueError(f"{path}: truncated npack (index past EOF)")
+        # a VIEW over the mmap (held for the reader's lifetime): copying a
+        # 100M-record index would pin gigabytes per reader for no benefit
         idx = np.frombuffer(self._mm, dtype=np.uint64,
-                            count=3 * count, offset=index_offset).reshape(count, 3).copy()
+                            count=3 * count, offset=index_offset).reshape(count, 3)
         self._keys = idx[:, 0]
         self._offsets = idx[:, 1]
         self._lengths = idx[:, 2]
@@ -190,6 +205,9 @@ class NPackReader:
         if self._lib is not None and self._handle:
             self._lib.npack_close(self._handle)
             self._handle = None
+        # the index arrays are views over the mmap — drop them first or
+        # mmap.close() raises BufferError("exported pointers exist")
+        self._keys = self._offsets = self._lengths = None
         self._mm.close()
         self._f.close()
 

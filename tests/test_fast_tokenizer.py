@@ -38,3 +38,13 @@ def test_random_fuzz_parity():
     for _ in range(300):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
         assert ft.encode(s) == pt.encode(s), repr(s)
+
+
+def test_final_sigma_matches_python():
+    """CPython's str.lower applies the Unicode Final_Sigma rule (word-final
+    greek capital sigma lowers to U+03C2); the native tokenizer's
+    per-codepoint table used to always produce U+03C3."""
+    tok = get_tokenizer()
+    for text in ["ΚΑΛΟΣ", "ΟΔΥΣΣΕΥΣ ΚΑΙ ΣΙΣΥΦΟΣ", "ΣΣ", "Σ", "abcΣ def",
+                 "ΚΑΛΟΣ。国", "χΣω", "ΚΑΛΟΣ' δ", "Σ3"]:
+        assert ft.encode(text) == tok.encode(text), text
