@@ -208,7 +208,13 @@ class NPackReader:
         # the index arrays are views over the mmap — drop them first or
         # mmap.close() raises BufferError("exported pointers exist")
         self._keys = self._offsets = self._lengths = None
-        self._mm.close()
+        try:
+            self._mm.close()
+        except BufferError:
+            # a caller still holds a view/slice of the index: leave the
+            # map alive (it is freed when the last view dies); the fd can
+            # close now — the mapping keeps its own reference
+            pass
         self._f.close()
 
 
