@@ -186,7 +186,10 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
     b, s, w = x.shape
     masked = key_bias is not None
     if key_bias is None:
-        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+        # never read when masked=False: a [1,1,S] dummy with a constant
+        # index map avoids allocating + DMA-streaming a [B,1,S] zeros
+        # buffer per grid cell on the (dominant) unmasked ViT path
+        key_bias = jnp.zeros((1, 1, s), jnp.float32)
     else:
         key_bias = key_bias.astype(jnp.float32).reshape(b, 1, s)
     if seed is None:
@@ -213,7 +216,10 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
         in_specs=[
             pl.BlockSpec((tile, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vec(w), vec(w), mat(w, 3 * w), vec(3 * w), mat(w, w), vec(w),
-            pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            (pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM) if masked else
+             pl.BlockSpec((1, 1, s), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile, s, w), lambda i: (i, 0, 0),
