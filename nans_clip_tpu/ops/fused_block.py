@@ -269,6 +269,31 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, heads,
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed)
 
 
+def _oneshot_attn_weight_grads(x, xn, ctx, dqkv, g, wqkv, ln_scale,
+                               ln_bias, eps):
+    """Weight/LN grads for the pre-LN attention bwd kernels (shared by the
+    narrow and wide custom_vjps so the two routings cannot drift): the
+    kernel returns dx plus the recomputed xn/ctx and dqkv; the weight
+    grads are batched XLA contractions over those."""
+    gf = g.astype(jnp.float32)
+    dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv,
+                       preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwo = jnp.einsum("bsw,bsu->wu", ctx, g,
+                     preferred_element_type=jnp.float32)
+    dbo = jnp.sum(gf, axis=(0, 1))
+    # LN param grads (cheap elementwise recompute in XLA)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    dxn = jnp.einsum("bsu,wu->bsw", dqkv.astype(jnp.float32),
+                     wqkv.astype(jnp.float32))
+    d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
+    d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
+    return d_scale, d_bias, dwqkv, dbqkv, dwo, dbo
+
+
 def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed = res
     on_tpu = jax.default_backend() == "tpu"
@@ -281,23 +306,11 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
 
         dx, xn, ctx, dqkv = fused_attention_block_bwd(
             x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, eps, interpret)
-        gf = g.astype(jnp.float32)
-        dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv,
-                           preferred_element_type=jnp.float32).astype(wqkv.dtype)
-        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).astype(bqkv.dtype)
-        dwo = jnp.einsum("bsw,bsu->wu", ctx, g,
-                         preferred_element_type=jnp.float32).astype(wo.dtype)
-        dbo = jnp.sum(gf, axis=(0, 1)).astype(bo.dtype)
-        # LN param grads (cheap elementwise recompute in XLA)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
-        dxn = jnp.einsum("bsu,wu->bsw", dqkv.astype(jnp.float32),
-                         wqkv.astype(jnp.float32))
-        d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
-        d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
-        return (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo, None, None)
+        d_scale, d_bias, dwqkv, dbqkv, dwo, dbo = _oneshot_attn_weight_grads(
+            x, xn, ctx, dqkv, g, wqkv, ln_scale, ln_bias, eps)
+        return (dx, d_scale, d_bias, dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                dbo.astype(bo.dtype), None, None)
     if not post_ln and key_bias is None and on_tpu:
         # ViT-L/H: the single cell exceeds VMEM — head-chunked bwd kernel.
         # Also the reason big-model training fits HBM at all: the XLA vjp
@@ -620,21 +633,9 @@ def _wide_bwd(heads, eps, heads_per_chunk, interpret, batch_tile, res, g):
             dx, xn, ctx, dqkv = fused_attention_block_bwd(
                 x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, eps,
                 interpret)
-            gf = g.astype(jnp.float32)
-            dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv,
-                               preferred_element_type=jnp.float32)
-            dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
-            dwo = jnp.einsum("bsw,bsu->wu", ctx, g,
-                             preferred_element_type=jnp.float32)
-            dbo = jnp.sum(gf, axis=(0, 1))
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-            xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
-            dxn = jnp.einsum("bsu,wu->bsw", dqkv.astype(jnp.float32),
-                             wqkv.astype(jnp.float32))
-            d_scale = jnp.sum(dxn * xhat, axis=(0, 1)).astype(ln_scale.dtype)
-            d_bias = jnp.sum(dxn, axis=(0, 1)).astype(ln_bias.dtype)
+            d_scale, d_bias, dwqkv, dbqkv, dwo, dbo = \
+                _oneshot_attn_weight_grads(x, xn, ctx, dqkv, g, wqkv,
+                                           ln_scale, ln_bias, eps)
             return (dx, d_scale, d_bias, dwqkv.astype(wqkv.dtype),
                     dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
                     dbo.astype(bo.dtype))

@@ -26,18 +26,13 @@ def test_bwd_kernel_matches_vjp():
                      x, ln_s, ln_b, wqkv, bqkv, wo, bo)
     ref = vjp(g)
 
+    from nans_clip_tpu.ops.fused_block import _oneshot_attn_weight_grads
+
     dx, xn, ctx, dqkv = fused_attention_block_bwd(
         x, ln_s, ln_b, wqkv, bqkv, wo, g, H, 1e-5, INTERPRET)
-    dwqkv = jnp.einsum("bsw,bsu->wu", xn, dqkv)
-    dbqkv = jnp.sum(dqkv, axis=(0, 1))
-    dwo = jnp.einsum("bsw,bsu->wu", ctx, g)
-    dbo = jnp.sum(g, axis=(0, 1))
-    mean = jnp.mean(x, -1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), -1, keepdims=True)
-    xhat = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    dxn = jnp.einsum("bsu,wu->bsw", dqkv, wqkv)
-    d_scale = jnp.sum(dxn * xhat, (0, 1))
-    d_bias = jnp.sum(dxn, (0, 1))
+    # the SHIPPED assembly (shared by the narrow and wide custom_vjps)
+    d_scale, d_bias, dwqkv, dbqkv, dwo, dbo = _oneshot_attn_weight_grads(
+        x, xn, ctx, dqkv, g, wqkv, ln_s, ln_b, 1e-5)
 
     ours = (dx, d_scale, d_bias, dwqkv, dbqkv, dwo, dbo)
     for name, a, b in zip(("dx", "d_scale", "d_bias", "dwqkv", "dbqkv",
