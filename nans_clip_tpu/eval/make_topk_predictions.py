@@ -49,7 +49,11 @@ def load_feats(path: str, id_key: str):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_scores(queries: jax.Array, gallery: jax.Array, k: int):
     k = min(k, gallery.shape[0])  # galleries smaller than k (ref sorts all)
-    scores = queries @ gallery.T
+    # exact fp32 contraction: the TPU default runs bf16 passes, which can
+    # swap near-tie ranks at the k boundary vs the reference's fp32 torch
+    # matmul (the pipeline-parity test promises IDENTICAL top-k lists)
+    scores = jnp.matmul(queries, gallery.T,
+                        precision=jax.lax.Precision.HIGHEST)
     return jax.lax.top_k(scores, k)
 
 

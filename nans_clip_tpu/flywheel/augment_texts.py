@@ -56,9 +56,15 @@ def main(argv=None):
     with open(args.annotations, encoding="utf-8") as f:
         annotations = json.load(f)
 
+    # images that already have augmented records are DONE: without this,
+    # re-running the script (the natural incremental workflow) would
+    # re-paraphrase every original caption and append duplicate variants
+    # (and duplicate paid LLM calls) on each run
+    done = {ann.get("filename") for ann in annotations
+            if ann.get("_is_augmented")}
     augmented = []
     for ann in annotations:
-        if ann.get("_is_augmented"):
+        if ann.get("_is_augmented") or ann.get("filename") in done:
             continue
         caption = ann.get("modern_chinese", "").strip()
         if not caption:

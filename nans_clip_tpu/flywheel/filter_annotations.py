@@ -92,8 +92,11 @@ def main(argv=None):
         if not path.exists() or not caption:
             kept.append(ann)
             continue
-        img = Image.open(path).convert("RGB").resize((resolution, resolution),
-                                                     Image.BICUBIC)
+        # resize BEFORE the RGB convert, matching the model's transform
+        # (reference clip/utils.py:179-186): the order changes pixels for
+        # palette/RGBA images, shifting scores near the keep threshold
+        img = Image.open(path).resize((resolution, resolution),
+                                      Image.BICUBIC).convert("RGB")
         batch_anns.append(ann)
         batch_raw.append(np.asarray(img, np.uint8))
         batch_txt.append(caption)

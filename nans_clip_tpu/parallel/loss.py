@@ -66,12 +66,17 @@ def clip_loss(image_features: jax.Array, text_features: jax.Array,
 
 
 def kd_cosine_loss(teacher_features: jax.Array, student_features: jax.Array) -> jax.Array:
-    """1 - mean cosine similarity; teacher resized bilinearly on dim
-    mismatch (reference cosineSimilarityLoss, training/train.py:406-419)."""
+    """1 - mean cosine similarity. On dim mismatch the STUDENT is resized
+    bilinearly up to the teacher's shape and the cosine is computed in the
+    teacher dimension, exactly like the reference's cosineSimilarityLoss
+    (training/train.py:406-419 interpolates feature2 = the student) —
+    gradients flow through the student interpolation."""
     t = teacher_features.astype(jnp.float32)
     s = student_features.astype(jnp.float32)
     if t.shape != s.shape:
-        t = jax.image.resize(t, s.shape, "bilinear")
+        # antialias=False: torch F.interpolate does not antialias, and jax
+        # does by default on downscale — with it the values diverge
+        s = jax.image.resize(s, t.shape, "bilinear", antialias=False)
     cos = jnp.sum(t * s, axis=1) / (
         jnp.linalg.norm(t, axis=1) * jnp.linalg.norm(s, axis=1) + 1e-8)
     return 1.0 - jnp.mean(cos)

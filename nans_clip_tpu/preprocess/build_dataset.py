@@ -26,6 +26,14 @@ import os
 from nans_clip_tpu.data.npack import NPackWriter, encode_pair
 
 
+def _stable_id(v) -> int:
+    """Numeric ids pass through; string ids (the reference's
+    dataset_transform keeps raw filenames) hash with a process-stable
+    digest (lmdb_to_npack._image_key), never the salted builtin hash."""
+    from nans_clip_tpu.preprocess.lmdb_to_npack import _image_key
+    return _image_key(v)
+
+
 def build_split(data_dir: str, split: str, out_dir: str | None = None) -> dict:
     out_dir = out_dir or os.path.join(data_dir, split)
     os.makedirs(out_dir, exist_ok=True)
@@ -41,7 +49,7 @@ def build_split(data_dir: str, split: str, out_dir: str | None = None) -> dict:
                 if not line:
                     continue
                 image_id, b64 = line.split("\t", 1)
-                w.put(int(image_id), base64.urlsafe_b64decode(b64))
+                w.put(_stable_id(image_id), base64.urlsafe_b64decode(b64))
                 n_images += 1
 
     n_pairs = 0
@@ -53,7 +61,8 @@ def build_split(data_dir: str, split: str, out_dir: str | None = None) -> dict:
                     continue
                 obj = json.loads(line)
                 for image_id in obj["image_ids"]:
-                    w.put(n_pairs, encode_pair(int(image_id), int(obj["text_id"]),
+                    w.put(n_pairs, encode_pair(_stable_id(image_id),
+                                               _stable_id(obj["text_id"]),
                                                obj["text"]))
                     n_pairs += 1
 

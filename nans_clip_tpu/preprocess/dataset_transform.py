@@ -32,11 +32,14 @@ def convert_rows(rows, images_dir, img_file, txt_file,
             with open(path, "rb") as f:
                 b64 = base64.b64encode(f.read()).decode()
             image_id = row[image_col]
-            # numeric ids required downstream: hash non-numeric names stably
+            # numeric ids required downstream: hash non-numeric names with
+            # a PROCESS-STABLE digest (builtin hash() is salted per run,
+            # which would give a file different ids on every invocation)
             try:
                 int_id = int(os.path.splitext(str(image_id))[0])
             except ValueError:
-                int_id = abs(hash(str(image_id))) % (10 ** 12)
+                from nans_clip_tpu.preprocess.lmdb_to_npack import _image_key
+                int_id = _image_key(os.path.splitext(str(image_id))[0])
             f_img.write(f"{int_id}\t{b64}\n")
             f_txt.write(json.dumps({"text_id": int_id, "text": row[text_col],
                                     "image_ids": [int_id]},

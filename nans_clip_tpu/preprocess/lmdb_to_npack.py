@@ -66,10 +66,19 @@ def convert_split(lmdb_dir: str, out_dir: str | None = None) -> dict:
             if key == b"num_images":
                 continue
             image_id = key.decode("utf-8")
-            try:
-                jpeg = base64.urlsafe_b64decode(val)
-            except (binascii.Error, ValueError):
-                jpeg = val  # already raw bytes
+            val = bytes(val)
+            if val[:3] == b"\xff\xd8\xff" or val[:8] == b"\x89PNG\r\n\x1a\n":
+                jpeg = val  # already raw image bytes (magic detected)
+            else:
+                try:
+                    # strict alphabet: the lenient decoder silently
+                    # DISCARDS non-alphabet bytes, mangling raw JPEGs into
+                    # garbage instead of raising into the fallback
+                    jpeg = base64.b64decode(
+                        val.replace(b"-", b"+").replace(b"_", b"/"),
+                        validate=True)
+                except (binascii.Error, ValueError):
+                    jpeg = val  # raw bytes that aren't b64 text
             w.put(_image_key(image_id), jpeg)
             n_images += 1
     declared = imgs.get(b"num_images")

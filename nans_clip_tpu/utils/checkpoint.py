@@ -66,20 +66,39 @@ def resolve_tag(ckpt_dir: str, tag: str) -> str:
 
 
 def restore_checkpoint(ckpt_dir: str, tag: str, state,
-                       reset_optimizer: bool = False) -> Tuple[Any, Optional[dict]]:
-    """Restore into the template ``state``. Returns (state, meta|None)."""
+                       reset_optimizer: bool = False,
+                       missing_ok: bool = False) -> Tuple[Any, Optional[dict]]:
+    """Restore into the template ``state``. Returns (state, meta|None).
+
+    A missing checkpoint RAISES unless ``missing_ok``: silently returning
+    the template would train from random init and overwrite epoch_latest
+    with untrained weights on a typo'd --resume tag."""
     tag = resolve_tag(ckpt_dir, tag)
     path = os.path.join(os.path.abspath(ckpt_dir), tag)
     meta_path = os.path.join(ckpt_dir, f"{tag}.meta.json")
     if not os.path.isdir(path):
-        return state, None
+        if missing_ok:
+            return state, None
+        raise FileNotFoundError(f"checkpoint '{tag}' not found in {ckpt_dir}")
     ckptr = _ckptr()
-    template = {"params": state.params, "opt_state": state.opt_state,
-                "batch_stats": state.batch_stats, "step": state.step}
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "step": state.step, "opt_state": state.opt_state}
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
                                        sharding=getattr(x, "sharding", None))
         if hasattr(x, "dtype") else x, template)
+    if reset_optimizer:
+        # the stored opt_state is about to be DISCARDED, so restore it
+        # against the ON-DISK structure (from checkpoint metadata): the
+        # new state's optimizer may legitimately differ (bf16 Adam
+        # moments, frozen params) and would fail the tree/dtype match
+        # before it could be discarded
+        md = ckptr.metadata(path)
+        mtree = md.item_metadata if hasattr(md, "item_metadata") else md
+        abstract["opt_state"] = jax.tree.map(
+            lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype),
+            mtree["opt_state"],
+            is_leaf=lambda v: hasattr(v, "shape") and hasattr(v, "dtype"))
     restored = ckptr.restore(path, abstract)
     meta = None
     if os.path.exists(meta_path):

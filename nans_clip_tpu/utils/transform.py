@@ -53,16 +53,18 @@ def preprocess_batch(images, image_size: int = 224) -> np.ndarray:
 def device_preprocess(raw: "jax.Array", image_size: int = 224) -> "jax.Array":
     """uint8 [N, H, W, 3] on device -> normalized float [N, R, R, 3].
 
-    Bilinear resize + normalize inside the jitted graph; used by the AOT
-    serving path (replaces the reference's host-side torchvision stage
-    feeding TensorRT).
+    Bicubic resize (matching the reference transform, image_transform, and
+    the eval path in data/augment.py — a bilinear serving path would feed
+    the model slightly different pixels than evaluation saw) + normalize
+    inside the jitted graph; used by the AOT serving path (replaces the
+    reference's host-side torchvision stage feeding TensorRT).
     """
     import jax
     import jax.numpy as jnp
 
     x = raw.astype(jnp.float32) / 255.0
     if raw.shape[1] != image_size or raw.shape[2] != image_size:
-        x = jax.image.resize(x, (x.shape[0], image_size, image_size, 3), "bilinear")
+        x = jax.image.resize(x, (x.shape[0], image_size, image_size, 3), "cubic")
     mean = jnp.asarray(OPENAI_MEAN, x.dtype)
     std = jnp.asarray(OPENAI_STD, x.dtype)
     return (x - mean) / std

@@ -56,11 +56,37 @@ def test_reset_optimizer(saved_state):
     assert all(jax.tree.leaves(fresh))
 
 
-def test_missing_checkpoint_is_noop(tmp_path):
+def test_missing_checkpoint_raises_unless_opted_out(tmp_path):
+    """A typo'd --resume tag must not silently train from random init."""
+    import pytest
     params, _ = init_clip(jax.random.PRNGKey(0), TINY)
     template = create_train_state(params, {}, TrainConfig(max_steps=10))
-    state, meta = restore_checkpoint(str(tmp_path / "none"), "epoch_latest", template)
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(str(tmp_path / "none"), "epoch_latest", template)
+    state, meta = restore_checkpoint(str(tmp_path / "none"), "epoch_latest",
+                                     template, missing_ok=True)
     assert meta is None
+
+
+def test_reset_optimizer_survives_optimizer_change(tmp_path):
+    """--reset-optimizer must restore even when the NEW optimizer state
+    has a different structure/dtype than the stored one (the main reason
+    to pass the flag): the stored opt_state is read against its on-disk
+    metadata and discarded."""
+    from nans_clip_tpu.utils.checkpoint import save_checkpoint
+
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    st = create_train_state(params, {}, TrainConfig(max_steps=10))
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, "epoch1", st, {"epoch": 1, "step": 1})
+    # new run with bf16 Adam moments: different opt_state dtypes
+    tcfg2 = TrainConfig(max_steps=10, adam_state_dtype="bfloat16")
+    template = create_train_state(jax.tree.map(jnp.copy, params), {}, tcfg2)
+    restored, _ = restore_checkpoint(d, "epoch1", template,
+                                     reset_optimizer=True)
+    same = jax.tree.map(lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+                        restored.params, st.params)
+    assert all(jax.tree.leaves(same))
 
 
 def test_eval_path_restores_orbax_dir(saved_state):

@@ -73,3 +73,29 @@ def test_distillation_teacher_microbatched_under_accum():
     kd2, loss2 = kd_of(2)
     assert abs(kd1 - kd2) < 1e-5, (kd1, kd2)
     assert abs(loss1 - loss2) < 1e-4, (loss1, loss2)
+
+
+def test_kd_loss_matches_reference_torch():
+    """kd_cosine_loss == the reference's own cosineSimilarityLoss
+    (training/train.py:406-419) including the dim-mismatch path: the
+    STUDENT interpolates up/down to the teacher's shape (bilinear,
+    align_corners=False, NO antialias), cosine in the teacher dim."""
+    import os
+    import pytest
+    ref_train = "/root/reference/cn_clip/training/train.py"
+    if not os.path.exists(ref_train):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    from nans_clip_tpu.parallel.loss import kd_cosine_loss
+    src = open(ref_train).read()
+    ns = {}
+    i = src.index("def cosineSimilarityLoss")
+    exec("import torch\nimport torch.nn.functional as F\n" + src[i:i + 700], ns)
+    ref_fn = ns["cosineSimilarityLoss"]
+    rs = np.random.RandomState(0)
+    for td, sd in [(32, 64), (64, 32), (48, 48)]:
+        t = rs.randn(8, td).astype(np.float32)
+        s = rs.randn(8, sd).astype(np.float32)
+        ref = float(ref_fn(torch.from_numpy(t), torch.from_numpy(s)))
+        ours = float(kd_cosine_loss(jnp.asarray(t), jnp.asarray(s)))
+        assert abs(ref - ours) < 2e-5, (td, sd, ref, ours)
