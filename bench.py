@@ -19,10 +19,11 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 1000.0 / (3.58 + 1.54)
 
-# bs512 beat bs256 in a same-process A/B (image 0.2364 vs 0.2397 ms/sample,
-# text 0.0683 vs 0.0734): better MXU row fill per dispatch, same kernels.
-IMAGE_BATCH = 512
-TEXT_BATCH = 512
+# Batch settled by same-process A/Bs (512 -> 1024 -> 2048 each won: image
+# 0.2364/0.2333/0.2316 ms/sample, text 0.0683/0.0669/0.0655): bigger
+# dispatches amortize per-call scheduling; gains flatten past 2048.
+IMAGE_BATCH = 2048
+TEXT_BATCH = 2048
 ITERS = 8        # host-visible timing iterations
 INNER = 8        # forwards per jitted call (amortizes the tunnel RTT,
                  # measured ~27.5 ms fixed per dispatch on the axon relay)
