@@ -120,9 +120,15 @@ class DataLoader:
         self.num_batches = self.padded_len // self.global_batch_size
         self.num_samples = self.padded_len
         self.decode_failures = 0
+        self.start_batch = 0
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """Position the next iteration at ``epoch``, optionally skipping its
+        first ``start_batch`` per-process batches (mid-epoch resume: the
+        epoch's shuffle order is a pure function of seed+epoch, so skipping
+        is index arithmetic — the skipped records are never decoded)."""
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(self.padded_len) % len(self.ds)
@@ -210,7 +216,7 @@ class DataLoader:
 
         def producer():
             try:
-                for b in range(n):
+                for b in range(min(self.start_batch, n), n):
                     if stop.is_set():
                         return
                     sl = indices[b * self.batch_size:(b + 1) * self.batch_size]

@@ -44,11 +44,11 @@ def _check_tp(tp: int):
     """Fail fast when options.tp desyncs from the ambient mesh: a mismatch
     would otherwise clamp _local_qkv's dynamic_slice so two shards silently
     recompute the same trailing heads and the psum double-counts them."""
-    try:
-        from jax.sharding import get_abstract_mesh
-        msize = dict(get_abstract_mesh().shape).get(MODEL_AXIS)
-    except Exception:
-        return
+    # No blanket except here: if this import breaks on a jax upgrade the
+    # guard must fail LOUDLY, not silently stop guarding (pp.py documents
+    # the same convention for this API).
+    from jax.sharding import get_abstract_mesh
+    msize = dict(get_abstract_mesh().shape).get(MODEL_AXIS)
     if msize is not None:
         assert msize == tp, \
             f"tp={tp} but the ambient mesh's '{MODEL_AXIS}' axis is {msize}"

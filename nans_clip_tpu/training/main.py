@@ -93,13 +93,16 @@ def build_teacher(args):
         return None
     assert args.teacher_model_name, "--distillation needs --teacher-model-name"
     t_cfg = load_config(args.teacher_model_name)
-    t_params, _ = init_clip(jax.random.PRNGKey(0), t_cfg)
+    t_params, t_stats = init_clip(jax.random.PRNGKey(0), t_cfg)
     if args.teacher_weight_path:
         sd = load_torch_state_dict(args.teacher_weight_path)
-        loaded, _ = params_from_state_dict(sd, t_cfg)
+        loaded, loaded_stats = params_from_state_dict(sd, t_cfg)
         t_params.update(loaded)
+        t_stats.update(loaded_stats)
     t_params = jax.tree.map(jnp.asarray, t_params)
-    return (t_cfg, t_params)
+    # BN running stats ride along for ResNet-tower teachers (eval mode).
+    t_stats = jax.tree.map(jnp.asarray, t_stats)
+    return (t_cfg, t_params, t_stats)
 
 
 def main(argv=None):
@@ -179,6 +182,7 @@ def main(argv=None):
         freeze_vision=args.freeze_vision, label_smoothing=args.label_smoothing,
         distillation=args.distillation, kd_loss_weight=args.kd_loss_weight,
         grad_norm_clip=args.grad_norm_clip,
+        skip_scheduler=args.skip_scheduler,
         adam_state_dtype=(None if args.adam_state_dtype in (None, "float32")
                           else args.adam_state_dtype))
 
@@ -278,7 +282,15 @@ def main(argv=None):
 
         step = start_step
         for epoch in range(start_epoch, args.max_epochs):
-            train_loader.set_epoch(epoch)
+            # Mid-epoch resume (step_N / preempt_step_N): fast-forward the
+            # resumed epoch past the batches already trained, so no batch
+            # is trained twice and the epoch's tail is not lost. (The
+            # reference instead replays the whole epoch and re-derives the
+            # step from the batch index, train.py:167; our shuffle order is
+            # a pure function of seed+epoch, so skipping is exact.)
+            resume_off = step - epoch * steps_per_epoch if epoch == start_epoch else 0
+            train_loader.set_epoch(
+                epoch, start_batch=max(0, resume_off) * args.accum_freq)
             micro_buf = []
             t_data = time.time()
             data_time = 0.0

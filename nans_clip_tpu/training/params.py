@@ -63,7 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--eps", type=float, default=None)
     p.add_argument("--wd", type=float, default=0.001)
     p.add_argument("--warmup", type=int, default=500)
-    p.add_argument("--skip-scheduler", action="store_true")
+    p.add_argument("--skip-scheduler", action="store_true",
+                   help="constant lr after warmup (no cosine decay). The "
+                        "reference parses but never applies this flag; here "
+                        "it does what the help text promises")
     # model
     p.add_argument("--vision-model", default="ViT-B-16",
                    choices=["ViT-B-32", "ViT-B-16", "ViT-L-14", "ViT-L-14-336",

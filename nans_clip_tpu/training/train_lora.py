@@ -37,6 +37,7 @@ from nans_clip_tpu.models.clip import encode_image, encode_text, normalize
 from nans_clip_tpu.models.lora import (count_lora_params, init_lora, load_lora,
                                        merge_lora, save_lora)
 from nans_clip_tpu.parallel.loss import clip_loss
+from nans_clip_tpu.training.trainer import cosine_with_warmup
 
 
 def parse_args(argv=None):
@@ -151,11 +152,10 @@ def main(argv=None):
     total_steps = loader.num_batches * args.epochs
     warmup_steps = max(1, int(total_steps * args.warmup_ratio))
 
-    def schedule(step):
-        warm = args.lr * step / warmup_steps
-        prog = (step - warmup_steps) / max(1, total_steps - warmup_steps)
-        cos = args.lr * 0.5 * (1 + jnp.cos(jnp.pi * prog))
-        return jnp.where(step < warmup_steps, warm, cos)
+    # Shared warmup+cosine helper (trainer.py). Its (step+1)/warmup form
+    # gives a non-zero lr on the very first step, unlike the fork's
+    # torch get_cosine_schedule_with_warmup which wastes step 0 at lr=0.
+    schedule = cosine_with_warmup(args.lr, warmup_steps, total_steps)
 
     tx = optax.adamw(schedule, weight_decay=args.wd)
     opt_state = tx.init(adapters)
@@ -171,26 +171,32 @@ def main(argv=None):
     step = 0
     for epoch in range(args.epochs):
         loader.set_epoch(epoch)
-        losses = []
+        # accumulate the loss ON DEVICE: float(loss) per step would force a
+        # device->host sync (a fixed ~27.5 ms RTT on tunneled TPU hosts)
+        # between dispatches; one conversion per epoch costs one RTT total
+        loss_sum, nb = None, 0
         for batch in loader:
             rng, arng, srng = jax.random.split(rng, 3)
             im = preprocess_images(arng, jnp.asarray(batch.images), resolution,
                                    augment=False)
             adapters, opt_state, loss, metrics = train_step(
                 params, adapters, opt_state, im, jnp.asarray(batch.texts), srng)
-            losses.append(float(loss))
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            nb += 1
             step += 1
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+        train_loss = float(loss_sum) / nb if nb else float("nan")
 
         val_loss = float("nan")
         if val_loader is not None:
-            vl = []
+            vsum, vn = None, 0
             for batch in val_loader:
                 im = preprocess_images(jax.random.PRNGKey(0),
                                        jnp.asarray(batch.images), resolution,
                                        augment=False)
-                vl.append(float(eval_step(params, adapters, im, jnp.asarray(batch.texts))))
-            val_loss = float(np.mean(vl)) if vl else float("nan")
+                v = eval_step(params, adapters, im, jnp.asarray(batch.texts))
+                vsum = v if vsum is None else vsum + v
+                vn += 1
+            val_loss = float(vsum) / vn if vn else float("nan")
 
         is_best = val_loss < best_val if val_loader is not None else True
         if is_best:

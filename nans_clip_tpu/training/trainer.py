@@ -69,6 +69,11 @@ class TrainConfig:
     distillation: bool = False
     kd_loss_weight: float = 0.5
     grad_norm_clip: Optional[float] = None
+    # Honor --skip-scheduler's documented semantics (constant lr after
+    # warmup). NOTE: the reference parses this flag but never reads it
+    # (training/train.py:173 calls scheduler(step) unconditionally); we
+    # implement what its help text promises instead of replicating the bug.
+    skip_scheduler: bool = False
     # Store Adam moments in this dtype ("bfloat16" halves optimizer HBM —
     # the lever that lifts ViT-H/14 from bs16 to bs32 on a 16 GB chip).
     # None keeps optax.adamw's fp32 state (reference-parity default).
@@ -106,15 +111,22 @@ def no_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(lambda p, _: is_excluded(p), params)
 
 
-def cosine_with_warmup(base_lr: float, warmup: int, total_steps: int) -> optax.Schedule:
-    """Reference cosine_lr semantics (training/scheduler.py:10-20)."""
+def cosine_with_warmup(base_lr: float, warmup: int, total_steps: int,
+                       skip_decay: bool = False) -> optax.Schedule:
+    """Reference cosine_lr semantics (training/scheduler.py:10-20).
+
+    ``skip_decay`` holds the post-warmup lr constant at ``base_lr``
+    (--skip-scheduler)."""
 
     def schedule(step):
         warm = base_lr * (step + 1) / max(warmup, 1)
-        e = step - warmup
-        es = max(total_steps - warmup, 1)
-        cos = 0.5 * (1 + jnp.cos(jnp.pi * e / es)) * base_lr
-        return jnp.where(step < warmup, warm, cos)
+        if skip_decay:
+            decayed = base_lr
+        else:
+            e = step - warmup
+            es = max(total_steps - warmup, 1)
+            decayed = 0.5 * (1 + jnp.cos(jnp.pi * e / es)) * base_lr
+        return jnp.where(step < warmup, warm, decayed)
 
     return schedule
 
@@ -157,7 +169,8 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float,
 
 
 def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
-    schedule = cosine_with_warmup(tcfg.lr, tcfg.warmup, tcfg.max_steps)
+    schedule = cosine_with_warmup(tcfg.lr, tcfg.warmup, tcfg.max_steps,
+                                  skip_decay=tcfg.skip_scheduler)
     mask = jax.tree.map(lambda excluded: not excluded, no_decay_mask(params))
     chain = []
     if tcfg.grad_norm_clip:
@@ -277,6 +290,10 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
     teacher_opts = ModelOptions(attn_impl=options.attn_impl,
                                 compute_dtype=options.compute_dtype)
     teacher_cfg = teacher[0] if teacher is not None else None
+    # (cfg, params) or (cfg, params, batch_stats) — a ResNet-tower teacher
+    # needs its BN running stats (read-only: the teacher runs in eval mode).
+    teacher_bs = (teacher[2] if teacher is not None and len(teacher) > 2
+                  else None)
 
     def step_fn(state: TrainState, images, texts, rng, teacher_params):
         tx = make_optimizer(tcfg, state.params)
@@ -292,7 +309,7 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
             if tcfg.distillation and teacher_params is not None:
                 def t_enc(im_j):
                     return encode_image(teacher_params, teacher_cfg, im_j,
-                                        teacher_opts)
+                                        teacher_opts, batch_stats=teacher_bs)
                 if tcfg.accum_freq > 1:
                     # microbatch the teacher like the student: a single
                     # full-accumulated-batch teacher forward materializes

@@ -183,3 +183,22 @@ def test_device_augment(dataset_dir):
     out2 = preprocess_images(jax.random.PRNGKey(0), batch.images, 32, augment=False)
     out3 = preprocess_images(jax.random.PRNGKey(1), batch.images, 32, augment=False)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out3))
+
+
+def test_loader_mid_epoch_skip(dataset_dir):
+    """set_epoch(e, start_batch=k) yields exactly the tail of the epoch's
+    deterministic order — the mid-epoch resume fast-forward."""
+    ds = PairDataset(dataset_dir)
+    loader = DataLoader(ds, batch_size=4, decode_size=32, shuffle=True,
+                        seed=7)
+    loader.set_epoch(2)
+    full = [b.text_ids for b in loader]
+    assert len(full) == loader.num_batches
+    loader.set_epoch(2, start_batch=1)
+    tail = [b.text_ids for b in loader]
+    assert len(tail) == len(full) - 1
+    np.testing.assert_array_equal(np.concatenate(tail),
+                                  np.concatenate(full[1:]))
+    # a fresh epoch resets the offset only if set_epoch says so
+    loader.set_epoch(3)
+    assert len(list(loader)) == loader.num_batches

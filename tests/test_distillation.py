@@ -99,3 +99,29 @@ def test_kd_loss_matches_reference_torch():
         ref = float(ref_fn(torch.from_numpy(t), torch.from_numpy(s)))
         ours = float(kd_cosine_loss(jnp.asarray(t), jnp.asarray(s)))
         assert abs(ref - ours) < 2e-5, (td, sd, ref, ours)
+
+
+def test_resnet_teacher_batch_stats():
+    """A ResNet-tower teacher threads its BN running stats through the
+    3-tuple teacher spec (a 2-tuple teacher used to crash encode_image's
+    batch_stats assert for ResNet teachers)."""
+    rn_teacher = C.CLIPConfig(
+        embed_dim=32,
+        vision=C.ResNetConfig(embed_dim=32, image_resolution=32,
+                              layers=(1, 1, 1, 1), width=8, head_width=16),
+        text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=128),
+        name="rn-teacher")
+    student, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    t_params, t_stats = init_clip(jax.random.PRNGKey(1), rn_teacher)
+    tcfg = TrainConfig(lr=1e-4, warmup=2, max_steps=10,
+                       distillation=True, kd_loss_weight=0.5)
+    state = create_train_state(student, {}, tcfg)
+    step = make_train_step(TINY, tcfg, ModelOptions(attn_impl="xla"),
+                           teacher=(rn_teacher, t_params, t_stats),
+                           constrain=False)
+    images, texts = _batch(8)
+    state, m = step(state, jnp.asarray(images), jnp.asarray(texts),
+                    jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["kd_loss"]))
+    assert np.isfinite(float(m["loss"]))

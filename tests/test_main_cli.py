@@ -97,3 +97,38 @@ def test_train_pp_cycle(data_dir, tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "LATEST"))
     state2 = train_main(common + ["--max-epochs", "2"])
     assert int(state2.step) == 4
+
+
+def test_mid_epoch_resume_skips_trained_batches(data_dir, tmp_path, monkeypatch):
+    """Resume from a mid-epoch step checkpoint fast-forwards the loader past
+    the batches already trained (no batch trained twice, epoch tail kept)."""
+    from nans_clip_tpu.data.dataset import DataLoader as DL
+    logs = str(tmp_path / "logs_mid")
+    common = [
+        "--train-data", data_dir,
+        "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+        "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+        "--log-interval", "1", "--logs", logs, "--name", "mid_resume",
+        "--num-workers", "2",
+    ]
+    train_main(common + ["--max-epochs", "1", "--max-steps", "1",
+                         "--save-step-frequency", "1"])
+    ckpt_dir = os.path.join(logs, "mid_resume", "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "step_1.meta.json"))
+    # simulate a run killed after the step-save but before the epoch-end
+    # save: LATEST points at the mid-epoch step checkpoint
+    with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+        f.write("step_1")
+
+    calls = []
+    orig = DL.set_epoch
+
+    def record(self, epoch, start_batch=0):
+        calls.append((epoch, start_batch))
+        return orig(self, epoch, start_batch)
+
+    monkeypatch.setattr(DL, "set_epoch", record)
+    state = train_main(common + ["--max-epochs", "1"])
+    # epoch 0 resumed one batch in (step 1 of 2 already trained)
+    assert (0, 1) in calls, calls
+    assert int(state.step) == 2

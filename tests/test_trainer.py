@@ -277,3 +277,16 @@ def test_freeze_vision_freezes_bn_stats():
         a, np.asarray(b)), stats0, new_state.batch_stats)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         a, np.asarray(b)), visual0, new_state.params["visual"])
+
+
+def test_skip_scheduler_constant_lr():
+    """--skip-scheduler holds lr at base after warmup (the reference parses
+    the flag but never applies it; we honor its documented semantics)."""
+    from nans_clip_tpu.training.trainer import cosine_with_warmup
+    const = cosine_with_warmup(1e-3, warmup=5, total_steps=100,
+                               skip_decay=True)
+    assert float(const(0)) < 1e-3  # warmup still ramps
+    np.testing.assert_allclose(float(const(5)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(const(99)), 1e-3, rtol=1e-6)
+    decay = cosine_with_warmup(1e-3, warmup=5, total_steps=100)
+    assert float(decay(99)) < 1e-4  # cosine decays to ~0
