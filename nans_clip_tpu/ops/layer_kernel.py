@@ -193,7 +193,10 @@ def fused_layer_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
     assert b % tile == 0
     masked = key_bias is not None
     if key_bias is None:
-        kb = jnp.zeros((b, 1, s), jnp.float32)
+        # never read when masked=False: a [1,1,S] dummy with a constant
+        # index map avoids allocating + DMA-streaming a [B,1,S] zeros
+        # buffer per grid cell on the (dominant) unmasked ViT path
+        kb = jnp.zeros((1, 1, s), jnp.float32)
     else:
         kb = key_bias.astype(jnp.float32).reshape(b, 1, s)
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -210,8 +213,10 @@ def fused_layer_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
             io(),
             vec(w), vec(w), mat(w, 3 * w), vec(3 * w), mat(w, w), vec(w),
             vec(w), vec(w), mat(w, inter), vec(inter), mat(inter, w), vec(w),
-            pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM) if masked else
+             pl.BlockSpec((1, 1, s), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)),
         ],
         out_specs=io(),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

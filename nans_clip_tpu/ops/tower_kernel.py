@@ -112,7 +112,10 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
     inter = w1.shape[-1]
     masked = key_bias is not None
     if key_bias is None:
-        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+        # never read when masked=False: a [1,1,S] dummy with a constant
+        # index map avoids allocating + streaming a [B,1,S] zeros buffer
+        # on the unmasked (image-tower) path
+        key_bias = jnp.zeros((1, 1, s), jnp.float32)
     else:
         key_bias = jnp.asarray(key_bias, jnp.float32).reshape(b, 1, s)
     tile = tower_batch_tile(b, s, w, inter, jnp.dtype(x.dtype).itemsize)
@@ -134,7 +137,9 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
         grid=(b // tile, L),
         in_specs=[
             bat(tile, s, w),           # x (fetched once per batch tile)
-            bat(tile, 1, s),           # key_bias
+            (bat(tile, 1, s) if masked else
+             pl.BlockSpec((1, 1, s), lambda bt, l: (0, 0, 0),
+                          memory_space=pltpu.VMEM)),  # key_bias
             lyr(1, w), lyr(1, w),      # ln1 scale/bias
             lyr(w, 3 * w), lyr(1, 3 * w),  # wqkv/bqkv
             lyr(w, w), lyr(1, w),      # wo/bo
