@@ -54,7 +54,15 @@ def save_torch_checkpoint(path: str, state_dict: Dict[str, np.ndarray], meta: Op
 
 def normalize_state_dict(sd: dict) -> Dict[str, np.ndarray]:
     """Strip ``module.``, drop ``bert.pooler``, de-fuse flash-attn Wqkv keys,
-    convert tensors to fp32 numpy."""
+    convert tensors to fp32 numpy. HF ``ChineseCLIPModel`` checkpoints
+    (``vision_model.* / text_model.*`` keys) are detected and translated
+    into the reference layout first, so every ``.pt`` entry point accepts
+    both published formats."""
+    from nans_clip_tpu.utils.hf_interop import (hf_to_reference_state_dict,
+                                                is_hf_layout)
+
+    if is_hf_layout(sd):
+        sd = hf_to_reference_state_dict(sd)
     out: Dict[str, np.ndarray] = {}
     for k, v in sd.items():
         if k.startswith("module."):

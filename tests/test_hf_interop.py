@@ -1,0 +1,158 @@
+"""HF ``ChineseCLIPModel`` interop: numerical parity + roundtrip.
+
+Builds a tiny randomly-initialized ``transformers.ChineseCLIPModel`` (the
+HF port of the reference, which is how most Hub users hold the weights),
+converts its state_dict through ``utils/hf_interop.py``, and checks our
+towers reproduce ``get_image_features`` / ``get_text_features`` and the
+similarity logits. Also roundtrips our pytree through the HF layout.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from nans_clip_tpu.configs import CLIPConfig, TextConfig, VisionConfig  # noqa: E402
+from nans_clip_tpu.models import ModelOptions  # noqa: E402
+from nans_clip_tpu.models.clip import (encode_image, encode_text,
+                                       init_clip)  # noqa: E402
+from nans_clip_tpu.utils.hf_interop import (config_from_hf,
+                                            hf_to_reference_state_dict,
+                                            load_hf_checkpoint,
+                                            reference_to_hf_state_dict)  # noqa: E402
+from nans_clip_tpu.utils.torch_interop import (normalize_state_dict,
+                                               params_from_state_dict,
+                                               state_dict_from_params)  # noqa: E402
+
+OPTS = ModelOptions(attn_impl="xla")
+
+
+def _tiny_hf_config():
+    from transformers import (ChineseCLIPConfig, ChineseCLIPTextConfig,
+                              ChineseCLIPVisionConfig)
+    tc = ChineseCLIPTextConfig(
+        vocab_size=120, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=32, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    vc = ChineseCLIPVisionConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=256, image_size=32, patch_size=16)
+    return ChineseCLIPConfig(text_config=tc.to_dict(),
+                             vision_config=vc.to_dict(), projection_dim=48)
+
+
+def _tiny_hf_model():
+    from transformers import ChineseCLIPModel
+    torch.manual_seed(0)
+    return ChineseCLIPModel(_tiny_hf_config()).float().eval()
+
+
+def _our_cfg():
+    return CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(embed_dim=48, image_resolution=32, layers=2,
+                            width=64, patch_size=16, head_width=32),
+        text=TextConfig(vocab_size=120, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=128,
+                        max_position_embeddings=32),
+    )
+
+
+def _inputs(b=3):
+    rs = np.random.RandomState(0)
+    img = rs.randn(b, 3, 32, 32).astype(np.float32)
+    txt = np.zeros((b, 16), np.int64)
+    for i, n in enumerate((16, 10, 5)[:b]):   # incl. padded rows
+        txt[i, 0] = 101
+        txt[i, 1:n - 1] = rs.randint(10, 100, n - 2)
+        txt[i, n - 1] = 102
+    return img, txt
+
+
+def test_hf_checkpoint_parity():
+    model = _tiny_hf_model()
+    cfg = _our_cfg()
+    # through normalize_state_dict: exercises the auto-detect path every
+    # .pt entry point uses (api.load, --clip-weight-path, ...)
+    sd = normalize_state_dict(model.state_dict())
+    params, _ = params_from_state_dict(sd, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    img, txt = _inputs()
+    # NOTE: this transformers version's get_text_features reads
+    # pooler_output, which ChineseCLIPModel builds with
+    # add_pooling_layer=False (None -> crash); forward() implements the
+    # real semantics (CLS row through text_projection, L2-normalized) —
+    # compare against that, plus the unnormalized image path.
+    with torch.no_grad():
+        ref_img = model.get_image_features(torch.from_numpy(img)).numpy()
+        out = model(input_ids=torch.from_numpy(txt),
+                    pixel_values=torch.from_numpy(img),
+                    attention_mask=torch.from_numpy((txt != 0).astype(np.int64)))
+        ref_txt_n = out.text_embeds.numpy()
+        ref_logits = out.logits_per_image.numpy()
+
+    ours_img = np.asarray(encode_image(
+        params, cfg, jnp.asarray(img.transpose(0, 2, 3, 1)), OPTS))
+    ours_txt = encode_text(params, cfg, jnp.asarray(txt.astype(np.int32)), OPTS)
+    ours_txt_n = np.asarray(
+        ours_txt / jnp.linalg.norm(ours_txt, axis=-1, keepdims=True))
+    ours_img_n = ours_img / np.linalg.norm(ours_img, axis=-1, keepdims=True)
+    ours_logits = (np.exp(np.asarray(params["logit_scale"], np.float32))
+                   * ours_img_n @ ours_txt_n.T)
+
+    np.testing.assert_allclose(ours_img, ref_img, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(ours_txt_n, ref_txt_n, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(ours_logits, ref_logits, atol=2e-3, rtol=2e-3)
+
+
+def test_hf_roundtrip_exact():
+    cfg = _our_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(1), cfg)
+    ref_sd = state_dict_from_params(jax.tree.map(np.asarray, params), cfg)
+    back = hf_to_reference_state_dict(reference_to_hf_state_dict(ref_sd))
+    assert set(back) == set(ref_sd)
+    for k in ref_sd:
+        np.testing.assert_array_equal(back[k], ref_sd[k], err_msg=k)
+
+
+def test_hf_unmapped_key_raises():
+    with pytest.raises(KeyError, match="unmapped"):
+        hf_to_reference_state_dict(
+            {"vision_model.mystery.weight": np.zeros(3, np.float32)})
+
+
+def test_config_from_hf():
+    hf = _tiny_hf_config().to_dict()
+    cfg = config_from_hf(hf)
+    assert cfg.embed_dim == 48
+    assert cfg.vision.width == 64 and cfg.vision.heads == 2
+    assert cfg.vision.seq_len == 5
+    assert cfg.text.intermediate_size == 128
+    assert cfg.text.layer_norm_eps == hf["text_config"]["layer_norm_eps"]
+
+    bad = json.loads(json.dumps(hf))
+    bad["vision_config"]["hidden_act"] = "gelu"
+    with pytest.raises(ValueError, match="quick_gelu"):
+        config_from_hf(bad)
+
+
+def test_load_hf_checkpoint_dir(tmp_path):
+    model = _tiny_hf_model()
+    model.save_pretrained(tmp_path)
+    params, cfg = load_hf_checkpoint(str(tmp_path))
+    assert cfg.vision.image_resolution == 32
+    img, txt = _inputs(2)
+    with torch.no_grad():
+        ref_img = model.get_image_features(torch.from_numpy(img)).numpy()
+    params = jax.tree.map(jnp.asarray, params)
+    ours_img = np.asarray(encode_image(
+        params, cfg, jnp.asarray(img.transpose(0, 2, 3, 1)), OPTS))
+    np.testing.assert_allclose(ours_img, ref_img, atol=2e-4, rtol=2e-4)
