@@ -253,3 +253,58 @@ def load_hf_checkpoint(path: str, cfg: Optional[CLIPConfig] = None
         sd = torch.load(weights_file, map_location="cpu", weights_only=True)
     params, _ = params_from_state_dict(hf_to_reference_state_dict(sd), cfg)
     return params, cfg
+
+
+def config_to_hf(cfg: CLIPConfig) -> dict:
+    """CLIPConfig -> ``ChineseCLIPConfig``-shaped dict (config.json)."""
+    if cfg.is_resnet:
+        raise ValueError("HF ChineseCLIP has no ResNet vision tower")
+    v, t = cfg.vision, cfg.text
+    return {
+        "model_type": "chinese_clip",
+        "projection_dim": cfg.embed_dim,
+        "logit_scale_init_value": 2.6592,
+        "vision_config": {
+            "model_type": "chinese_clip_vision_model",
+            "hidden_size": v.width,
+            "intermediate_size": 4 * v.width,
+            "num_hidden_layers": v.layers,
+            "num_attention_heads": v.heads,
+            "image_size": v.image_resolution,
+            "patch_size": v.patch_size,
+            "hidden_act": "quick_gelu",
+            "projection_dim": cfg.embed_dim,
+        },
+        "text_config": {
+            "model_type": "chinese_clip_text_model",
+            "vocab_size": t.vocab_size,
+            "hidden_size": t.hidden_size,
+            "num_hidden_layers": t.num_hidden_layers,
+            "num_attention_heads": t.num_attention_heads,
+            "intermediate_size": t.intermediate_size,
+            "hidden_act": t.hidden_act,
+            "hidden_dropout_prob": t.hidden_dropout_prob,
+            "attention_probs_dropout_prob": t.attention_probs_dropout_prob,
+            "max_position_embeddings": t.max_position_embeddings,
+            "type_vocab_size": t.type_vocab_size,
+            "initializer_range": t.initializer_range,
+            "layer_norm_eps": t.layer_norm_eps,
+        },
+    }
+
+
+def save_hf_checkpoint(path: str, params: dict, cfg: CLIPConfig) -> None:
+    """Write a ``from_pretrained``-loadable directory: ``config.json`` +
+    ``model.safetensors`` in ``ChineseCLIPModel`` layout — the export
+    direction for publishing our checkpoints into the HF ecosystem."""
+    from nans_clip_tpu.utils.torch_interop import state_dict_from_params
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_to_hf(cfg), f, indent=2)
+    sd = reference_to_hf_state_dict(
+        state_dict_from_params(params, cfg))
+    from safetensors.numpy import save_file
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              os.path.join(path, "model.safetensors"),
+              metadata={"format": "pt"})

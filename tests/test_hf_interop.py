@@ -144,6 +144,34 @@ def test_config_from_hf():
         config_from_hf(bad)
 
 
+def test_save_hf_checkpoint_loads_in_transformers(tmp_path):
+    from transformers import ChineseCLIPModel
+
+    from nans_clip_tpu.utils.hf_interop import save_hf_checkpoint
+    cfg = _our_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(3), cfg)
+    params = jax.tree.map(np.asarray, params)
+    save_hf_checkpoint(str(tmp_path), params, cfg)
+
+    model, info = ChineseCLIPModel.from_pretrained(
+        str(tmp_path), output_loading_info=True)
+    assert not info["missing_keys"], info["missing_keys"]
+    assert not info["unexpected_keys"], info["unexpected_keys"]
+    model = model.float().eval()
+
+    img, txt = _inputs(2)
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(txt),
+                    pixel_values=torch.from_numpy(img),
+                    attention_mask=torch.from_numpy((txt != 0).astype(np.int64)))
+    jp = jax.tree.map(jnp.asarray, params)
+    ours_img = np.asarray(encode_image(
+        jp, cfg, jnp.asarray(img.transpose(0, 2, 3, 1)), OPTS))
+    ours_img_n = ours_img / np.linalg.norm(ours_img, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ours_img_n, out.image_embeds.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_load_hf_checkpoint_dir(tmp_path):
     model = _tiny_hf_model()
     model.save_pretrained(tmp_path)
