@@ -30,9 +30,12 @@ from nans_clip_tpu.api import (CLIPModel, available_models, create_model,
 from nans_clip_tpu.configs import CLIPConfig, config_for_name, load_config
 from nans_clip_tpu.models import ModelOptions
 from nans_clip_tpu.tokenizer import get_tokenizer, tokenize
+from nans_clip_tpu.utils.hf_interop import (load_hf_checkpoint,
+                                            save_hf_checkpoint)
 
 __all__ = [
     "CLIPModel", "available_models", "create_model", "image_transform",
     "load", "load_from_name", "CLIPConfig", "config_for_name", "load_config",
-    "ModelOptions", "get_tokenizer", "tokenize", "__version__",
+    "ModelOptions", "get_tokenizer", "tokenize", "load_hf_checkpoint",
+    "save_hf_checkpoint", "__version__",
 ]

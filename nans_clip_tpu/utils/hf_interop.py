@@ -246,8 +246,13 @@ def load_hf_checkpoint(path: str, cfg: Optional[CLIPConfig] = None
         raise ValueError("cfg is required when loading a bare weights file")
 
     if weights_file.endswith(".safetensors"):
-        from safetensors.numpy import load_file
-        sd = load_file(weights_file)
+        try:
+            from safetensors.numpy import load_file
+            sd = load_file(weights_file)
+        except (ImportError, TypeError, ValueError):
+            # numpy cannot represent bf16 tensors; go through torch
+            from safetensors.torch import load_file as load_torch
+            sd = load_torch(weights_file)
     else:
         import torch
         sd = torch.load(weights_file, map_location="cpu", weights_only=True)
