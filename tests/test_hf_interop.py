@@ -172,6 +172,42 @@ def test_save_hf_checkpoint_loads_in_transformers(tmp_path):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_hf_tokenizer_input_ids_parity():
+    """A user switching from the HF stack keeps their input_ids: HF's
+    BertTokenizer over the same vocab produces identical CLIP-framed ids
+    ([CLS] ... [SEP], pad to 52, truncate) to our tokenize().
+
+    Known, accepted divergences (we follow the REFERENCE, not HF, and
+    they are not covered here): (1) Greek capital sigma in word-final
+    position — the reference (and we) lowercase with Python's str.lower()
+    (Final_Sigma -> ς) while HF lowercases character-wise (σ);
+    (2) max_input_chars_per_word — the reference's WordPiece UNKs words
+    over 200 chars (bert_tokenizer.py:340), HF over 100. Both are
+    irrelevant to the Chinese/ASCII domain.
+    """
+    import random
+
+    from transformers import BertTokenizer
+
+    from nans_clip_tpu.tokenizer import DEFAULT_VOCAB, tokenize
+
+    hf = BertTokenizer(vocab_file=DEFAULT_VOCAB, do_lower_case=True)
+    random.seed(0)
+    cjk = [chr(random.randint(0x4E00, 0x9FFF)) for _ in range(200)]
+    texts = ["杰尼龟与皮卡丘在Pallet Town玩水枪。",
+             "HELLO, Wörld!  Ｆｕｌｌwidth ｔｅｘｔ 123",
+             "咖啡☕和tea，混合café au lait…",
+             "中文标点：《书名》、“引号”—破折号",
+             "x" * 99] + [
+        "".join(random.choices(cjk + list("abcdefgh ,.!123"), k=random.randint(1, 80)))
+        for _ in range(100)]
+
+    ref_ids = hf(texts, padding="max_length", truncation=True, max_length=52,
+                 return_token_type_ids=False)["input_ids"]
+    ours = np.asarray(tokenize(texts, context_length=52))
+    np.testing.assert_array_equal(ours, np.asarray(ref_ids, np.int64))
+
+
 def test_load_hf_checkpoint_dir(tmp_path):
     model = _tiny_hf_model()
     model.save_pretrained(tmp_path)
