@@ -131,6 +131,21 @@ def load_from_name(name: str, download_root: Optional[str] = None,
         model_path = _resolve_checkpoint(name, download_root, use_modelscope)
         vision, text, resolution = MODEL_INFO[name]
         struct = f"{vision}@{text}"
+    elif os.path.isdir(name) and os.path.isfile(os.path.join(name, "config.json")):
+        # HF `save_pretrained` snapshot (transformers ChineseCLIPModel):
+        # architecture comes from its config.json, weights from
+        # safetensors/bin; pos-embed resizes if input_resolution differs.
+        import json
+
+        from nans_clip_tpu.utils.hf_interop import (config_from_hf,
+                                                    load_hf_checkpoint)
+        with open(os.path.join(name, "config.json")) as f:
+            cfg = config_from_hf(json.load(f))
+        if input_resolution:
+            cfg = with_resolution(cfg, input_resolution)
+        params, cfg = load_hf_checkpoint(name, cfg)
+        model = CLIPModel(cfg, jax.tree.map(jnp.asarray, params), {}, options)
+        return model, image_transform(cfg.vision.image_resolution)
     elif os.path.isfile(name):
         assert vision_model_name and text_model_name and input_resolution, \
             "Please specify 'vision_model_name', 'text_model_name' and 'input_resolution'"

@@ -220,3 +220,29 @@ def test_load_hf_checkpoint_dir(tmp_path):
     ours_img = np.asarray(encode_image(
         params, cfg, jnp.asarray(img.transpose(0, 2, 3, 1)), OPTS))
     np.testing.assert_allclose(ours_img, ref_img, atol=2e-4, rtol=2e-4)
+
+
+def test_load_from_name_hf_dir(tmp_path):
+    from nans_clip_tpu.api import load_from_name
+
+    model = _tiny_hf_model()
+    model.save_pretrained(tmp_path)
+    m, preprocess = load_from_name(str(tmp_path), options=OPTS)
+    assert m.image_resolution == 32
+    img, txt = _inputs(2)
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(txt),
+                    pixel_values=torch.from_numpy(img),
+                    attention_mask=torch.from_numpy((txt != 0).astype(np.int64)))
+    li, _ = m.get_similarity(jnp.asarray(img.transpose(0, 2, 3, 1)),
+                             jnp.asarray(txt.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(li), out.logits_per_image.numpy(),
+                               atol=2e-3, rtol=2e-3)
+
+    # resolution override resizes the pos-embed through the same path the
+    # published 336px checkpoints use
+    m2, _ = load_from_name(str(tmp_path), input_resolution=64, options=OPTS)
+    assert m2.image_resolution == 64
+    assert m2.params["visual"]["positional_embedding"].shape[0] == 17
+    feats = m2.encode_image(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert np.isfinite(np.asarray(feats)).all()
