@@ -298,11 +298,22 @@ def config_to_hf(cfg: CLIPConfig) -> dict:
     }
 
 
-def save_hf_checkpoint(path: str, params: dict, cfg: CLIPConfig) -> None:
+def save_hf_checkpoint(path: str, params: dict, cfg: CLIPConfig,
+                       vocab_file: Optional[str] = None,
+                       context_length: int = 52) -> None:
     """Write a ``from_pretrained``-loadable directory: ``config.json`` +
     ``model.safetensors`` in ``ChineseCLIPModel`` layout — the export
-    direction for publishing our checkpoints into the HF ecosystem."""
+    direction for publishing our checkpoints into the HF ecosystem.
+
+    When the tower's vocab matches a vocab file (the bundled Chinese-BERT
+    vocab by default), the processor side is written too (``vocab.txt``,
+    ``tokenizer_config.json``, ``preprocessor_config.json``) so
+    ``ChineseCLIPProcessor.from_pretrained`` works on the directory; the
+    image settings reproduce the reference transform exactly (square
+    bicubic resize, OpenAI mean/std — verified bit-identical to ours)."""
+    from nans_clip_tpu.tokenizer import DEFAULT_VOCAB
     from nans_clip_tpu.utils.torch_interop import state_dict_from_params
+    from nans_clip_tpu.utils.transform import OPENAI_MEAN, OPENAI_STD
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
@@ -313,3 +324,23 @@ def save_hf_checkpoint(path: str, params: dict, cfg: CLIPConfig) -> None:
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
               os.path.join(path, "model.safetensors"),
               metadata={"format": "pt"})
+
+    vocab_file = vocab_file or DEFAULT_VOCAB
+    with open(vocab_file, encoding="utf-8") as f:
+        vocab = f.read()
+    if vocab.count("\n") != cfg.text.vocab_size:
+        return  # custom vocab the caller didn't provide: model-only export
+    with open(os.path.join(path, "vocab.txt"), "w", encoding="utf-8") as f:
+        f.write(vocab)
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "BertTokenizer", "do_lower_case": True,
+                   "model_max_length": context_length}, f, indent=2)
+    r = cfg.vision.image_resolution
+    with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+        json.dump({"image_processor_type": "ChineseCLIPImageProcessor",
+                   "do_resize": True, "size": {"height": r, "width": r},
+                   "resample": 3, "do_center_crop": False,
+                   "do_rescale": True, "rescale_factor": 1 / 255,
+                   "do_normalize": True, "image_mean": list(OPENAI_MEAN),
+                   "image_std": list(OPENAI_STD),
+                   "do_convert_rgb": True}, f, indent=2)

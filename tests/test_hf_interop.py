@@ -222,6 +222,41 @@ def test_load_hf_checkpoint_dir(tmp_path):
     np.testing.assert_allclose(ours_img, ref_img, atol=2e-4, rtol=2e-4)
 
 
+def test_save_hf_checkpoint_processor_side(tmp_path):
+    """The exported directory is fully self-contained: the HF processor
+    loads from it and reproduces our preprocessing bit-for-bit."""
+    from PIL import Image
+    from transformers import ChineseCLIPProcessor
+
+    from nans_clip_tpu.tokenizer import tokenize
+    from nans_clip_tpu.utils.hf_interop import save_hf_checkpoint
+    from nans_clip_tpu.utils.transform import image_transform
+
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(embed_dim=48, image_resolution=32, layers=2,
+                            width=64, patch_size=16, head_width=32),
+        text=TextConfig(vocab_size=21128, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=128,
+                        max_position_embeddings=64),
+    )
+    params, _ = init_clip(jax.random.PRNGKey(5), cfg)
+    save_hf_checkpoint(str(tmp_path), jax.tree.map(np.asarray, params), cfg)
+
+    proc = ChineseCLIPProcessor.from_pretrained(str(tmp_path))
+    rs = np.random.RandomState(0)
+    img = Image.fromarray((rs.rand(50, 70, 3) * 255).astype(np.uint8))
+    texts = ["杰尼龟与皮卡丘", "hello 世界 123"]
+    out = proc(text=texts, images=img, return_tensors="np",
+               padding="max_length", truncation=True, max_length=52)
+
+    ours_px = image_transform(32)(img)
+    np.testing.assert_array_equal(
+        out["pixel_values"][0].transpose(1, 2, 0), ours_px)
+    np.testing.assert_array_equal(
+        out["input_ids"], np.asarray(tokenize(texts, context_length=52)))
+
+
 def test_load_from_name_hf_dir(tmp_path):
     from nans_clip_tpu.api import load_from_name
 
