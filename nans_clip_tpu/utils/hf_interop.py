@@ -315,11 +315,12 @@ def save_hf_checkpoint(path: str, params: dict, cfg: CLIPConfig,
     from nans_clip_tpu.utils.torch_interop import state_dict_from_params
     from nans_clip_tpu.utils.transform import OPENAI_MEAN, OPENAI_STD
 
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(config_to_hf(cfg), f, indent=2)
+    hf_config = config_to_hf(cfg)   # raises on ResNet before any file IO
     sd = reference_to_hf_state_dict(
         state_dict_from_params(params, cfg))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_config, f, indent=2)
     from safetensors.numpy import save_file
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
               os.path.join(path, "model.safetensors"),
