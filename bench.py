@@ -19,6 +19,33 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 1000.0 / (3.58 + 1.54)
 
+# Measured bf16 Pallas matmul peak on this chip (PARITY.md int8-probe
+# section: 234.8 TFLOP/s sustained through a Pallas kernel) — the MFU
+# denominator. The v5e nominal bf16 peak is 197 TFLOP/s/chip on paper;
+# the probe measured higher through the tunnel clock, so we report against
+# the probe (conservative MFU) and record both.
+MEASURED_PEAK_TFLOPS = 234.8
+
+
+def _tower_flops(seq: int, width: int, layers: int) -> float:
+    """Forward FLOPs of one transformer tower per SAMPLE (2*MACs):
+    qkv (6SW^2) + attention matmuls (4S^2W) + out-proj (2SW^2) +
+    4x-MLP (16SW^2) per layer."""
+    per_layer = 24.0 * seq * width * width + 4.0 * seq * seq * width
+    return layers * per_layer
+
+
+def _clip_pair_flops(cfg, text_seq: int) -> float:
+    """Forward FLOPs per (image, text) pair for a ViT-based CLIP config."""
+    v, t = cfg.vision, cfg.text
+    s_img = (v.image_resolution // v.patch_size) ** 2 + 1
+    img = _tower_flops(s_img, v.width, v.layers)
+    img += 2.0 * s_img * (3 * v.patch_size ** 2) * v.width   # patch embed
+    img += 2.0 * v.width * cfg.embed_dim                      # projection
+    txt = _tower_flops(text_seq, t.hidden_size, t.num_hidden_layers)
+    txt += 2.0 * t.hidden_size * cfg.embed_dim
+    return img + txt
+
 # Batch settled by same-process A/Bs (512 -> 1024 -> 2048 each won: image
 # 0.2364/0.2333/0.2316 ms/sample, text 0.0683/0.0669/0.0655): bigger
 # dispatches amortize per-call scheduling; gains flatten past 2048.
@@ -88,6 +115,8 @@ def main():
     # throughput extracting matched image+text pairs
     pairs_per_sec = 1.0 / (img_time / IMAGE_BATCH + txt_time / TEXT_BATCH)
 
+    flops_per_pair = _clip_pair_flops(cfg, texts.shape[1])
+    tflops = pairs_per_sec * flops_per_pair / 1e12
     result = {
         "metric": "ViT-B/16 image+text feature pairs/sec/chip",
         "value": round(pairs_per_sec, 2),
@@ -100,6 +129,9 @@ def main():
             "text_ms_per_sample": round(1000 * txt_time / TEXT_BATCH, 4),
             "batch": IMAGE_BATCH,
             "backend": jax.default_backend(),
+            "tflops_per_sec": round(tflops, 1),
+            "pct_of_measured_peak": round(100 * tflops / MEASURED_PEAK_TFLOPS, 1),
+            "peak_ref_tflops": MEASURED_PEAK_TFLOPS,
         },
     }
     print(json.dumps(result))

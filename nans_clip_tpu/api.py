@@ -139,6 +139,12 @@ def load_from_name(name: str, download_root: Optional[str] = None,
 
         from nans_clip_tpu.utils.hf_interop import (config_from_hf,
                                                     load_hf_checkpoint)
+        if vision_model_name or text_model_name:
+            raise ValueError(
+                "vision_model_name/text_model_name cannot override an HF "
+                "snapshot directory — its architecture comes from "
+                f"{os.path.join(name, 'config.json')}. Drop them, or pass a "
+                "bare .pt file to pick the architecture explicitly.")
         with open(os.path.join(name, "config.json")) as f:
             cfg = config_from_hf(json.load(f))
         if input_resolution:

@@ -77,7 +77,8 @@ _TP_RULES_2D = {
 _FSDP_MIN_SIZE = 65536
 
 
-def param_spec(path: tuple, leaf, fsdp: int = 1, pp: int = 1) -> P:
+def param_spec(path: tuple, leaf, fsdp: int = 1, pp: int = 1,
+               fsdp_min_size: Optional[int] = None) -> P:
     """PartitionSpec for one parameter, by its pytree path.
 
     ``fsdp`` > 1 additionally shards the largest TP-free dimension that
@@ -107,7 +108,8 @@ def param_spec(path: tuple, leaf, fsdp: int = 1, pp: int = 1) -> P:
             and ("transformer" in names or "encoder" in names)
             and leaf.shape[0] % pp == 0):
         entries[0] = PIPE_AXIS
-    if fsdp > 1 and leaf.size >= _FSDP_MIN_SIZE:
+    min_size = _FSDP_MIN_SIZE if fsdp_min_size is None else fsdp_min_size
+    if fsdp > 1 and leaf.size >= min_size:
         free = [d for d in range(leaf.ndim)
                 if entries[d] is None and leaf.shape[d] % fsdp == 0]
         if free:
@@ -118,21 +120,29 @@ def param_spec(path: tuple, leaf, fsdp: int = 1, pp: int = 1) -> P:
     return P(*entries)
 
 
-def param_shardings(params, mesh: Mesh, fsdp: bool = False):
+def param_shardings(params, mesh: Mesh, fsdp: bool = False,
+                    fsdp_min_size: Optional[int] = None):
     """NamedSharding pytree for a CLIP parameter pytree (TP over 'model',
     PP over 'pipe' when the mesh has one, optional FSDP over 'data'). Also
     valid for any pytree that mirrors the parameter names/shapes (Adam
-    moments): the rules key on the path entries and the leaf shape only."""
+    moments): the rules key on the path entries and the leaf shape only.
+
+    ``fsdp_min_size`` overrides the replicate-below-this-size gate
+    (default ``_FSDP_MIN_SIZE``) — tiny test/dryrun configs pass a lower
+    value so the sharded-storage path is actually exercised."""
     n = mesh.shape[DATA_AXIS] if fsdp else 1
     pp = mesh.shape.get(PIPE_AXIS, 1)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, param_spec(path, leaf, fsdp=n, pp=pp)),
+            mesh, param_spec(path, leaf, fsdp=n, pp=pp,
+                             fsdp_min_size=fsdp_min_size)),
         params)
 
 
-def shard_params(params, mesh: Mesh, fsdp: bool = False):
-    return jax.device_put(params, param_shardings(params, mesh, fsdp=fsdp))
+def shard_params(params, mesh: Mesh, fsdp: bool = False,
+                 fsdp_min_size: Optional[int] = None):
+    return jax.device_put(params, param_shardings(
+        params, mesh, fsdp=fsdp, fsdp_min_size=fsdp_min_size))
 
 
 def shard_batch(batch, mesh: Mesh):

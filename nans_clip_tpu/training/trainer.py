@@ -196,7 +196,8 @@ def create_train_state(params, batch_stats, tcfg: TrainConfig) -> TrainState:
                       opt_state=tx.init(params), batch_stats=batch_stats or {})
 
 
-def train_state_shardings(state: TrainState, mesh, fsdp: bool = False):
+def train_state_shardings(state: TrainState, mesh, fsdp: bool = False,
+                          fsdp_min_size=None):
     """NamedSharding pytree covering the WHOLE TrainState (params, Adam
     moments, counters). The param rules (parallel/mesh.py) key on the last
     path entry + leaf shape, and the optimizer moments mirror the parameter
@@ -208,12 +209,15 @@ def train_state_shardings(state: TrainState, mesh, fsdp: bool = False):
     pp = mesh.shape.get(PIPE_AXIS, 1)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, param_spec(path, leaf, fsdp=n, pp=pp)),
+            mesh, param_spec(path, leaf, fsdp=n, pp=pp,
+                             fsdp_min_size=fsdp_min_size)),
         state)
 
 
-def shard_train_state(state: TrainState, mesh, fsdp: bool = False) -> TrainState:
-    return jax.device_put(state, train_state_shardings(state, mesh, fsdp=fsdp))
+def shard_train_state(state: TrainState, mesh, fsdp: bool = False,
+                      fsdp_min_size=None) -> TrainState:
+    return jax.device_put(state, train_state_shardings(
+        state, mesh, fsdp=fsdp, fsdp_min_size=fsdp_min_size))
 
 
 def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):

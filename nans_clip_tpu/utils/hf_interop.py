@@ -76,9 +76,17 @@ def _to_np(v) -> np.ndarray:
 
 
 def is_hf_layout(sd: dict) -> bool:
-    return any(k.startswith(("vision_model.", "text_model."))
-               or k in ("visual_projection.weight", "text_projection.weight")
-               for k in sd)
+    """True when the checkpoint is (predominantly) HF ``ChineseCLIPModel``
+    layout. Majority vote, not ``any()``: a mixed / partially-corrupt dict
+    with a single stray ``vision_model.*`` key must not flip the whole
+    translation and then fail with an error naming the wrong format."""
+    if not sd:
+        return False
+    hf = sum(k.startswith(("vision_model.", "text_model."))
+             or k in ("visual_projection.weight", "text_projection.weight")
+             for k in sd)
+    ref = sum(k.startswith(("visual.", "bert.", "module.")) for k in sd)
+    return hf > max(ref, len(sd) // 2)
 
 
 def hf_to_reference_state_dict(sd: dict) -> Dict[str, np.ndarray]:
@@ -326,11 +334,24 @@ def save_hf_checkpoint(path: str, params: dict, cfg: CLIPConfig,
               os.path.join(path, "model.safetensors"),
               metadata={"format": "pt"})
 
+    explicit_vocab = vocab_file is not None
     vocab_file = vocab_file or DEFAULT_VOCAB
     with open(vocab_file, encoding="utf-8") as f:
         vocab = f.read()
-    if vocab.count("\n") != cfg.text.vocab_size:
-        return  # custom vocab the caller didn't provide: model-only export
+    # Line count robust to a missing trailing newline. NOT splitlines():
+    # the vocab contains a literal U+2028 entry that splitlines() would
+    # split, miscounting by one.
+    n_lines = len(vocab.split("\n")) - (1 if vocab.endswith("\n") else 0)
+    if n_lines != cfg.text.vocab_size:
+        msg = (f"vocab file {vocab_file} has {n_lines} entries but the model "
+               f"was built with vocab_size={cfg.text.vocab_size}")
+        if explicit_vocab:
+            raise ValueError(msg)
+        import warnings
+        warnings.warn(msg + " — exporting the model only (no vocab.txt/"
+                      "tokenizer_config/preprocessor_config; the dir will "
+                      "not be ChineseCLIPProcessor-loadable)", stacklevel=2)
+        return
     with open(os.path.join(path, "vocab.txt"), "w", encoding="utf-8") as f:
         f.write(vocab)
     with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
