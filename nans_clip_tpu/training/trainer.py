@@ -336,9 +336,11 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # clamp logit_scale <= ln(100) (training/train.py:261-262)
+        # clamp logit_scale to [0, ln(100)] (training/train.py:261-262 —
+        # the reference's torch.clamp(data, 0, 4.6052) has a LOWER bound too)
         params = {**params,
-                  "logit_scale": jnp.clip(params["logit_scale"], max=LOGIT_SCALE_MAX)}
+                  "logit_scale": jnp.clip(params["logit_scale"], 0.0,
+                                          LOGIT_SCALE_MAX)}
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, batch_stats=new_stats)
         if state_shardings is not None:
