@@ -29,8 +29,16 @@ Reads are zero-copy over ``mmap``. Writes rebuild the B-tree bottom-up
 dataset construction (append-mostly, batch commits) and test fixtures.
 Round-tripping against the real liblmdb could not be verified in this
 container (no lmdb anywhere, zero egress); the structure follows mdb.c and
-is covered by reader/writer round-trip tests plus the reference pipeline
-running unmodified over the compat shim (tests/test_pipeline_parity.py).
+is covered by reader/writer round-trip tests, the reference pipeline
+running unmodified over the compat shim (tests/test_pipeline_parity.py),
+and adversarial fixtures approximating real mdb.c files — 1e5-key depth-3
+trees, MAXKEYSIZE keys, multi-page overflow runs, non-empty free DBs,
+randomized fuzz roundtrips (tests/test_lmdb_adversarial.py). ``verify()``
+below (CLI: ``python -m nans_clip_tpu.data.lmdb_store verify FILE``) is a
+structural self-check for files from OTHER writers; run it on any
+externally built CN-CLIP dataset before training. Residual risk: a real
+liblmdb file that exercises mdb.c behaviors none of these fixtures model
+(e.g. DUPSORT sub-databases, which CN-CLIP datasets don't use).
 """
 
 from __future__ import annotations
@@ -563,3 +571,225 @@ def open(path: str, map_size: int = 10 * 1024 * 1024, readonly: bool = False,
     """``lmdb.open`` twin (flags that are OS-tuning no-ops here are accepted
     and ignored)."""
     return Environment(path, map_size, readonly, create, subdir)
+
+
+# ---------------------------------------------------------------------------
+# Structural verifier (``python -m nans_clip_tpu.data.lmdb_store verify F``)
+# ---------------------------------------------------------------------------
+
+def verify(path: str) -> dict:
+    """Byte-layout self-check of one LMDB data file.
+
+    Walks BOTH B-trees (main DB and free DB) from the live meta page and
+    checks every invariant a real liblmdb reader relies on (mdb.c
+    mdb_page_search / mdb_node_search assumptions):
+
+    * page headers: stored pgno matches the file position, flags name
+      exactly one page type, ``PAGEHDRSZ <= lower <= upper <= psize``;
+    * node offsets point inside ``[upper, psize)`` and every node body
+      (header + key + data) fits inside its page;
+    * key sizes are in ``(0, MAXKEYSIZE]``; keys strictly increase within
+      each page AND across the whole tree (cursor order = sorted order);
+    * branch children: every child pgno <= last_pg; all leaves at one
+      uniform depth equal to the meta's ``md_depth``;
+    * overflow runs: header carries P_OVERFLOW + a page count that covers
+      the node's data size, and the run lies inside the file;
+    * page accounting: branch/leaf/overflow page counts and the entry
+      count equal the MDB_db stats in the meta; no page is referenced
+      twice (across metas, both trees, and overflow runs);
+    * free-DB semantics: keys are u64 txnids, values are MDB_IDL arrays
+      (count-prefixed u64 page lists) whose pages are in-file and not
+      referenced by either tree.
+
+    Returns a stats dict; raises :class:`LMDBError` on the first violation.
+    """
+    r = LMDBReader(path)
+    try:
+        psize = r.psize
+        nodemax = ((psize - PAGEHDRSZ) // 2) & ~1
+        file_pages = len(r._mm) // psize
+        # the live meta's last_pg: re-pick it the way _pick_meta did
+        metas = [m for m in (r._read_meta(0), r._read_meta(psize)) if m]
+        if not metas:
+            raise LMDBError(f"{path}: no valid meta page")
+        live_txn = max(m[0] for m in metas)
+        # last_pg sits right before txnid in the meta tail
+        last_pg = None
+        for byte_off in (0, psize):
+            off = byte_off + PAGEHDRSZ
+            if off + _META_HEAD.size + 2 * _DB.size + _META_TAIL.size > len(r._mm):
+                continue
+            magic = _META_HEAD.unpack_from(r._mm, off)[0]
+            if magic != MDB_MAGIC:
+                continue
+            lp, txn = _META_TAIL.unpack_from(
+                r._mm, off + _META_HEAD.size + 2 * _DB.size)
+            if txn == live_txn:
+                last_pg = lp
+                free_db = _DB.unpack_from(r._mm, off + _META_HEAD.size)
+                main_db = _DB.unpack_from(r._mm, off + _META_HEAD.size + _DB.size)
+        if last_pg is None:
+            raise LMDBError(f"{path}: live meta page not found")
+        if last_pg >= file_pages:
+            raise LMDBError(f"last_pg {last_pg} beyond file ({file_pages} pages)")
+
+        seen: Dict[int, str] = {0: "meta", 1: "meta"}
+
+        def claim(pgno: int, kind: str):
+            if pgno > last_pg:
+                raise LMDBError(f"{kind} page {pgno} beyond last_pg {last_pg}")
+            if pgno in seen:
+                raise LMDBError(
+                    f"page {pgno} referenced twice ({seen[pgno]} and {kind})")
+            seen[pgno] = kind
+
+        def check_page(pgno: int):
+            # bytes copy, not the mmap view: a raised LMDBError's traceback
+            # would otherwise pin the view and break r.close() in `finally`
+            page = bytes(r._page(pgno))
+            hdr_pgno, _pad, flags, lower, upper = _PAGEHDR.unpack_from(page, 0)
+            if hdr_pgno != pgno:
+                raise LMDBError(f"page {pgno}: header pgno {hdr_pgno}")
+            ptype = flags & (P_BRANCH | P_LEAF | P_OVERFLOW | P_META)
+            if ptype not in (P_BRANCH, P_LEAF):
+                raise LMDBError(f"page {pgno}: unexpected flags {flags:#x}")
+            if not (PAGEHDRSZ <= lower <= upper <= psize):
+                raise LMDBError(
+                    f"page {pgno}: bad bounds lower={lower} upper={upper}")
+            nkeys = (lower - PAGEHDRSZ) // 2
+            ptrs = struct.unpack_from(f"<{nkeys}H", page, PAGEHDRSZ)
+            for o in ptrs:
+                if not (upper <= o < psize):
+                    raise LMDBError(f"page {pgno}: node offset {o} outside "
+                                    f"[{upper}, {psize})")
+            return page, ptype, ptrs
+
+        stats = {"branch": 0, "leaf": 0, "overflow": 0, "entries": 0}
+
+        def walk(pgno: int, depth: int, tree: str, lo_key, hi_key,
+                 leaf_depths: set):
+            claim(pgno, tree)
+            page, ptype, ptrs = check_page(pgno)
+            if ptype == P_LEAF:
+                stats["leaf" if tree == "main" else "free_leaf"] = \
+                    stats.get("leaf" if tree == "main" else "free_leaf", 0) + 1
+                leaf_depths.add(depth)
+                prev = None
+                for o in ptrs:
+                    lo, hi, nflags, ksize, key = r._node(page, o)
+                    if not (0 < ksize <= MAXKEYSIZE):
+                        raise LMDBError(f"page {pgno}: key size {ksize}")
+                    dsize = lo | (hi << 16)
+                    if prev is not None and key <= prev:
+                        raise LMDBError(f"page {pgno}: keys out of order")
+                    if lo_key is not None and key < lo_key:
+                        raise LMDBError(f"page {pgno}: key below subtree bound")
+                    if hi_key is not None and key >= hi_key:
+                        raise LMDBError(f"page {pgno}: key above subtree bound")
+                    prev = key
+                    if nflags & F_BIGDATA:
+                        if o + 8 + ksize + 8 > psize:
+                            raise LMDBError(f"page {pgno}: bigdata node clipped")
+                        (ovpgno,) = struct.unpack_from("<Q", page, o + 8 + ksize)
+                        ovhdr = bytes(r._page(ovpgno))
+                        ohp, _op, oflags, ocount = _OVHDR.unpack_from(ovhdr, 0)
+                        if ohp != ovpgno or not (oflags & P_OVERFLOW):
+                            raise LMDBError(
+                                f"overflow page {ovpgno}: bad header")
+                        need = -(-(PAGEHDRSZ + dsize) // psize)
+                        if ocount < need:
+                            raise LMDBError(
+                                f"overflow run {ovpgno}: {ocount} pages < "
+                                f"{need} needed for {dsize} bytes")
+                        for i in range(ocount):
+                            claim(ovpgno + i, "overflow")
+                        if tree == "main":
+                            stats["overflow"] += ocount
+                    else:
+                        if o + 8 + ksize + dsize > psize:
+                            raise LMDBError(f"page {pgno}: node data clipped")
+                    if tree == "main":
+                        stats["entries"] += 1
+                    else:
+                        # free-DB entry: txnid key, MDB_IDL data
+                        if ksize != 8:
+                            raise LMDBError(
+                                f"free DB key size {ksize} != 8 (txnid)")
+                        val = r._leaf_value(page, o)
+                        if len(val) < 8 or len(val) % 8:
+                            raise LMDBError("free DB value not a u64 IDL")
+                        idl = struct.unpack(f"<{len(val) // 8}Q", val)
+                        if idl[0] != len(idl) - 1:
+                            raise LMDBError(
+                                f"free DB IDL count {idl[0]} != {len(idl) - 1}")
+                        for fp in idl[1:]:
+                            claim(fp, "freed")
+                return
+            stats["branch" if tree == "main" else "free_branch"] = \
+                stats.get("branch" if tree == "main" else "free_branch", 0) + 1
+            if len(ptrs) < 2:
+                raise LMDBError(f"branch page {pgno}: {len(ptrs)} children")
+            child_keys = [r._node(page, o)[4] for o in ptrs]
+            for i in range(2, len(child_keys)):
+                if child_keys[i] <= child_keys[i - 1]:
+                    raise LMDBError(f"branch page {pgno}: separator keys "
+                                    "out of order")
+            for i, o in enumerate(ptrs):
+                lo, hi, nflags, _, _ = r._node(page, o)
+                child = lo | (hi << 16) | (nflags << 32)
+                sub_lo = None if i == 0 else child_keys[i]
+                sub_hi = (hi_key if i == len(ptrs) - 1
+                          else child_keys[i + 1])
+                walk(child, depth + 1, tree, sub_lo or lo_key, sub_hi,
+                     leaf_depths)
+
+        for name, db in (("free", free_db), ("main", main_db)):
+            _pad, _fl, depth, n_branch, n_leaf, n_over, entries, root = db
+            if root == P_INVALID:
+                if entries or depth or n_branch or n_leaf:
+                    raise LMDBError(f"{name} DB: empty root but nonzero stats")
+                continue
+            leaf_depths: set = set()
+            walk(root, 1, name, None, None, leaf_depths)
+            if len(leaf_depths) != 1:
+                raise LMDBError(f"{name} DB: leaves at depths {leaf_depths}")
+            if leaf_depths != {depth}:
+                raise LMDBError(f"{name} DB: meta depth {depth}, actual "
+                                f"{leaf_depths.pop()}")
+            if name == "main":
+                got = (stats["branch"], stats["leaf"], stats["overflow"],
+                       stats["entries"])
+                want = (n_branch, n_leaf, n_over, entries)
+                if got != want:
+                    raise LMDBError(
+                        f"main DB stats mismatch: meta {want} vs walked {got}")
+        unreferenced = last_pg + 1 - len(seen)
+        return {"psize": psize, "last_pg": last_pg,
+                "entries": stats["entries"], "depth": main_db[2],
+                "branch_pages": stats["branch"], "leaf_pages": stats["leaf"],
+                "overflow_pages": stats["overflow"],
+                "freed_pages": sum(1 for v in seen.values() if v == "freed"),
+                "unreferenced_pages": unreferenced}
+    finally:
+        r.close()
+
+
+def _main(argv):
+    import json as _json
+    import sys
+    if len(argv) != 2 or argv[0] != "verify":
+        print("usage: python -m nans_clip_tpu.data.lmdb_store verify "
+              "<dir-or-data.mdb>", file=sys.stderr)
+        return 2
+    try:
+        stats = verify(argv[1])
+    except LMDBError as e:
+        print(f"FAIL: {e}", file=sys.stderr)
+        return 1
+    print(_json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    import sys
+    raise SystemExit(_main(sys.argv[1:]))
