@@ -1,0 +1,124 @@
+"""Golden-value gates vs CN-CLIP's published numbers (VERDICT r2 item 3).
+
+The two *live* tests need artifacts that cannot exist in this container
+(zero egress): the published ViT-B-16 checkpoint and the MUGE validation
+set. They skip cleanly today and run with ZERO new code the day either
+appears:
+
+    NANS_GOLDEN_CKPT=/path/clip_cn_vit-b-16.pt pytest tests/test_golden_live.py
+    NANS_GOLDEN_MUGE=/path/MUGE ... (dir with valid_imgs.tsv+valid_texts.jsonl)
+
+The *machinery* tests below run today: they prove the harness executes
+end-to-end (load -> preprocess -> encode -> 3-stage retrieval -> score ->
+gate) on synthetic inputs, so the live run can only fail on golden-value
+disagreement, never on plumbing.
+"""
+
+import base64
+import io
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+GOLDEN_CKPT = os.environ.get("NANS_GOLDEN_CKPT")
+GOLDEN_MUGE = os.environ.get("NANS_GOLDEN_MUGE")
+
+
+# ---------------------------------------------------------------------------
+# live gates (skip-gated on the artifacts)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not GOLDEN_CKPT, reason="published ViT-B-16 checkpoint "
+                    "not available (zero egress); set NANS_GOLDEN_CKPT")
+def test_pokemon_probs_match_published():
+    from nans_clip_tpu.eval.golden import check_pokemon
+    result = check_pokemon(GOLDEN_CKPT)
+    assert result["ok"], result
+
+
+@pytest.mark.skipif(not (GOLDEN_CKPT and GOLDEN_MUGE),
+                    reason="published checkpoint/MUGE valid set not "
+                    "available; set NANS_GOLDEN_CKPT + NANS_GOLDEN_MUGE")
+def test_muge_zeroshot_mr_within_0p2():
+    from nans_clip_tpu.eval.golden import check_muge
+    result = check_muge(GOLDEN_CKPT, GOLDEN_MUGE)
+    assert result["ok"], result
+
+
+# ---------------------------------------------------------------------------
+# machinery self-tests (run today, no egress needed)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    """A reference-layout .pt at a REAL ViT-B-16 + RoBERTa-base shape is too
+    slow for CI here; golden.check_pokemon hardcodes that shape, so the
+    machinery test drives it through the CLI wrapper with a full-size random
+    init instead — built once per module."""
+    from tests.ref_loader import load_reference_clip
+    ref_mod = load_reference_clip()
+    vk = json.load(open(
+        "/root/reference/cn_clip/clip/model_configs/ViT-B-16.json"))
+    tk = json.load(open("/root/reference/cn_clip/clip/model_configs/"
+                        "RoBERTa-wwm-ext-base-chinese.json"))
+    torch.manual_seed(0)
+    m = ref_mod.CLIP(**{**vk, **tk}).float()
+    path = str(tmp_path_factory.mktemp("golden") / "random_b16.pt")
+    torch.save({"state_dict": m.state_dict()}, path)
+    return path
+
+
+def test_pokemon_harness_runs_and_gates(tiny_ckpt):
+    """A RANDOM checkpoint must flow through the whole pokemon harness and
+    FAIL the golden gate (ok=False) — proving the gate discriminates."""
+    from nans_clip_tpu.eval.golden import POKEMON_GOLDEN, check_pokemon
+    result = check_pokemon(tiny_ckpt)
+    assert result["check"] == "pokemon"
+    probs = np.asarray(result["probs"])
+    assert probs.shape == (4,) and abs(probs.sum() - 1.0) < 1e-4
+    assert not result["ok"]  # random weights cannot reproduce the goldens
+    assert result["max_abs_err"] > result["atol"]
+    np.testing.assert_allclose(result["golden"], POKEMON_GOLDEN)
+
+
+def test_muge_harness_runs_end_to_end(tiny_ckpt, tmp_path):
+    """Synthetic MUGE-layout dir -> builder -> extract -> topk -> score ->
+    gate, through the public one-command entry point."""
+    from PIL import Image
+
+    from nans_clip_tpu.eval.golden import check_muge
+
+    muge = tmp_path / "MUGE"
+    muge.mkdir()
+    rs = np.random.RandomState(5)
+    n = 12  # > top-10: the validator requires exactly 10 predictions/query
+    with open(muge / "valid_imgs.tsv", "w") as f:
+        for i in range(n):
+            buf = io.BytesIO()
+            Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                buf, format="JPEG")
+            f.write(f"{i}\t{base64.urlsafe_b64encode(buf.getvalue()).decode()}\n")
+    with open(muge / "valid_texts.jsonl", "w") as f:
+        for t in range(n):
+            f.write(json.dumps({"text_id": t, "text": f"金牌测试文本{t}",
+                                "image_ids": [t]}, ensure_ascii=False) + "\n")
+
+    result = check_muge(tiny_ckpt, str(muge), work_dir=str(tmp_path / "work"),
+                        batch_size=4)
+    assert result["check"] == "muge_zeroshot_t2i"
+    s = result["scores"]
+    assert set(s) >= {"mean_recall", "r1", "r5", "r10"}
+    assert 0.0 <= s["r10"] <= 100.0
+    assert isinstance(result["ok"], bool)
+
+
+def test_cli_usage_error():
+    out = subprocess.run([sys.executable, "-m", "nans_clip_tpu.eval.golden"],
+                         capture_output=True, text=True)
+    assert out.returncode == 2
