@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 # Full-row kernel keeps an [S, S] fp32 tile in VMEM; beyond this we fall
 # back to XLA (no reference model needs it: max seq is 577 -> padded 640).
-MAX_PALLAS_SEQ = 1024
+from nans_clip_tpu.ops.gates import MAX_PALLAS_SEQ  # noqa: E402 (provenance table)
 
 
 def _pick_impl(impl: str) -> str:

@@ -42,8 +42,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_FUSED_WIDTH = 1024
-MAX_FUSED_SEQ = 640
+# A/B-derived routing constants live in ops/gates.py (one provenance
+# table; see its module docstring for the re-validation workflow).
+from nans_clip_tpu.ops.gates import (ATTN_CELL_BUDGET, ATTN_CELL_TILE_CAP,
+                                     ATTN_VMEM_PIN_SEQ, MAX_FUSED_MLP_WIDTH,
+                                     MAX_FUSED_SEQ, MAX_FUSED_WIDTH,
+                                     MAX_TILED_MLP_WIDTH, MAX_WIDE_WIDTH,
+                                     MLP_CELL_BUDGET, MLP_CELL_BUDGET_WIDE,
+                                     MLP_CELL_TILE_CAP,
+                                     MLP_CHUNK_WEIGHT_BYTES,
+                                     MLP_ONESHOT_WIDE_SEQ,
+                                     MLP_ONESHOT_WIDE_WIDTH,
+                                     MLP_REGRID_BUDGET, MLP_REGRID_TILE_CAP,
+                                     ONESHOT_ATTN_WIDE_SEQ,
+                                     ONESHOT_ATTN_WIDE_WIDTH, VMEM_RAISED,
+                                     WIDE_TILE_BUDGET)
 
 
 def _rup(n: int, m: int) -> int:
@@ -204,8 +217,8 @@ def _fused_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed,
     # and so do long-seq W=1024 cells (ViT-L-336 S=577 needs 18.4MB: it
     # compiled inside the train step, where sibling 64MB-pinned calls
     # raise the module budget, but failed standalone at the 16MB default)
-    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-              if w > MAX_FUSED_WIDTH or s > 320 else None)
+    params = (pltpu.CompilerParams(vmem_limit_bytes=VMEM_RAISED)
+              if w > MAX_FUSED_WIDTH or s > ATTN_VMEM_PIN_SEQ else None)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -245,8 +258,8 @@ def attn_cell_tile(b: int, seq: int, width: int, heads: int,
                   + seq * width * 5 * esize)
     if dropout:
         per_sample += _rup(seq, 8) * width * 4     # live hidden keep mask
-    t = max(1, (13 * 1024 * 1024 - weights) // per_sample)
-    t = min(t, 8)
+    t = max(1, (ATTN_CELL_BUDGET - weights) // per_sample)
+    t = min(t, ATTN_CELL_TILE_CAP)
     while t > 1 and b % t:
         t -= 1
     return int(t)
@@ -297,7 +310,26 @@ def _oneshot_attn_weight_grads(x, xn, ctx, dqkv, g, wqkv, ln_scale,
 def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed = res
     on_tpu = jax.default_backend() == "tpu"
-    from nans_clip_tpu.ops.fused_block_bwd import fits_attention_bwd
+    from nans_clip_tpu.ops.fused_block_bwd import (fits_attention_bwd,
+                                                   fits_attn_bwd_fullgrad)
+    if (not post_ln and key_bias is None and on_tpu
+            and fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads)):
+        # full-gradient kernel: weight grads contracted + fp32-accumulated
+        # in-kernel — no [B,S,5W] activation round trip, no XLA dxn
+        # re-matmul (routed r3; see PARITY.md r3 breakdown table)
+        from nans_clip_tpu.ops.fused_block_bwd import \
+            fused_attention_block_bwd_fullgrad
+
+        dx, dwqkv, dbqkv, dwo, dbo, d_scale, d_bias = \
+            fused_attention_block_bwd_fullgrad(
+                x, ln_scale, ln_bias, wqkv, bqkv, wo, g, heads, eps,
+                interpret)
+        return (dx, d_scale.reshape(-1).astype(ln_scale.dtype),
+                d_bias.reshape(-1).astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(-1).astype(bqkv.dtype),
+                dwo.astype(wo.dtype), dbo.reshape(-1).astype(bo.dtype),
+                None, None)
     if (not post_ln and key_bias is None and on_tpu
             and fits_attention_bwd(x.shape[1], x.shape[2], heads)):
         # Fused backward: per-sample recompute + attention bwd + dx in one
@@ -331,7 +363,8 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
             return (dx, d_scale, d_bias, dwqkv.astype(wqkv.dtype),
                     dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
                     dbo.astype(bo.dtype), None, None)
-    from nans_clip_tpu.ops.fused_block_bwd import fits_bert_attention_bwd
+    from nans_clip_tpu.ops.fused_block_bwd import (fits_attn_bwd_fullgrad,
+                                                   fits_bert_attention_bwd)
     if post_ln and on_tpu and fits_bert_attention_bwd(
             x.shape[1], x.shape[2], heads):
         # BERT post-LN (masked, optional in-kernel dropout) bwd kernel: the
@@ -339,6 +372,21 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
         # XLA recompute could not reproduce them. Off-TPU the rate-0 XLA
         # vjp below applies (the kernel itself is interpret-tested
         # directly in tests/test_fused_bwd.py).
+        if fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads):
+            # full-gradient variant (r3): in-kernel weight grads
+            from nans_clip_tpu.ops.fused_block_bwd import \
+                fused_bert_attention_block_bwd_fullgrad
+
+            dx, dwqkv, dbqkv, dwo, dbo, d_scale, d_bias = \
+                fused_bert_attention_block_bwd_fullgrad(
+                    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias,
+                    seed, g, heads, eps, attn_drop, hid_drop, interpret)
+            return (dx, d_scale.reshape(-1).astype(ln_scale.dtype),
+                    d_bias.reshape(-1).astype(ln_bias.dtype),
+                    dwqkv.astype(wqkv.dtype),
+                    dbqkv.reshape(-1).astype(bqkv.dtype),
+                    dwo.astype(wo.dtype), dbo.reshape(-1).astype(bo.dtype),
+                    None, None)
         from nans_clip_tpu.ops.fused_block_bwd import (
             fused_bert_attention_block_bwd)
 
@@ -406,7 +454,7 @@ def fits_fused(seq: int, width: int) -> bool:
         return True
     # H-class one-shot cells (W=1280: weights 13.1MB + ~11.5MB/sample)
     # fit once _fused_call raises vmem_limit to 64MB for W > 1024
-    return width <= 1280 and seq <= 320
+    return width <= ONESHOT_ATTN_WIDE_WIDTH and seq <= ONESHOT_ATTN_WIDE_SEQ
 
 
 # ---------------------------------------------------------------------------
@@ -417,9 +465,6 @@ def fits_fused(seq: int, width: int) -> bool:
 # the sequential chunk iterations, and the last chunk applies the output
 # projection + residual.
 # ---------------------------------------------------------------------------
-
-MAX_WIDE_WIDTH = 2048
-
 
 def fits_fused_wide(seq: int, width: int) -> bool:
     return MAX_FUSED_WIDTH < width <= MAX_WIDE_WIDTH and seq <= MAX_FUSED_SEQ
@@ -493,7 +538,7 @@ def _fused_wide_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, eps,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((heads, s, dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
 
@@ -575,7 +620,7 @@ def _fused_wide_batched_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads,
         # can be input-precision — halves the dominant VMEM term
         scratch_shapes=[pltpu.VMEM((tile, heads, s, dh), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, bo)
 
@@ -586,7 +631,7 @@ def wide_batch_tile(b: int, seq: int, width: int,
     scratch + double-buffered x/out blocks; fixed: wo + one wqkv chunk."""
     per_sample = seq * width * (esize + 2 * esize + 2 * esize)
     fixed = (width * width + heads_per_chunk * width * 3 * 128) * esize
-    t = max(1, (12 * 1024 * 1024 - fixed) // per_sample)
+    t = max(1, (WIDE_TILE_BUDGET - fixed) // per_sample)
     while t > 1 and b % t:
         t -= 1
     return int(t)
@@ -672,9 +717,6 @@ fused_attention_block_wide.defvjp(_wide_fwd, _wide_bwd)
 # this is gated at width <= 768 (ViT-B / BERT-base).
 # ---------------------------------------------------------------------------
 
-MAX_FUSED_MLP_WIDTH = 768
-
-
 def fits_fused_mlp(seq: int, width: int) -> bool:
     return width <= MAX_FUSED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
 
@@ -687,7 +729,8 @@ def fits_fused_mlp_oneshot(seq: int, width: int) -> bool:
     have no dropout support)."""
     if fits_fused_mlp(seq, width):
         return True
-    return seq <= 64 and width <= 1024
+    return (seq <= MLP_ONESHOT_WIDE_SEQ
+            and width <= MLP_ONESHOT_WIDE_WIDTH)
 
 
 def _reference_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str,
@@ -756,7 +799,7 @@ def _fused_mlp_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
     assert b % tile == 0
     # wide one-shot cells (RoBERTa-large W=1024: fc weights alone 16.8MB)
     # exceed the 16MB default scoped-vmem budget — raise the limit
-    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    params = (pltpu.CompilerParams(vmem_limit_bytes=VMEM_RAISED)
               if w > MAX_FUSED_MLP_WIDTH else None)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -794,9 +837,10 @@ def mlp_cell_tile(b: int, seq: int, width: int, inter: int,
         per_sample += _rup(seq, 8) * width * 4     # live hidden keep mask
     # W <= 768 keeps the measured 14MB budget (16MB default scoped vmem);
     # wide short-seq cells run with vmem_limit raised to 64MB
-    budget = (40 if width > MAX_FUSED_MLP_WIDTH else 14) * 1024 * 1024
+    budget = (MLP_CELL_BUDGET_WIDE if width > MAX_FUSED_MLP_WIDTH
+              else MLP_CELL_BUDGET)
     t = max(1, (budget - weights) // per_sample)
-    t = min(t, 8)
+    t = min(t, MLP_CELL_TILE_CAP)
     while t > 1 and b % t:
         t -= 1
     return int(t)
@@ -869,12 +913,9 @@ def _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((s, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
-
-
-MAX_TILED_MLP_WIDTH = 2048
 
 
 def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
@@ -887,7 +928,7 @@ def mlp_chunk_size(width: int, inter: int, esize: int = 2):
     tile; None if no such chunk exists."""
     for k in range(inter // 256, 0, -1):
         c = k * 256
-        if inter % c == 0 and width * c * esize <= 2 * 1024 * 1024:
+        if inter % c == 0 and width * c * esize <= MLP_CHUNK_WEIGHT_BYTES:
             return c
     return None
 
@@ -976,7 +1017,7 @@ def _fused_mlp_batched_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
                           post_ln=post_ln, n_chunks=n_chunks),
         grid=(b // tile, n_chunks),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         in_specs=[
             pl.BlockSpec((tile, s, w), lambda bb, cc: (bb, 0, 0), memory_space=pltpu.VMEM),
             row(w), row(w),
@@ -1011,9 +1052,9 @@ def mlp_batch_tile(b: int, seq: int, width: int, inter: int,
     blocks' double buffers."""
     weights = 2 * width * chunk * esize
     per_sample = seq * width * (2 * esize + 4) + seq * chunk * 4
-    budget = 26 * 1024 * 1024 - weights
+    budget = MLP_REGRID_BUDGET - weights
     t = max(1, budget // per_sample)
-    t = min(t, 2)
+    t = min(t, MLP_REGRID_TILE_CAP)
     while t > 1 and b % t:
         t -= 1
     return int(t)
@@ -1065,8 +1106,27 @@ def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, post_ln,
 
 def _mlp_bwd(act, eps, post_ln, interpret, hid_dropout, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2, seed = res
-    from nans_clip_tpu.ops.fused_block_bwd import fits_fused_mlp_bwd
+    from nans_clip_tpu.ops.fused_block_bwd import (fits_fused_mlp_bwd,
+                                                   fits_mlp_bwd_fullgrad)
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and fits_mlp_bwd_fullgrad(x.shape[1], x.shape[2],
+                                        w1.shape[-1]):
+        # full-gradient kernel: weight grads contracted + accumulated
+        # in-kernel (fp32 VMEM across the batch grid) — no [B,S,·]
+        # intermediates hit HBM. Routed r3 for the bwd-MFU gap the
+        # breakdown attributed to these round trips (PARITY.md r3 table).
+        from nans_clip_tpu.ops.fused_block_bwd import \
+            fused_mlp_block_bwd_fullgrad
+
+        dx, dw1, db1, dw2, db2, d_scale, d_bias = \
+            fused_mlp_block_bwd_fullgrad(
+                x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g, act, eps,
+                post_ln, hid_dropout, interpret)
+        return (dx, d_scale.reshape(-1).astype(ln_scale.dtype),
+                d_bias.reshape(-1).astype(ln_bias.dtype),
+                dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.reshape(-1).astype(b2.dtype),
+                None)
     # NOTE: the chunked+batch-tiled bwd kernel for seq/width beyond the
     # single-cell budget (fused_mlp_block_bwd_chunked) is NOT routed:
     # measured at ViT-B bs256 it re-streams weight chunks (tile=1: 598
@@ -1189,7 +1249,7 @@ def _partial_call(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias, heads,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, key_bias)
 
@@ -1267,7 +1327,7 @@ def _mlp_partial_call(x, ln_scale, ln_bias, w1, b1, w2, act, eps, pre_ln,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2)
 

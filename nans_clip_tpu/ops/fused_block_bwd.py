@@ -36,6 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 from nans_clip_tpu.ops.fused_block import _keep_mask, _rup  # noqa: E402
+from nans_clip_tpu.ops.gates import (ATTN_BWD_BUDGET, ATTN_BWD_TILE_CAP,
+                                     ATTN_BWD_TILE_MAX_SEQ,
+                                     ATTN_FULLGRAD_BUDGET,
+                                     BERT_ATTN_BWD_BUDGET,
+                                     HEAD_CHUNK_BUDGET, MLP_BWD_BUDGET,
+                                     MLP_BWD_WIDE_SEQ, MLP_BWD_WIDE_WIDTH,
+                                     MLP_FULLGRAD_BUDGET, VMEM_RAISED)
 
 
 def fits_attention_bwd(seq: int, width: int, heads: int) -> bool:
@@ -49,7 +56,7 @@ def fits_attention_bwd(seq: int, width: int, heads: int) -> bool:
     probs = heads * _rup(seq, 8) * seq * 4
     acts = _rup(seq, 8) * width * 24
     io = _rup(seq, 8) * width * 2 * 8 * 2
-    return weights + qkv + probs + acts + io < 48 * 1024 * 1024
+    return weights + qkv + probs + acts + io < ATTN_BWD_BUDGET
 
 
 def fits_bert_attention_bwd(seq: int, width: int, heads: int) -> bool:
@@ -57,7 +64,7 @@ def fits_bert_attention_bwd(seq: int, width: int, heads: int) -> bool:
     plus both weight matrices resident."""
     probs = heads * _rup(seq, 8) * _rup(seq, 128) * 4 * 2
     weights = (3 * width * width + width * width) * 2
-    return probs + weights < 12 * 1024 * 1024
+    return probs + weights < BERT_ATTN_BWD_BUDGET
 
 
 def fits_fused_mlp_bwd(seq: int, width: int) -> bool:
@@ -69,12 +76,12 @@ def fits_fused_mlp_bwd(seq: int, width: int) -> bool:
     cutoff."""
     weights = 2 * width * 4 * width * 2
     inter = 3 * _rup(seq, 8) * 4 * width * 4
-    if weights + inter < 13 * 1024 * 1024:
+    if weights + inter < MLP_BWD_BUDGET:
         return True
     # short-seq wide towers (RoBERTa-large S=52, W=1024): the ~22MB cell
     # fits the raised 64MB vmem limit, and fusing is what keeps dropout
     # training on the kernel path (PRNG stream regeneration)
-    return seq <= 64 and width <= 1024
+    return seq <= MLP_BWD_WIDE_SEQ and width <= MLP_BWD_WIDE_WIDTH
 
 
 def _ln_fwd_stats(u, eps):
@@ -106,22 +113,26 @@ def attn_bwd_cell_tile(b: int, seq: int, width: int, heads: int,
     4156 img/s, attn_cell_tile note) and the bwd (639.9 vs 664 pairs/s
     train step) — the [S,S] fp32 prob live-set doubles and evicts the
     weight blocks."""
-    if width % 128 or seq > 64:
+    if width % 128 or seq > ATTN_BWD_TILE_MAX_SEQ:
         return 1
     weights = (3 * width * width + width * width) * esize
     per = (seq * 3 * width * 8                      # fp32 qkv + dqkv
            + heads * _rup(seq, 8) * seq * 8         # probs + multiplier
            + seq * width * 4 * 6                    # fp32 row buffers
            + seq * width * esize * 2 * 9)           # io blocks, dbl-buffered
-    t = max(1, (48 * 1024 * 1024 - weights) // per)
-    t = min(t, 8)
+    t = max(1, (ATTN_BWD_BUDGET - weights) // per)
+    t = min(t, ATTN_BWD_TILE_CAP)
     while t > 1 and b % t:
         t -= 1
     return int(t)
 
 
-def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
-                dx_ref, xn_ref, ctx_ref, dqkv_ref, *, heads: int, eps: float):
+def _attn_bwd_math(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
+                   *, heads: int, eps: float):
+    """Shared pre-LN attention bwd body. Returns (dx, xn, ctx, dqkv, xhat,
+    dxn, g) as flat [T*S, .] arrays — the emitting kernel stores the
+    activations for XLA weight-grad einsums; the full-gradient kernel
+    contracts them in place."""
     # the cell may hold T samples: LN/QKV/dctx/dxn run flattened at
     # [T*S, .] MXU shapes, the attention fwd+bwd loops per (sample, head)
     t, seq, w = x_ref.shape
@@ -195,26 +206,78 @@ def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
     mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    return g + dx_ln, xn, ctx, dqkv, xhat, dxn, g
 
+
+def _bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
+                dx_ref, xn_ref, ctx_ref, dqkv_ref, *, heads: int, eps: float):
+    t, seq, w = x_ref.shape
+    dx, xn, ctx, dqkv, _, _, _ = _attn_bwd_math(
+        x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
+        heads=heads, eps=eps)
     sh3 = lambda c: (t, seq, c)
-    dx_ref[:] = (g + dx_ln).reshape(sh3(w)).astype(dx_ref.dtype)
+    dx_ref[:] = dx.reshape(sh3(w)).astype(dx_ref.dtype)
     xn_ref[:] = xn.reshape(sh3(w)).astype(xn_ref.dtype)
     ctx_ref[:] = ctx.reshape(sh3(w)).astype(ctx_ref.dtype)
     dqkv_ref[:] = dqkv.reshape(sh3(3 * w)).astype(dqkv_ref.dtype)
 
 
-def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
-                     bo_ref, kb_ref, seed_ref, g_ref,
-                     dx_ref, dqkv_ref, ctx_ref, dproj_ref, uhat_ref,
-                     *, heads: int, eps: float, attn_drop: float,
-                     hid_drop: float, masked: bool):
+def _bwd_fullgrad_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                         g_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                         dbo_ref, dsc_ref, dbi_ref, *, heads: int,
+                         eps: float):
+    """Pre-LN attention bwd with IN-KERNEL weight grads, fp32-accumulated
+    across the (sequential) batch grid. Also saves the XLA assembly's
+    dxn = dqkv @ wqkv^T recompute (the math body already has it)."""
+    t, seq, w = x_ref.shape
+    dx, xn, ctx, dqkv, xhat, dxn, g = _attn_bwd_math(
+        x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
+        heads=heads, eps=eps)
+    dx_ref[:] = dx.reshape(t, seq, w).astype(dx_ref.dtype)
+
+    xdt = x_ref.dtype
+    dwqkv_c = jax.lax.dot_general(xn.astype(xdt), dqkv.astype(xdt),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dwo_c = jax.lax.dot_general(ctx.astype(xdt), g.astype(xdt),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv_c = jnp.sum(dqkv, axis=0, keepdims=True)
+    dbo_c = jnp.sum(g, axis=0, keepdims=True)
+    dsc_c = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dbi_c = jnp.sum(dxn, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwqkv_ref[:] = dwqkv_c
+        dbqkv_ref[:] = dbqkv_c
+        dwo_ref[:] = dwo_c
+        dbo_ref[:] = dbo_c
+        dsc_ref[:] = dsc_c
+        dbi_ref[:] = dbi_c
+
+    @pl.when(pl.program_id(0) > 0)
+    def _():
+        dwqkv_ref[:] += dwqkv_c
+        dbqkv_ref[:] += dbqkv_c
+        dwo_ref[:] += dwo_c
+        dbo_ref[:] += dbo_c
+        dsc_ref[:] += dsc_c
+        dbi_ref[:] += dbi_c
+
+
+def _bert_bwd_math(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                   bo_ref, kb_ref, seed_ref, g_ref,
+                   *, heads: int, eps: float, attn_drop: float,
+                   hid_drop: float, masked: bool):
     """Recompute the BERT post-LN attention forward (same per-SAMPLE PRNG
-    stream as the fwd kernel) and produce dx + the activations for weight
-    grads. The cell may hold T samples (batch tiling): the row-parallel
-    matmuls run flattened at [T*S, .] MXU shapes; the attention itself and
-    all PRNG draws are per sample (seeded by GLOBAL sample index, the same
-    stream at any tile). Dropout masks are kept as fp32 scale-or-zero
-    multipliers (Mosaic cannot concatenate i1 vregs across samples)."""
+    stream as the fwd kernel) and produce dx + the activations the weight
+    grads need, as flat [T*S, .] arrays. The cell may hold T samples
+    (batch tiling): the row-parallel matmuls run flattened at [T*S, .]
+    MXU shapes; the attention itself and all PRNG draws are per sample
+    (seeded by GLOBAL sample index, the same stream at any tile). Dropout
+    masks are kept as fp32 scale-or-zero multipliers (Mosaic cannot
+    concatenate i1 vregs across samples)."""
     t, seq, w = x_ref.shape
     x = x_ref[:].reshape(t * seq, w)
     g = g_ref[:].reshape(t * seq, w).astype(jnp.float32)
@@ -313,12 +376,71 @@ def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
     dx_qkv = jax.lax.dot_general(dqkv.astype(x.dtype), wqkv_ref[:],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+    return du + dx_qkv, dqkv, ctx, dproj, uhat, x, g
+
+
+def _bert_bwd_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref,
+                     bo_ref, kb_ref, seed_ref, g_ref,
+                     dx_ref, dqkv_ref, ctx_ref, dproj_ref, uhat_ref,
+                     *, heads: int, eps: float, attn_drop: float,
+                     hid_drop: float, masked: bool):
+    t, seq, w = x_ref.shape
+    dx, dqkv, ctx, dproj, uhat, _, _ = _bert_bwd_math(
+        x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, kb_ref,
+        seed_ref, g_ref, heads=heads, eps=eps, attn_drop=attn_drop,
+        hid_drop=hid_drop, masked=masked)
     sh3 = lambda c: (t, seq, c)
-    dx_ref[:] = (du + dx_qkv).reshape(sh3(w)).astype(dx_ref.dtype)
+    dx_ref[:] = dx.reshape(sh3(w)).astype(dx_ref.dtype)
     dqkv_ref[:] = dqkv.reshape(sh3(3 * w)).astype(dqkv_ref.dtype)
     ctx_ref[:] = ctx.reshape(sh3(w)).astype(ctx_ref.dtype)
     dproj_ref[:] = dproj.reshape(sh3(w)).astype(dproj_ref.dtype)
     uhat_ref[:] = uhat.reshape(sh3(w)).astype(uhat_ref.dtype)
+
+
+def _bert_bwd_fullgrad_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                              wo_ref, bo_ref, kb_ref, seed_ref, g_ref,
+                              dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                              dbo_ref, dsc_ref, dbi_ref, *, heads: int,
+                              eps: float, attn_drop: float,
+                              hid_drop: float, masked: bool):
+    """Post-LN (BERT) attention bwd with in-kernel weight grads, fp32-
+    accumulated across the batch grid (same PRNG stream contract)."""
+    t, seq, w = x_ref.shape
+    dx, dqkv, ctx, dproj, uhat, x, g = _bert_bwd_math(
+        x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, kb_ref,
+        seed_ref, g_ref, heads=heads, eps=eps, attn_drop=attn_drop,
+        hid_drop=hid_drop, masked=masked)
+    dx_ref[:] = dx.reshape(t, seq, w).astype(dx_ref.dtype)
+
+    xdt = x_ref.dtype
+    dwqkv_c = jax.lax.dot_general(x, dqkv.astype(xdt),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dwo_c = jax.lax.dot_general(ctx, dproj.astype(xdt),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv_c = jnp.sum(dqkv, axis=0, keepdims=True)
+    dbo_c = jnp.sum(dproj, axis=0, keepdims=True)
+    dsc_c = jnp.sum(g * uhat, axis=0, keepdims=True)
+    dbi_c = jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwqkv_ref[:] = dwqkv_c
+        dbqkv_ref[:] = dbqkv_c
+        dwo_ref[:] = dwo_c
+        dbo_ref[:] = dbo_c
+        dsc_ref[:] = dsc_c
+        dbi_ref[:] = dbi_c
+
+    @pl.when(pl.program_id(0) > 0)
+    def _():
+        dwqkv_ref[:] += dwqkv_c
+        dbqkv_ref[:] += dbqkv_c
+        dwo_ref[:] += dwo_c
+        dbo_ref[:] += dbo_c
+        dsc_ref[:] += dsc_c
+        dbi_ref[:] += dbi_c
 
 
 def fused_bert_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
@@ -365,7 +487,66 @@ def fused_bert_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, g)
+
+
+def fused_bert_attention_block_bwd_fullgrad(x, ln_scale, ln_bias, wqkv,
+                                            bqkv, wo, bo, key_bias, seed, g,
+                                            heads: int, eps: float = 1e-12,
+                                            attn_drop: float = 0.0,
+                                            hid_drop: float = 0.0,
+                                            interpret: bool = False):
+    """Returns the COMPLETE gradient set
+    (dx, dwqkv, dbqkv, dwo, dbo, d_scale, d_bias); weight grads contracted
+    in-kernel, fp32-accumulated across the batch grid. Same PRNG stream
+    contract as fused_bert_attention_block_bwd."""
+    b, s, w = x.shape
+    masked = key_bias is not None
+    if key_bias is None:
+        key_bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32).reshape(b, 1, s)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    esize = jnp.dtype(x.dtype).itemsize
+    resident = (3 * w * w + w * w) * (esize + 4)
+    per = (_rup(s, 8) * 3 * w * 8 + heads * _rup(s, 8) * _rup(s, 128) * 8
+           + _rup(s, 8) * w * 4 * 8 + _rup(s, 8) * w * esize * 2 * 5)
+    tile = max(1, (ATTN_FULLGRAD_BUDGET - resident) // per)
+    tile = min(tile, ATTN_BWD_TILE_CAP if s <= ATTN_BWD_TILE_MAX_SEQ else 1)
+    while tile > 1 and b % tile:
+        tile -= 1
+    tile = int(tile)
+    vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((tile, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bert_bwd_fullgrad_kernel, heads=heads, eps=eps,
+                          attn_drop=attn_drop, hid_drop=hid_drop,
+                          masked=masked),
+        grid=(b // tile,),
+        in_specs=[blk(w), vec(w), vec(w), mat(w, 3 * w), vec(3 * w),
+                  mat(w, w), vec(w),
+                  pl.BlockSpec((tile, 1, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), blk(w)],
+        out_specs=[blk(w), mat(w, 3 * w), mat(1, 3 * w), mat(w, w),
+                   mat(1, w), mat(1, w), mat(1, w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((w, 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct((w, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, key_bias, seed, g)
 
@@ -396,7 +577,64 @@ def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
             jax.ShapeDtypeStruct((b, s, 3 * w), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, g)
+
+
+def fits_attn_bwd_fullgrad(seq: int, width: int, heads: int) -> bool:
+    """Full-gradient variant's VMEM bound: the emitting kernel's live set
+    plus resident fp32 accumulators (dwqkv W·3W + dwo W·W = 16·W² bytes),
+    minus the five [T,S,·] output blocks it no longer double-buffers."""
+    weights = (3 * width * width + width * width) * 2
+    accums = (3 * width * width + width * width) * 4
+    qkv = _rup(seq, 8) * 3 * width * 4 * 2
+    probs = heads * _rup(seq, 8) * seq * 4
+    acts = _rup(seq, 8) * width * 24
+    io = _rup(seq, 8) * width * 2 * 4
+    return weights + accums + qkv + probs + acts + io < ATTN_FULLGRAD_BUDGET
+
+
+def fused_attention_block_bwd_fullgrad(x, ln_scale, ln_bias, wqkv, bqkv, wo,
+                                       g, heads: int, eps: float = 1e-5,
+                                       interpret: bool = False):
+    """Returns the COMPLETE gradient set
+    (dx, dwqkv, dbqkv, dwo, dbo, d_scale, d_bias) — weight grads contracted
+    in-kernel and fp32-accumulated across the batch grid; nothing but dx
+    and the (tiny) accumulators reach HBM. Replaces the emitting kernel +
+    _oneshot_attn_weight_grads XLA assembly (which wrote/re-read
+    [B,S,5W] of activations AND re-ran the dxn = dqkv·wqkvᵀ matmul)."""
+    b, s, w = x.shape
+    esize = jnp.dtype(x.dtype).itemsize
+    resident = (3 * w * w + w * w) * (esize + 4)
+    per = (s * 3 * w * 8 + heads * _rup(s, 8) * s * 8
+           + s * w * 4 * 6 + s * w * esize * 2 * 5)
+    tile = max(1, (ATTN_FULLGRAD_BUDGET - resident) // per)
+    tile = min(tile, ATTN_BWD_TILE_CAP if s <= ATTN_BWD_TILE_MAX_SEQ else 1)
+    while tile > 1 and b % tile:
+        tile -= 1
+    tile = int(tile)
+    vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((tile, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_fullgrad_kernel, heads=heads, eps=eps),
+        grid=(b // tile,),
+        in_specs=[blk(w), vec(w), vec(w), mat(w, 3 * w), vec(3 * w),
+                  mat(w, w), blk(w)],
+        out_specs=[blk(w), mat(w, 3 * w), mat(1, 3 * w), mat(w, w),
+                   mat(1, w), mat(1, w), mat(1, w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((w, 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct((w, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, g)
 
@@ -419,8 +657,8 @@ def mlp_bwd_cell_tile(b: int, seq: int, width: int, inter: int,
     per = (seq * inter * 4 * 3                       # fp32 h_pre/dact/dh
            + seq * width * 4 * 4                     # fp32 row buffers
            + seq * (5 * width + 2 * inter) * esize * 2)  # io, dbl-buffered
-    t = max(1, (48 * 1024 * 1024 - weights) // per)
-    t = min(t, 8)
+    t = max(1, (ATTN_BWD_BUDGET - weights) // per)
+    t = min(t, ATTN_BWD_TILE_CAP)
     while t > 1 and b % t:
         t -= 1
     return int(t)
@@ -437,11 +675,13 @@ def _act_and_grad(h_pre, act: str):
     return h_pre * cdf, cdf + h_pre * pdf
 
 
-def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    seed_ref, g_ref,
-                    dx_ref, xn_ref, h_ref, dhpre_ref, dproj_ref, lnstat_ref,
-                    dxn_ref, *, act: str, eps: float, post_ln: bool,
-                    hid_drop: float):
+def _mlp_bwd_math(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  seed_ref, g_ref, *, act: str, eps: float, post_ln: bool,
+                  hid_drop: float):
+    """Shared recompute+backward body for the MLP bwd kernels. Returns
+    (dx, xn, h, dh_pre, dproj, lnstat, dxn) as flat [T*S, .] fp32/bf16
+    arrays — the emitting and the full-gradient kernels differ only in
+    what they do with them."""
     # the cell may hold T samples: the whole sub-block is row-parallel so
     # everything flattens to [T*S, .]; only the PRNG keep-mask draws are
     # per sample (seeded by GLOBAL index — the same stream at any tile)
@@ -504,7 +744,18 @@ def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
         mean_dx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
         dx = du + rstd_in * (dxhat - mean_d - xhat * mean_dx)
+    return dx, xn, h, dh_pre, dproj, lnstat, dxn
 
+
+def _mlp_bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    seed_ref, g_ref,
+                    dx_ref, xn_ref, h_ref, dhpre_ref, dproj_ref, lnstat_ref,
+                    dxn_ref, *, act: str, eps: float, post_ln: bool,
+                    hid_drop: float):
+    t, seq, w = x_ref.shape
+    dx, xn, h, dh_pre, dproj, lnstat, dxn = _mlp_bwd_math(
+        x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, seed_ref,
+        g_ref, act=act, eps=eps, post_ln=post_ln, hid_drop=hid_drop)
     i = h.shape[-1]
     sh3 = lambda c: (t, seq, c)
     dx_ref[:] = dx.reshape(sh3(w)).astype(dx_ref.dtype)
@@ -553,7 +804,128 @@ def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
             jax.ShapeDtypeStruct((b, s, w), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g)
+
+
+# ---------------------------------------------------------------------------
+# FULL-gradient MLP backward: same recompute+dx as fused_mlp_block_bwd,
+# but the weight gradients are contracted IN-KERNEL and accumulated in
+# fp32 VMEM across the (sequential) batch grid — constant-index output
+# blocks stay VMEM-resident between grid steps and flush once at the end.
+# This removes the [B,S,·] intermediate tensors (xn, h, dh_pre, dproj,
+# lnstat, dxn ≈ 11·S·W·B bytes/layer) that the emitting kernel writes to
+# HBM for XLA weight-grad einsums to re-read: at ViT-B bs512 that round
+# trip is ~2.3 GB/layer of pure HBM traffic in a bwd pass the round-2
+# breakdown measured at 83.5 TFLOP/s vs the forward's 142.3 (bench_breakdown).
+# ---------------------------------------------------------------------------
+
+
+def fits_mlp_bwd_fullgrad(seq: int, width: int, inter: int) -> bool:
+    """VMEM: both weights bf16 + both fp32 grad accumulators resident
+    (6·W·I bytes ≈ 28 MB at W=768) + one sample's fp32 live set."""
+    weights_and_accums = 2 * width * inter * 2 + 2 * width * inter * 4
+    live = _rup(seq, 8) * (inter * 4 * 4 + width * 4 * 6)
+    return weights_and_accums + live < MLP_FULLGRAD_BUDGET
+
+
+def _mlp_bwd_fullgrad_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                             b2_ref, seed_ref, g_ref,
+                             dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                             dsc_ref, dbi_ref, *, act: str, eps: float,
+                             post_ln: bool, hid_drop: float):
+    t, seq, w = x_ref.shape
+    dx, xn, h, dh_pre, dproj, lnstat, dxn = _mlp_bwd_math(
+        x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, seed_ref,
+        g_ref, act=act, eps=eps, post_ln=post_ln, hid_drop=hid_drop)
+    dx_ref[:] = dx.reshape(t, seq, w).astype(dx_ref.dtype)
+
+    # weight-grad contractions over the cell's rows (dim 0 of both), MXU
+    # shapes [W, T*S]x[T*S, I]; inputs cast to the io dtype to match the
+    # XLA einsum path's numerics (it read bf16 kernel outputs)
+    xdt = x_ref.dtype
+    dw1_c = jax.lax.dot_general(xn.astype(xdt), dh_pre.astype(xdt),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dw2_c = jax.lax.dot_general(h.astype(xdt), dproj.astype(xdt),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    db1_c = jnp.sum(dh_pre, axis=0, keepdims=True)
+    db2_c = jnp.sum(dproj, axis=0, keepdims=True)
+    gsrc = (g_ref[:].reshape(t * seq, w).astype(jnp.float32)
+            if post_ln else dxn)
+    dsc_c = jnp.sum(gsrc * lnstat.astype(jnp.float32), axis=0, keepdims=True)
+    dbi_c = jnp.sum(gsrc, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw1_ref[:] = dw1_c
+        db1_ref[:] = db1_c
+        dw2_ref[:] = dw2_c
+        db2_ref[:] = db2_c
+        dsc_ref[:] = dsc_c
+        dbi_ref[:] = dbi_c
+
+    @pl.when(pl.program_id(0) > 0)
+    def _():
+        dw1_ref[:] += dw1_c
+        db1_ref[:] += db1_c
+        dw2_ref[:] += dw2_c
+        db2_ref[:] += db2_c
+        dsc_ref[:] += dsc_c
+        dbi_ref[:] += dbi_c
+
+
+def fused_mlp_block_bwd_fullgrad(x, ln_scale, ln_bias, w1, b1, w2, b2, seed,
+                                 g, act: str = "quick_gelu",
+                                 eps: float = 1e-5, post_ln: bool = False,
+                                 hid_drop: float = 0.0,
+                                 interpret: bool = False):
+    """Returns (dx, dw1, db1, dw2, db2, d_scale, d_bias); the dw/db/d_*
+    accumulators are fp32 [·,·]/[1,·] — callers cast to the param dtype.
+    Same PRNG stream contract as fused_mlp_block_bwd (per-sample global
+    index seeding), so in-kernel dropout training is supported."""
+    b, s, w = x.shape
+    i = w1.shape[-1]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    # resident set = weights (bf16) + fp32 accumulators; the per-tile live
+    # set divides what's left (tiling only pays at short seqs — same
+    # finding as attn_bwd_cell_tile — so the cap matches)
+    esize = jnp.dtype(x.dtype).itemsize
+    resident = 2 * w * i * esize + 2 * w * i * 4
+    per = (_rup(s, 8) * i * 4 * 3 + _rup(s, 8) * w * 4 * 4
+           + _rup(s, 8) * (5 * w + 2 * i) * esize * 2)
+    tile = max(1, (MLP_FULLGRAD_BUDGET - resident) // per)
+    tile = min(tile, ATTN_BWD_TILE_CAP if s <= ATTN_BWD_TILE_MAX_SEQ else 1)
+    while tile > 1 and b % tile:
+        tile -= 1
+    tile = int(tile)
+    vec = lambda d: pl.BlockSpec((d,), lambda idx: (0,), memory_space=pltpu.VMEM)
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda idx: (0, 0), memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((tile, s, c), lambda idx: (idx, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_bwd_fullgrad_kernel, act=act, eps=eps,
+                          post_ln=post_ln, hid_drop=hid_drop),
+        grid=(b // tile,),
+        in_specs=[blk(w), vec(w), vec(w), mat(w, i), vec(i), mat(i, w),
+                  vec(w), pl.BlockSpec(memory_space=pltpu.SMEM), blk(w)],
+        out_specs=[blk(w), mat(w, i), mat(1, i), mat(i, w), mat(1, w),
+                   mat(1, w), mat(1, w)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((w, i), jnp.float32),
+            jax.ShapeDtypeStruct((1, i), jnp.float32),
+            jax.ShapeDtypeStruct((i, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g)
 
@@ -681,7 +1053,7 @@ def fused_mlp_block_bwd_chunked(x, ln_scale, ln_bias, w1, b1, w2, g,
         ],
         scratch_shapes=[pltpu.VMEM((tile * s, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, g)
 
@@ -801,7 +1173,7 @@ def attn_bwd_head_chunk(seq: int, width: int, heads: int):
         weights = hpc * width * 3 * dh * 2 + hpc * dh * width * 2
         probs = 2 * _rup(seq, 8) * seq * 4 * max(1, hpc // 2)
         acts = _rup(seq, 8) * (width * 16 + 3 * hpc * dh * 8)
-        if weights + probs + acts < 24 * 1024 * 1024:
+        if weights + probs + acts < HEAD_CHUNK_BUDGET:
             return hpc
     return None
 
@@ -850,7 +1222,7 @@ def fused_attention_block_bwd_chunked(x, ln_scale, ln_bias, wqkv, bqkv, wo,
         ],
         scratch_shapes=[pltpu.VMEM((s, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_RAISED),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo, g)
 

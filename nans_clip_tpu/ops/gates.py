@@ -1,0 +1,350 @@
+"""Routing-gate constants, centralized with provenance (one table).
+
+Every A/B-derived constant behind the Pallas kernel routing — VMEM
+compiler budgets, tile-estimator budgets and caps, and `fits_*` shape
+bounds — is defined HERE and imported by the kernel modules. Each has a
+`PROVENANCE` record naming the chip, the round it was measured in, and
+the measured A/B (or VMEM math) that justifies the value, because these
+numbers encode ONE chip + ONE compiler: a Mosaic/XLA update already broke
+one routed cell mid-round-2 (the ViT-L regrid MLP cell stopped compiling
+at the then-16MB default; see `MLP_REGRID_BUDGET`). When porting to a new
+TPU generation or after a compiler bump, re-run the routed-cell sweep
+(`tests/test_tpu_gate_sweep.py`, NANS_TEST_TPU=1) — it compiles every
+routed cell of the routing matrix and re-validates each against its
+fallback — then update the records here.
+
+`python -m nans_clip_tpu.ops.gates` prints the table;
+`check()` asserts every record matches the live module value (run by the
+CPU suite, so the table cannot drift from the code).
+
+The reference has no analog — its per-shape tuning lives in TensorRT
+engine files built per (model, batch) by deploy/onnx_to_tensorrt.py:80-94;
+this table is the explicit, re-derivable version of that discipline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+MiB = 1024 * 1024
+
+# The chip + compiler every value below was measured on. (Tunneled single
+# chip; same-process A/Bs only — cross-process runs drift +-4%.)
+CHIP = "TPU v5e-1 (16GB HBM), jax 0.9.x / Mosaic via tunnel"
+
+# ---------------------------------------------------------------------------
+# VMEM compiler budgets (pltpu.CompilerParams(vmem_limit_bytes=...))
+# ---------------------------------------------------------------------------
+
+#: Mosaic's default scoped-vmem budget (informational — never passed).
+VMEM_DEFAULT = 16 * MiB
+
+#: The raised module budget every wide/long-seq pallas_call pins. 64MB
+#: (half of v5e's 128MB VMEM) leaves the sibling calls of one fusion
+#: region room; real footprints are ~2x the tile estimates because Mosaic
+#: double-buffers weight chunks and io blocks.
+VMEM_RAISED = 64 * MiB
+
+#: The whole-tower serving kernel's pin: L layers of double-buffered
+#: weights + a VMEM-resident activation tile need most of the chip.
+VMEM_TOWER = 110 * MiB
+
+# ---------------------------------------------------------------------------
+# One-shot fused attention (fused_block.fused_attention_block)
+# ---------------------------------------------------------------------------
+
+#: Classic one-shot bound: weights + one sample's fp32 qkv/probs fit the
+#: default scoped budget at W<=1024, S<=640 (ViT-B/L, BERT classes).
+MAX_FUSED_WIDTH = 1024
+MAX_FUSED_SEQ = 640
+
+#: H-class (W=1280) one-shot cells fit once the call pins VMEM_RAISED,
+#: but only at short-ish sequences.
+ONESHOT_ATTN_WIDE_WIDTH = 1280
+ONESHOT_ATTN_WIDE_SEQ = 320
+
+#: s > this pins VMEM_RAISED on the one-shot attention call even at
+#: W<=1024: the ViT-L-336 S=577 cell needs 18.4MB.
+ATTN_VMEM_PIN_SEQ = 320
+
+#: One-shot attention tile estimator: per-cell budget + tile cap.
+ATTN_CELL_BUDGET = 13 * MiB
+ATTN_CELL_TILE_CAP = 8
+
+# ---------------------------------------------------------------------------
+# Head-chunked wide attention (fused_block.fused_attention_block_wide)
+# ---------------------------------------------------------------------------
+
+#: Upper width bound for the head-chunked wide kernel.
+MAX_WIDE_WIDTH = 2048
+
+#: Batch-tiled regrid of the wide kernel: per-cell budget. (The regrid is
+#: a tested opt-in, NOT routed: tile=2 measured slower than tile=1 at
+#: ViT-H, 277 vs 323 img/s.)
+WIDE_TILE_BUDGET = 12 * MiB
+
+# ---------------------------------------------------------------------------
+# Fused MLP (fused_block.fused_mlp_block)
+# ---------------------------------------------------------------------------
+
+#: One-shot MLP classic bound: both fc weights VMEM-resident at W<=768.
+MAX_FUSED_MLP_WIDTH = 768
+
+#: Wide short-seq one-shot MLP (RoBERTa-large W=1024 S=52) fits under
+#: VMEM_RAISED — what keeps large-text dropout training on the kernel.
+MLP_ONESHOT_WIDE_SEQ = 64
+MLP_ONESHOT_WIDE_WIDTH = 1024
+
+#: One-shot MLP tile estimator budgets (classic / wide) + cap.
+MLP_CELL_BUDGET = 14 * MiB
+MLP_CELL_BUDGET_WIDE = 40 * MiB
+MLP_CELL_TILE_CAP = 8
+
+#: Chunk-streamed MLP variants: width bound, per-chunk weight-tile bound.
+MAX_TILED_MLP_WIDTH = 2048
+MLP_CHUNK_WEIGHT_BYTES = 2 * MiB
+
+#: Batch-tiled regrid estimator budget + HARD tile cap.
+MLP_REGRID_BUDGET = 26 * MiB
+MLP_REGRID_TILE_CAP = 2
+
+# ---------------------------------------------------------------------------
+# Fused backward kernels (fused_block_bwd)
+# ---------------------------------------------------------------------------
+
+#: Pre-LN (ViT) attention bwd one-shot cell bound (under VMEM_RAISED).
+ATTN_BWD_BUDGET = 48 * MiB
+ATTN_BWD_TILE_CAP = 8
+#: Batch tiling the bwd cell only pays at short sequences.
+ATTN_BWD_TILE_MAX_SEQ = 64
+
+#: Post-LN (BERT) masked attention bwd cell bound.
+BERT_ATTN_BWD_BUDGET = 12 * MiB
+
+#: MLP bwd cell bound — doubles as the MEASURED routing cutoff (the
+#: ViT-B S=197 cell compiles under VMEM_RAISED but loses to the XLA vjp).
+MLP_BWD_BUDGET = 13 * MiB
+MLP_BWD_WIDE_SEQ = 64
+MLP_BWD_WIDE_WIDTH = 1024
+
+#: Full-gradient MLP bwd (in-kernel weight-grad accumulation): both
+#: weights bf16 + both fp32 accumulators + one sample's live set.
+MLP_FULLGRAD_BUDGET = 56 * MiB
+
+#: Full-gradient pre-LN attention bwd: weights bf16 + fp32 accumulators
+#: (16·W² bytes) + the one-shot cell's live set.
+ATTN_FULLGRAD_BUDGET = 48 * MiB
+
+#: Head-chunked attention bwd (long-seq training): chunk-pick budget.
+HEAD_CHUNK_BUDGET = 24 * MiB
+
+# ---------------------------------------------------------------------------
+# Whole-layer kernel (layer_kernel)
+# ---------------------------------------------------------------------------
+
+LAYER_CELL_BUDGET = 48 * MiB
+LAYER_TILE_CAP = 8
+#: Route the whole-layer kernel only when the tile reaches this (row-fill
+#: is what pays; S=197 tile=1 measured 0.963x — not routed).
+LAYER_ROUTE_MIN_TILE = 4
+LAYER_MAX_SEQ = 320
+
+# ---------------------------------------------------------------------------
+# Whole-tower kernel (tower_kernel)
+# ---------------------------------------------------------------------------
+
+TOWER_BUDGET = 100 * MiB
+TOWER_TILE_CAP = 32
+#: W=1280+ would double-buffer >=77MB of weights before any activations.
+TOWER_MAX_WIDTH = 1024
+#: Route only while weight re-streaming stays bounded (<= this many batch
+#: tiles) — at bs256 re-streams cancel the win (3100 vs 3121 pairs/s).
+TOWER_MAX_RESTREAMS = 4
+
+# ---------------------------------------------------------------------------
+# Plain full-row attention kernel (attention.py, attn_impl="pallas")
+# ---------------------------------------------------------------------------
+
+MAX_PALLAS_SEQ = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class Gate:
+    name: str          # module attribute in THIS file
+    used_in: str       # file:function the value feeds
+    round: str         # when measured/derived
+    kind: str          # "measured A/B" | "VMEM math" | "compile bound"
+    evidence: str      # the number(s) behind it
+
+
+PROVENANCE = (
+    Gate("VMEM_DEFAULT", "informational", "r1", "compile bound",
+         "Mosaic default scoped budget; cells beyond it must pin a limit"),
+    Gate("VMEM_RAISED", "fused_block/_bwd/layer_kernel pallas_calls", "r1-r2",
+         "compile bound",
+         "64MB: W=1280 one-shot (24.6MB), regrid MLP real footprint ~2x "
+         "estimate (ViT-L cell rejected at 16MB default after a mid-r2 "
+         "compiler update — the incident this table exists for)"),
+    Gate("VMEM_TOWER", "tower_kernel.fused_tower", "r2", "compile bound",
+         "W=1024 tower double-buffers 50MB weights + activation tile; "
+         "16MB default rejects it, 110MB compiles (TPU-validated)"),
+    Gate("MAX_FUSED_WIDTH", "fused_block.fits_fused", "r1", "VMEM math",
+         "weights 4*W^2*2 = 8MB at W=1024 + per-sample set under default"),
+    Gate("MAX_FUSED_SEQ", "fused_block.fits_fused", "r1", "VMEM math",
+         "S=640 fp32 probs/head ~1.6MB; beyond it route chunked/XLA"),
+    Gate("ONESHOT_ATTN_WIDE_WIDTH", "fused_block.fits_fused", "r2",
+         "measured A/B",
+         "W=1280 one-shot beats head-chunked AND XLA fwd+bwd (ViT-H train "
+         "79.8 pairs/s); needs VMEM_RAISED"),
+    Gate("ONESHOT_ATTN_WIDE_SEQ", "fused_block.fits_fused", "r2",
+         "VMEM math", "W=1280 S=320 cell ~24.6MB < VMEM_RAISED/2"),
+    Gate("ATTN_VMEM_PIN_SEQ", "fused_block._fused_call", "r2",
+         "compile bound",
+         "S=577 W=1024 cell needs 18.4MB — failed standalone at default"),
+    Gate("ATTN_CELL_BUDGET", "fused_block.attn_cell_tile", "r1-r2",
+         "measured A/B",
+         "13MB admits tile=8 at BERT S=52 (+23% text tower) but keeps "
+         "tile=1 at ViT S=197 (tile=2 measured 4100 vs 4156 img/s)"),
+    Gate("ATTN_CELL_TILE_CAP", "fused_block.attn_cell_tile", "r1",
+         "measured A/B", "tile 8 at S=52 fills 416/128-row MXU blocks; "
+         "larger tiles showed no further win"),
+    Gate("MAX_WIDE_WIDTH", "fused_block.fits_fused_wide", "r1",
+         "VMEM math", "head-chunk streaming bound; nothing wider exists "
+         "in the model zoo"),
+    Gate("WIDE_TILE_BUDGET", "fused_block.wide_batch_tile", "r2",
+         "measured A/B",
+         "regrid tile=2 at ViT-H LOST (277 vs 323 img/s) — kernel is a "
+         "tested opt-in, budget kept for the API"),
+    Gate("MAX_FUSED_MLP_WIDTH", "fused_block.fits_fused_mlp", "r1",
+         "VMEM math", "fc weights 2*W*4W*2 = 9.4MB at W=768 fit default"),
+    Gate("MLP_ONESHOT_WIDE_SEQ", "fused_block.fits_fused_mlp_oneshot",
+         "r2", "measured A/B",
+         "RoBERTa-large S=52 W=1024 one-shot keeps dropout in-kernel; "
+         "ViT-H trains 79.8 pairs/s with it"),
+    Gate("MLP_ONESHOT_WIDE_WIDTH", "fused_block.fits_fused_mlp_oneshot",
+         "r2", "VMEM math", "fc weights 16.8MB under VMEM_RAISED"),
+    Gate("MLP_CELL_BUDGET", "fused_block.mlp_cell_tile", "r1",
+         "measured A/B", "14MB under the 16MB default; tile=8 at S=52"),
+    Gate("MLP_CELL_BUDGET_WIDE", "fused_block.mlp_cell_tile", "r2",
+         "VMEM math", "wide cells run under VMEM_RAISED; 40MB leaves "
+         "double-buffer headroom"),
+    Gate("MLP_CELL_TILE_CAP", "fused_block.mlp_cell_tile", "r1",
+         "measured A/B", "same row-fill ceiling as attention"),
+    Gate("MAX_TILED_MLP_WIDTH", "fused_block.fits_fused_mlp_tiled", "r1",
+         "VMEM math", "chunk streaming bound"),
+    Gate("MLP_CHUNK_WEIGHT_BYTES", "fused_block.mlp_chunk_size", "r1",
+         "measured A/B", "2MB weight tiles keep the chunk loop MXU-bound; "
+         "larger tiles reduced overlap"),
+    Gate("MLP_REGRID_BUDGET", "fused_block.mlp_batch_tile", "r2",
+         "measured A/B",
+         "26MB targets ~52-56MB real under the 64MB pin (Mosaic "
+         "double-buffers); raised from 13MB so S=577 gets tile=2 — what "
+         "made ViT-L-336 bs32 fit HBM and train at 74.5 pairs/s"),
+    Gate("MLP_REGRID_TILE_CAP", "fused_block.mlp_batch_tile", "r2",
+         "measured A/B",
+         "tile=2 beats tile=4 at ViT-H (3.530 vs 3.622 ms) and L-336 "
+         "(3.843 vs 4.218); cap re-verified by an H train re-drive (79.3)"),
+    Gate("ATTN_BWD_BUDGET", "fused_block_bwd.fits_attention_bwd", "r2",
+         "VMEM math",
+         "48MB under the 64MB pin; admits ViT-L S=257 one-shot bwd, "
+         "excludes S=577 (74MB) which routes the head-chunked bwd"),
+    Gate("ATTN_BWD_TILE_CAP", "fused_block_bwd.attn_bwd_cell_tile", "r2",
+         "measured A/B", "bwd tile=2 at S=197 measured 639.9 vs 664 "
+         "pairs/s — short-seq only, cap 8"),
+    Gate("ATTN_BWD_TILE_MAX_SEQ", "fused_block_bwd.attn_bwd_cell_tile",
+         "r2", "measured A/B", "same A/B: tiling pays only at S<=64"),
+    Gate("BERT_ATTN_BWD_BUDGET", "fused_block_bwd.fits_bert_attention_bwd",
+         "r2", "VMEM math", "per-head prob+mask stacks + weights resident"),
+    Gate("MLP_BWD_BUDGET", "fused_block_bwd.fits_fused_mlp_bwd", "r2",
+         "measured A/B",
+         "13MB doubles as the routing cutoff: ViT-B S=197 cell compiles "
+         "under the pin but LOSES to the XLA vjp (644.5 vs 661 pairs/s)"),
+    Gate("MLP_BWD_WIDE_SEQ", "fused_block_bwd.fits_fused_mlp_bwd", "r2",
+         "measured A/B", "RoBERTa-large S=52 ~22MB cell fits the pin and "
+         "keeps dropout's PRNG regeneration in-kernel"),
+    Gate("MLP_BWD_WIDE_WIDTH", "fused_block_bwd.fits_fused_mlp_bwd", "r2",
+         "VMEM math", "same cell's width bound"),
+    Gate("MLP_FULLGRAD_BUDGET", "fused_block_bwd.fits_mlp_bwd_fullgrad",
+         "r3", "VMEM math",
+         "weights bf16 2WI + fp32 accums 8WI + live set under the 64MB "
+         "pin: admits W=768/I=3072 (~42MB at S=197), excludes W=1024 "
+         "(~74MB at S=257)"),
+    Gate("ATTN_FULLGRAD_BUDGET", "fused_block_bwd.fits_attn_bwd_fullgrad",
+         "r3", "VMEM math",
+         "weights 8W^2 bytes + fp32 accums 16W^2 + one-shot live set: "
+         "admits W=768 (~23MB) and W=1024 S=257 (~43MB); excludes "
+         "W=1280 (~61MB — too close to the 64MB pin once Mosaic "
+         "double-buffers io)"),
+    Gate("HEAD_CHUNK_BUDGET", "fused_block_bwd.attn_bwd_head_chunk", "r2",
+         "measured A/B",
+         "raised 10->24MB so S=577 picks hpc=4: block fwd+grad 9.709 ms "
+         "vs 10.111 (hpc=2), 10.392 (hpc=8), 11.024 (flash-block), "
+         "15.6 (XLA-recompute) -> L-336 bs32 trains at 74.5 pairs/s"),
+    Gate("LAYER_CELL_BUDGET", "layer_kernel.layer_cell_tile", "r2",
+         "VMEM math", "both weight sets (<=25MB at W=1024) + both "
+         "sub-blocks' live sets under the 64MB pin"),
+    Gate("LAYER_TILE_CAP", "layer_kernel.layer_cell_tile", "r2",
+         "measured A/B", "text S=52 tile=8 wins 1.040x"),
+    Gate("LAYER_ROUTE_MIN_TILE", "layer_kernel.route_layer", "r2",
+         "measured A/B",
+         "tile>=4 gate: S=52 tile=8 WINS 1.040x (13447 vs 12932 "
+         "samples/s); S=197 tile=1 LOSES 0.963x (4032 vs 4188 img/s)"),
+    Gate("LAYER_MAX_SEQ", "layer_kernel.fits_layer", "r2", "VMEM math",
+         "one-shot shapes only; long seqs route the sub-block kernels"),
+    Gate("TOWER_BUDGET", "tower_kernel.tower_batch_tile", "r2",
+         "VMEM math", "100MB under the 110MB pin"),
+    Gate("TOWER_TILE_CAP", "tower_kernel.tower_batch_tile", "r2",
+         "measured A/B", "serving-batch kernel; tiles beyond 32 never "
+         "routed (TOWER_MAX_RESTREAMS gates first)"),
+    Gate("TOWER_MAX_WIDTH", "tower_kernel.tower_batch_tile", "r2",
+         "VMEM math",
+         "W=1280 would double-buffer >=77MB weights; W=1024 (50MB) is "
+         "TPU-validated. See PARITY.md W=1280 tower note"),
+    Gate("TOWER_MAX_RESTREAMS", "tower_kernel.fits_tower", "r2",
+         "measured A/B",
+         "batch-1 text 1.52x / image 1.36x over per-block; bs256 "
+         "neutral (3100 vs 3121 pairs/s) -> route only b <= 4 tiles"),
+    Gate("MAX_PALLAS_SEQ", "attention.mha (attn_impl='pallas')", "r1",
+         "VMEM math", "plain full-row kernel's seq bound (long-seq path)"),
+)
+
+
+def check() -> None:
+    """Assert every PROVENANCE record names a real constant, and that the
+    kernel modules actually use the table's values (import identity)."""
+    g = globals()
+    names = [r.name for r in PROVENANCE]
+    assert len(names) == len(set(names)), "duplicate provenance record"
+    for r in PROVENANCE:
+        assert r.name in g, f"provenance names unknown constant {r.name}"
+    # every module-level int constant has a record (except MiB helper)
+    consts = {k for k, v in g.items()
+              if k.isupper() and isinstance(v, int) and k != "MiB"}
+    missing = consts - set(names)
+    assert not missing, f"constants without provenance: {sorted(missing)}"
+
+    from nans_clip_tpu.ops import (attention, fused_block, fused_block_bwd,
+                                   layer_kernel, tower_kernel)
+    for mod in (fused_block, fused_block_bwd, layer_kernel, tower_kernel,
+                attention):
+        for k in consts:
+            if hasattr(mod, k):
+                assert getattr(mod, k) == g[k], (
+                    f"{mod.__name__}.{k} diverged from gates.{k}")
+
+
+def table() -> str:
+    w = max(len(r.name) for r in PROVENANCE)
+    lines = [f"routing gates — {CHIP}", ""]
+    for r in PROVENANCE:
+        v = globals()[r.name]
+        vs = f"{v // MiB}MB" if v >= MiB and v % MiB == 0 else str(v)
+        lines.append(f"{r.name:<{w}} = {vs:>6}  [{r.round}, {r.kind}] "
+                     f"{r.used_in}")
+        lines.append(f"{'':<{w}}   {'':>6}  {r.evidence}")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    check()
+    print(table())

@@ -34,7 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nans_clip_tpu.ops.fused_block import MAX_FUSED_SEQ, _erf, _ln, _rup
+from nans_clip_tpu.ops.fused_block import _erf, _ln, _rup
+from nans_clip_tpu.ops.gates import (LAYER_CELL_BUDGET, LAYER_MAX_SEQ,
+                                     LAYER_ROUTE_MIN_TILE, LAYER_TILE_CAP,
+                                     MAX_FUSED_SEQ, VMEM_RAISED)
 
 
 def encoder_layer_math(x, kb, s1, b1, wqkv, bqkv, wo, bo, s2, b2, w1, bm1,
@@ -139,8 +142,8 @@ def layer_cell_tile(b: int, seq: int, width: int, inter: int,
     attn_ps = (seq * 3 * width * 4 + heads * _rup(seq, 8) * seq * 4
                + seq * width * 5 * esize)
     mlp_ps = seq * (inter * (4 + 2 * esize) + width * 6 * esize)
-    t = max(1, (48 * 1024 * 1024 - weights) // (attn_ps + mlp_ps))
-    t = min(t, 8)
+    t = max(1, (LAYER_CELL_BUDGET - weights) // (attn_ps + mlp_ps))
+    t = min(t, LAYER_TILE_CAP)
     while t > 1 and b % t:
         t -= 1
     return int(t)
@@ -165,7 +168,7 @@ ROUTE = True
 def route_layer(b: int, seq: int, width: int, inter: int,
                 esize: int = 2) -> bool:
     return (ROUTE and fits_layer(seq, width, inter)
-            and layer_cell_tile(b, seq, width, inter, esize) >= 4)
+            and layer_cell_tile(b, seq, width, inter, esize) >= LAYER_ROUTE_MIN_TILE)
 
 
 def fits_layer(seq: int, width: int, inter: int) -> bool:
@@ -173,7 +176,7 @@ def fits_layer(seq: int, width: int, inter: int) -> bool:
     W=1024) plus the fp32 qkv/h intermediates of one cell inside the
     64 MB scoped-vmem budget."""
     return (width % 128 == 0 and width <= 1024 and inter <= 4 * 1024
-            and seq <= min(MAX_FUSED_SEQ, 320))
+            and seq <= min(MAX_FUSED_SEQ, LAYER_MAX_SEQ))
 
 
 def fused_layer_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
@@ -199,7 +202,7 @@ def fused_layer_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
         kb = jnp.zeros((1, 1, s), jnp.float32)
     else:
         kb = key_bias.astype(jnp.float32).reshape(b, 1, s)
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    params = pltpu.CompilerParams(vmem_limit_bytes=VMEM_RAISED)
     vec = lambda d: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)

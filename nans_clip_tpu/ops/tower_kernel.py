@@ -27,6 +27,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nans_clip_tpu.ops.gates import (TOWER_BUDGET, TOWER_MAX_RESTREAMS,
+                                     TOWER_MAX_WIDTH, TOWER_TILE_CAP,
+                                     VMEM_TOWER)
 from nans_clip_tpu.ops.layer_kernel import encoder_layer_math
 
 
@@ -68,7 +71,7 @@ def tower_batch_tile(b: int, s: int, w: int, inter: int,
     re-streams the weights (L blocks), so bigger tiles amortize weight
     traffic. Budget: double-buffered per-layer weights + live activations
     against the raised 110MB vmem limit."""
-    if w % 128 or w > 1024:
+    if w % 128 or w > TOWER_MAX_WIDTH:
         # W=1280+ would double-buffer >= 77MB of weights before any
         # activations; route per-sub-block kernels there. W=1024 (ViT-L /
         # RoBERTa-large) double-buffers 50MB and is TPU-validated.
@@ -77,8 +80,8 @@ def tower_batch_tile(b: int, s: int, w: int, inter: int,
     per = s * (3 * w * 4              # fp32 qkv
                + inter * 4            # fp32 h
                + w * (4 * esize + 4))  # x/xn/ctx/out + scratch
-    t = (100 * 1024 * 1024 - weights) // per
-    t = min(t, 32, b)
+    t = (TOWER_BUDGET - weights) // per
+    t = min(t, TOWER_TILE_CAP, b)
     while t > 1 and b % t:
         t -= 1
     return int(max(t, 0))
@@ -91,7 +94,7 @@ def fits_tower(b: int, s: int, w: int, inter: int, esize: int = 2) -> bool:
     cancel the saved activation round trips (measured 3100 vs 3121
     pairs/s — noise); the per-sub-block kernels keep the big batches."""
     t = tower_batch_tile(b, s, w, inter, esize)
-    return t >= 1 and b <= 4 * t
+    return t >= 1 and b <= TOWER_MAX_RESTREAMS * t
 
 
 def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
@@ -154,7 +157,7 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
         # scoped-vmem budget; raise it (tower_batch_tile keeps the true
         # footprint under ~100MB of the chip's 128MB VMEM)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_TOWER),
         interpret=interpret,
     )(x, key_bias, r3(ln1_scale), r3(ln1_bias), wqkv, r3(bqkv), wo, r3(bo),
       r3(ln2_scale), r3(ln2_bias), w1, r3(b1), w2, r3(b2))

@@ -89,6 +89,57 @@ def test_bert_bwd_kernel_matches_vjp():
         assert err < 1e-3 * mag, (name, err, mag)
 
 
+def test_bwd_fullgrad_kernels_match_vjp():
+    """Full-gradient attention bwd kernels (pre-LN and BERT post-LN):
+    in-kernel weight grads, accumulated across a multi-step batch grid."""
+    from nans_clip_tpu.ops.fused_block_bwd import (
+        fits_attn_bwd_fullgrad, fused_attention_block_bwd_fullgrad,
+        fused_bert_attention_block_bwd_fullgrad)
+
+    assert fits_attn_bwd_fullgrad(197, 768, 12)       # ViT-B routed
+    assert fits_attn_bwd_fullgrad(257, 1024, 16)      # ViT-L routed
+    assert not fits_attn_bwd_fullgrad(577, 1024, 16)  # L-336 chunked
+    assert not fits_attn_bwd_fullgrad(257, 1280, 16)  # H keeps emitting
+
+    H = 4
+    # S=197 pins tile=1 -> a 4-step grid, exercising the fp32 VMEM
+    # accumulation across grid steps
+    x, ln_s, ln_b, wqkv, bqkv, wo, bo, key_bias, g = _bert_args(B=4, S=197)
+
+    # --- pre-LN (no mask) ---
+    _, vjp = jax.vjp(lambda *a: _reference_block(*a, heads=H, eps=1e-5),
+                     x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    ref = vjp(g)
+    out = fused_attention_block_bwd_fullgrad(
+        x, ln_s, ln_b, wqkv, bqkv, wo, g, H, 1e-5, INTERPRET)
+    dx, dwqkv, dbqkv, dwo, dbo, d_scale, d_bias = out
+    ours = (dx, d_scale.reshape(-1), d_bias.reshape(-1), dwqkv,
+            dbqkv.reshape(-1), dwo, dbo.reshape(-1))
+    for name, a, b in zip(("dx", "d_scale", "d_bias", "dwqkv", "dbqkv",
+                           "dwo", "dbo"), ours, ref):
+        err = float(jnp.abs(a - b).max())
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        assert err < 1e-3 * mag, ("pre_ln", name, err, mag)
+
+    # --- BERT post-LN, masked ---
+    _, vjp = jax.vjp(
+        lambda *a: _reference_block(*a, heads=H, eps=1e-12,
+                                    key_bias=key_bias, post_ln=True),
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    ref = vjp(g)
+    out = fused_bert_attention_block_bwd_fullgrad(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo, key_bias, None, g, H, 1e-12,
+        0.0, 0.0, INTERPRET)
+    dx, dwqkv, dbqkv, dwo, dbo, d_scale, d_bias = out
+    ours = (dx, d_scale.reshape(-1), d_bias.reshape(-1), dwqkv,
+            dbqkv.reshape(-1), dwo, dbo.reshape(-1))
+    for name, a, b in zip(("dx", "d_scale", "d_bias", "dwqkv", "dbqkv",
+                           "dwo", "dbo"), ours, ref):
+        err = float(jnp.abs(a - b).max())
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        assert err < 1e-3 * mag, ("post_ln", name, err, mag)
+
+
 def test_mlp_bwd_kernel_matches_vjp():
     from nans_clip_tpu.ops.fused_block import _reference_mlp
     from nans_clip_tpu.ops.fused_block_bwd import fused_mlp_block_bwd
@@ -123,6 +174,49 @@ def test_mlp_bwd_kernel_matches_vjp():
         d_bias = jnp.sum(gsrc, (0, 1))
 
         ours = (dx, d_scale, d_bias, dw1, db1, dw2, db2)
+        for name, a, b in zip(("dx", "d_scale", "d_bias", "dw1", "db1",
+                               "dw2", "db2"), ours, ref):
+            err = float(jnp.abs(a - b).max())
+            mag = max(float(jnp.abs(b).max()), 1.0)
+            assert err < 2e-3 * mag, (act, post_ln, name, err, mag)
+
+
+def test_mlp_bwd_fullgrad_matches_vjp():
+    """The full-gradient kernel (in-kernel weight-grad accumulation over
+    the batch grid) returns the COMPLETE gradient set; checked against
+    the XLA vjp at a multi-tile grid so the accumulation path runs."""
+    from nans_clip_tpu.ops.fused_block import _reference_mlp
+    from nans_clip_tpu.ops.fused_block_bwd import (
+        fits_mlp_bwd_fullgrad, fused_mlp_block_bwd_fullgrad)
+
+    assert fits_mlp_bwd_fullgrad(197, 768, 3072)       # ViT-B routed
+    assert fits_mlp_bwd_fullgrad(52, 1024, 4096)       # RoBERTa-large
+    assert not fits_mlp_bwd_fullgrad(257, 1024, 4096)  # ViT-L excluded
+
+    for act, post_ln in (("quick_gelu", False), ("gelu", True)):
+        # S=197 pins tile=1 -> a 4-step grid, so the fp32 VMEM
+        # accumulation across grid steps is actually exercised
+        B, S, W, I = 4, 197, 64, 256
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+        ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(W), jnp.float32)
+        ln_b = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+        w1 = jnp.asarray(0.1 * rs.randn(W, I), jnp.float32)
+        b1 = jnp.asarray(0.1 * rs.randn(I), jnp.float32)
+        w2 = jnp.asarray(0.1 * rs.randn(I, W), jnp.float32)
+        b2 = jnp.asarray(0.1 * rs.randn(W), jnp.float32)
+        g = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+
+        _, vjp = jax.vjp(
+            lambda *a: _reference_mlp(*a, act=act, eps=1e-5, post_ln=post_ln),
+            x, ln_s, ln_b, w1, b1, w2, b2)
+        ref = vjp(g)
+
+        dx, dw1, db1, dw2, db2, d_scale, d_bias = fused_mlp_block_bwd_fullgrad(
+            x, ln_s, ln_b, w1, b1, w2, b2, None, g, act, 1e-5, post_ln,
+            0.0, INTERPRET)
+        ours = (dx, d_scale.reshape(-1), d_bias.reshape(-1), dw1,
+                db1.reshape(-1), dw2, db2.reshape(-1))
         for name, a, b in zip(("dx", "d_scale", "d_bias", "dw1", "db1",
                                "dw2", "db2"), ours, ref):
             err = float(jnp.abs(a - b).max())
