@@ -33,8 +33,10 @@ class ModelOptions:
                                      # (parallel/pp.py); requires an ambient
                                      # mesh with a 'pipe' axis of this size;
                                      # mutually exclusive with tp>1
-    pp_microbatches: int = 0         # 0 = auto (<= 2*pp divisor of the
-                                     # per-data-shard batch)
+    pp_microbatches: int = 0         # 0 = auto (<= 4*pp divisor of the
+                                     # per-data-shard batch, >= 2 samples
+                                     # per microbatch; pp.bubble_fraction
+                                     # reports the resulting GPipe bubble)
 
     def cast(self, x: jax.Array) -> jax.Array:
         if self.compute_dtype is None:

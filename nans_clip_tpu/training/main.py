@@ -133,6 +133,17 @@ def main(argv=None):
     mesh = create_mesh(model=args.tp, pipe=args.pp)
     data_size = mesh.shape["data"]
     logging.info("mesh: data=%d model=%d pipe=%d", data_size, args.tp, args.pp)
+    if args.pp > 1:
+        from nans_clip_tpu.parallel.pp import (bubble_fraction,
+                                               pick_microbatches)
+        local_b = max(1, args.batch_size // max(1, data_size))
+        m = args.pp_microbatches or pick_microbatches(local_b, args.pp)
+        logging.info(
+            "pipeline: pp=%d microbatches=%d (%d samples each) "
+            "GPipe bubble=%.1f%% — raise --pp-microbatches to shrink it "
+            "if the per-microbatch kernels stay row-filled",
+            args.pp, m, local_b // m,
+            100 * bubble_fraction(local_b, args.pp, m))
 
     cfg, params, batch_stats, options = build_model(args)
     resolution = cfg.vision.image_resolution

@@ -35,11 +35,14 @@ def _mesh(pipe, data=None):
 
 
 def test_pick_microbatches():
-    assert pick_microbatches(16, 2) == 4
-    assert pick_microbatches(16, 4) == 8
-    assert pick_microbatches(6, 4) == 6
-    assert pick_microbatches(5, 2) == 1  # prime batch: single microbatch
-    assert pick_microbatches(2, 4) == 2
+    from nans_clip_tpu.parallel.pp import bubble_fraction
+    assert pick_microbatches(16, 2) == 8   # toward 4*pp: bubble 1/9
+    assert pick_microbatches(16, 4) == 8   # 2-sample floor binds first
+    assert pick_microbatches(6, 4) == 3    # divisor under the floor cap
+    assert pick_microbatches(5, 2) == 1    # prime batch: single microbatch
+    assert pick_microbatches(2, 4) == 1    # floor: don't split 2 samples
+    assert pick_microbatches(64, 2) == 8   # cap at 4*pp
+    assert abs(bubble_fraction(64, 2) - 1 / 9) < 1e-9
 
 
 def test_pp_transformer_matches_scan():
