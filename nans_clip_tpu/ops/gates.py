@@ -155,8 +155,10 @@ LAYER_MAX_SEQ = 320
 
 TOWER_BUDGET = 100 * MiB
 TOWER_TILE_CAP = 32
-#: W=1280+ would double-buffer >=77MB of weights before any activations.
-TOWER_MAX_WIDTH = 1024
+#: W=1280 (ViT-H image) fits at tile=1: 78.6MB double-buffered weights +
+#: ~13MB activations under the 110MB pin — TPU-validated r3 (1.19x over
+#: per-block at batch 1). Wider towers (none in the zoo) would not fit.
+TOWER_MAX_WIDTH = 1280
 #: Route only while weight re-streaming stays bounded (<= this many batch
 #: tiles) — at bs256 re-streams cancel the win (3100 vs 3121 pairs/s).
 TOWER_MAX_RESTREAMS = 4
@@ -187,7 +189,8 @@ PROVENANCE = (
          "compiler update — the incident this table exists for)"),
     Gate("VMEM_TOWER", "tower_kernel.fused_tower", "r2", "compile bound",
          "W=1024 tower double-buffers 50MB weights + activation tile; "
-         "16MB default rejects it, 110MB compiles (TPU-validated)"),
+         "16MB default rejects it, 110MB compiles (TPU-validated; also "
+         "admits the W=1280 tile=1 cell at 78.6MB+acts, r3)"),
     Gate("MAX_FUSED_WIDTH", "fused_block.fits_fused", "r1", "VMEM math",
          "weights 4*W^2*2 = 8MB at W=1024 + per-sample set under default"),
     Gate("MAX_FUSED_SEQ", "fused_block.fits_fused", "r1", "VMEM math",
@@ -296,10 +299,11 @@ PROVENANCE = (
     Gate("TOWER_TILE_CAP", "tower_kernel.tower_batch_tile", "r2",
          "measured A/B", "serving-batch kernel; tiles beyond 32 never "
          "routed (TOWER_MAX_RESTREAMS gates first)"),
-    Gate("TOWER_MAX_WIDTH", "tower_kernel.tower_batch_tile", "r2",
-         "VMEM math",
-         "W=1280 would double-buffer >=77MB weights; W=1024 (50MB) is "
-         "TPU-validated. See PARITY.md W=1280 tower note"),
+    Gate("TOWER_MAX_WIDTH", "tower_kernel.tower_batch_tile", "r3",
+         "measured A/B",
+         "W=1280 tile=1 (78.6MB weights + ~13MB acts < 110MB pin) "
+         "compiles and WINS: ViT-H image batch-1 3.287 vs 3.922 ms "
+         "per-block (1.19x, rel 8e-3). See PARITY.md W=1280 tower note"),
     Gate("TOWER_MAX_RESTREAMS", "tower_kernel.fits_tower", "r2",
          "measured A/B",
          "batch-1 text 1.52x / image 1.36x over per-block; bs256 "

@@ -72,9 +72,10 @@ def tower_batch_tile(b: int, s: int, w: int, inter: int,
     traffic. Budget: double-buffered per-layer weights + live activations
     against the raised 110MB vmem limit."""
     if w % 128 or w > TOWER_MAX_WIDTH:
-        # W=1280+ would double-buffer >= 77MB of weights before any
-        # activations; route per-sub-block kernels there. W=1024 (ViT-L /
-        # RoBERTa-large) double-buffers 50MB and is TPU-validated.
+        # beyond W=1280 the double-buffered weights alone (>=113MB at
+        # W=1536) exceed the pin; route per-sub-block kernels there.
+        # W=1024 (50MB) and W=1280 (78.6MB, tile=1, 1.19x at batch 1)
+        # are TPU-validated.
         return 0
     weights = 2 * (4 * w * w + 2 * w * inter) * esize   # double-buffered
     per = s * (3 * w * 4              # fp32 qkv

@@ -297,3 +297,47 @@ def test_tower_kernel_routed_cell():
             return x
         _check(jax.jit(fused)(x), jax.jit(ref)(x), tol=5e-2)
         _ab("tower/text_base", _time(fused, x), _time(ref, x))
+
+
+def test_tower_kernel_h_cell():
+    """The W=1280 (ViT-H image) tower cell — routed in r3 after a
+    measured batch-1 win (3.287 vs 3.922 ms per-block, 1.19x; see
+    PARITY.md W=1280 tower note). VMEM is the risk here: 78.6MB of
+    double-buffered weights + ~13MB tile-1 activations against the 110MB
+    pin — exactly the kind of cell a compiler update can silently
+    reject, so it gets its own sweep guard. L=8 (not H's 32): the VMEM
+    footprint is layer-count-independent (weights stream per grid step)
+    and the shorter grid keeps the XLA twin's compile time sane."""
+    from nans_clip_tpu.ops import tower_kernel as tk
+    import nans_clip_tpu.ops.fused_block as fb
+    L, s, w, h, inter = 8, 257, 1280, 16, 5120
+    b = 1
+    assert tk.fits_tower(b, s, w, inter, 2)
+    assert tk.tower_batch_tile(b, s, w, inter, 2) == 1
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(b, s, w), jnp.bfloat16)
+    stk = lambda *sh: jnp.asarray(0.02 * rs.randn(L, *sh), jnp.bfloat16)
+    ln1s, ln1b = 1.0 + stk(w), stk(w)
+    wqkv, bqkv, wo, bo = stk(w, 3 * w), stk(3 * w), stk(w, w), stk(w)
+    ln2s, ln2b = 1.0 + stk(w), stk(w)
+    w1, b1, w2, b2 = stk(w, inter), stk(inter), stk(inter, w), stk(w)
+    # Weights as TRACED arguments, not closures: 8 layers of W=1280
+    # weights embedded as XLA constants exceed the remote-compile
+    # request-size limit on the tunnel (HTTP 413) — same rule as
+    # production code (CLAUDE.md: never close a large pytree into jit).
+    ws = (ln1s, ln1b, wqkv, bqkv, wo, bo, ln2s, ln2b, w1, b1, w2, b2)
+    with jax.default_matmul_precision("default"):
+        fused = lambda x, *ws: tk.fused_tower(
+            x, None, *ws, h, 1e-5, "quick_gelu", False)
+        def ref(x, ln1s, ln1b, wqkv, bqkv, wo, bo, ln2s, ln2b, w1, b1,
+                w2, b2):
+            for i in range(L):
+                x = fb._reference_block(
+                    x, ln1s[i], ln1b[i], wqkv[i], bqkv[i], wo[i], bo[i],
+                    heads=h, eps=1e-5, key_bias=None, post_ln=False)
+                x = fb._reference_mlp(x, ln2s[i], ln2b[i], w1[i], b1[i],
+                                      w2[i], b2[i], act="quick_gelu",
+                                      eps=1e-5, post_ln=False)
+            return x
+        _check(jax.jit(fused)(x, *ws), jax.jit(ref)(x, *ws), tol=5e-2)
+        _ab("tower/vit_h_img_b1", _time(fused, x, *ws), _time(ref, x, *ws))
