@@ -48,6 +48,16 @@ def main():
     ap.add_argument("--adam-state-dtype", default=None,
                     help="e.g. bfloat16: halves optimizer HBM (ViT-H @ bs32)")
     ap.add_argument("--accum-freq", type=int, default=1)
+    # K>1 runs K optimizer steps per dispatch (lax.scan over stacked
+    # batches): on a real TPU-VM host the async enqueue pipeline hides the
+    # per-step dispatch cost, but the tunnel's ~27.5 ms RTT is synchronous
+    # — K=4 amortizes it the way bench.py's inner fori_loop does for
+    # inference, so this is the truer chip step time, not a benchmark trick.
+    ap.add_argument("--steps-per-call", type=int, default=1)
+    # Attribution probe: zero the dropout PROBABILITIES while keeping
+    # deterministic=False, so the routing (training kernels) is unchanged
+    # and only the in-kernel PRNG work disappears. NOT a production mode.
+    ap.add_argument("--no-dropout", action="store_true")
     args = ap.parse_args()
     from nans_clip_tpu.configs import load_config
     from nans_clip_tpu.models import ModelOptions
@@ -58,6 +68,11 @@ def main():
     from nans_clip_tpu.parallel import create_mesh
 
     cfg = load_config(f"{args.vision_model}@{args.text_model}")
+    if args.no_dropout:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, text=dataclasses.replace(
+            cfg.text, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0))
     options = ModelOptions(attn_impl=args.attn_impl, compute_dtype="bfloat16",
                            remat=args.remat, deterministic=False)
     tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000,
@@ -73,14 +88,32 @@ def main():
     step = make_train_step(cfg, tcfg, options)
 
     BATCH = args.batch
+    K = args.steps_per_call
     rs = np.random.RandomState(0)
     r = cfg.vision.image_resolution
-    images = jnp.asarray(rs.randn(BATCH, r, r, 3), jnp.bfloat16)
     texts = jnp.zeros((BATCH, 52), jnp.int32)
     texts = texts.at[:, 0].set(101)
     texts = texts.at[:, 1:30].set(jnp.asarray(rs.randint(1000, 20000, (BATCH, 29))))
     texts = texts.at[:, 30].set(102)
     rng = jax.random.PRNGKey(7)
+
+    if K > 1:
+        inner = step
+
+        @jax.jit
+        def step(state, images_k, texts_k, rng):
+            def body(s, xs):
+                im, tx, rn = xs
+                return inner(s, im, tx, rn)
+            state, ms = jax.lax.scan(body, state,
+                                     (images_k, texts_k,
+                                      jax.random.split(rng, K)))
+            return state, jax.tree.map(lambda m: m[-1], ms)
+
+        images = jnp.asarray(rs.randn(K, BATCH, r, r, 3), jnp.bfloat16)
+        texts = jnp.broadcast_to(texts, (K,) + texts.shape)
+    else:
+        images = jnp.asarray(rs.randn(BATCH, r, r, 3), jnp.bfloat16)
 
     print("compiling + warmup...", flush=True)
     for i in range(WARMUP):
@@ -95,16 +128,18 @@ def main():
         rng, srng = jax.random.split(rng)
         state, metrics = step(state, images, texts, srng)
         loss = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / (ITERS * K)
     pairs = BATCH / dt
     print(json.dumps({
         "metric": f"{args.vision_model}+{args.text_model} train pairs/sec/"
-                  f"chip (bs{BATCH} bf16 remat={args.remat}, dropout on, "
+                  f"chip (bs{BATCH} bf16 remat={args.remat}, dropout "
+                  f"{'OFF (attribution probe)' if args.no_dropout else 'on'}, "
                   f"attn_impl={args.attn_impl}"
                   + (f", adam_state={args.adam_state_dtype}"
                      if args.adam_state_dtype else "")
                   + (f", accum={args.accum_freq}" if args.accum_freq > 1
-                     else "") + ")",
+                     else "")
+                  + (f", {K} steps/dispatch" if K > 1 else "") + ")",
         "value": round(pairs, 1),
         "unit": "pairs/sec",
         "step_ms": round(dt * 1000, 1),
