@@ -290,3 +290,40 @@ def test_skip_scheduler_constant_lr():
     np.testing.assert_allclose(float(const(99)), 1e-3, rtol=1e-6)
     decay = cosine_with_warmup(1e-3, warmup=5, total_steps=100)
     assert float(decay(99)) < 1e-4  # cosine decays to ~0
+
+
+def test_scan_of_steps_matches_sequential():
+    """bench_train's --steps-per-call wraps the train step in a lax.scan
+    (K optimizer steps per dispatch). The recorded throughput numbers are
+    only meaningful if a scanned step IS the production step — same
+    params trajectory, no donation/batch-stats aliasing surprises."""
+    params, _ = init_clip(jax.random.PRNGKey(0), TINY)
+    tcfg = TrainConfig(lr=1e-3, warmup=2, max_steps=10)
+    opts = ModelOptions(attn_impl="xla")
+    K = 3
+    rngs = jax.random.split(jax.random.PRNGKey(42), K)
+    ims = jnp.stack([jnp.asarray(_batch(8, seed=s)[0]) for s in range(K)])
+    txs = jnp.stack([jnp.asarray(_batch(8, seed=s)[1]) for s in range(K)])
+
+    step = make_train_step(TINY, tcfg, opts, constrain=False)
+    seq_state = create_train_state(jax.tree.map(jnp.copy, params), {}, tcfg)
+    for k in range(K):
+        seq_state, seq_metrics = step(seq_state, ims[k], txs[k], rngs[k])
+
+    scan_state = create_train_state(jax.tree.map(jnp.copy, params), {}, tcfg)
+
+    @jax.jit
+    def multi(state, ims, txs, rngs):
+        def body(s, xs):
+            im, tx, rn = xs
+            return step(s, im, tx, rn)
+        return jax.lax.scan(body, state, (ims, txs, rngs))
+
+    scan_state, scan_metrics = multi(scan_state, ims, txs, rngs)
+
+    assert int(scan_state.step) == int(seq_state.step) == K
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         seq_state.params, scan_state.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+    assert abs(float(scan_metrics["loss"][-1])
+               - float(seq_metrics["loss"])) < 1e-6
