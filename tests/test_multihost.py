@@ -14,6 +14,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r'''
@@ -106,3 +108,97 @@ def test_two_process_distributed_train_step(tmp_path):
         losses.append(float(line.split()[-1]))
     assert losses[0] == losses[1], losses  # identical global loss
     assert all(abs(v) < 100 for v in losses)
+
+
+WORKER_PP = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import init_clip
+from nans_clip_tpu.parallel import shard_params
+from nans_clip_tpu.parallel.distributed import global_batch_from_host_batch
+from nans_clip_tpu.training import TrainConfig, create_train_state, make_train_step
+from nans_clip_tpu import configs as C
+
+cfg = C.CLIPConfig(
+    embed_dim=64,
+    vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                          width=64, patch_size=16, head_width=32),
+    text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128),
+    name="tiny")
+
+# The pipe axis SPANS the two processes: mesh[d, 0, p] = process p's
+# device d, so EVERY stage-to-stage ppermute hop crosses the process
+# boundary — the multi-host reality when a pipeline spans hosts (on TPU:
+# DCN/ICI between hosts). create_mesh() deliberately keeps pipe innermost
+# for single-host ICI adjacency; this test exercises the other extreme.
+devs = np.asarray(jax.devices()).reshape(2, 4)   # [process, local_device]
+mesh = Mesh(devs.T.reshape(4, 1, 2), ("data", "model", "pipe"))
+
+tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=4)
+options = ModelOptions(attn_impl="xla", pp=2, deterministic=True)
+
+# Each data-shard group holds one device from EACH process (the pipe pair),
+# so every process must provide the full global batch — same seed.
+rs = np.random.RandomState(7)
+images = rs.randn(8, 32, 32, 3).astype(np.float32)
+texts = np.zeros((8, 52), np.int32)
+texts[:, 0] = 101
+texts[:, 1:12] = rs.randint(1000, 20000, (8, 11))
+texts[:, 12] = 102
+
+with jax.set_mesh(mesh):
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    params = shard_params(params, mesh)
+    state = create_train_state(params, {}, tcfg)
+    step = make_train_step(cfg, tcfg, options)
+    im = global_batch_from_host_batch(images, mesh)
+    tx = global_batch_from_host_batch(texts, mesh)
+    assert im.shape[0] == 8, im.shape  # replicated provision: global=local
+    compiled = step.lower(state, im, tx, jax.random.PRNGKey(0)).compile()
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier("pp_compiled", timeout_in_ms=600000)
+    state, metrics = compiled(state, im, tx, jax.random.PRNGKey(0), None)
+    loss = float(metrics["loss"])
+print(f"WORKER {pid} LOSS {loss:.6f}", flush=True)
+jax.distributed.shutdown()
+'''
+
+
+def _run_two_workers(tmp_path, worker_src, timeout=600):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src)
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coordinator, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    losses = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [ln for ln in out.splitlines() if "LOSS" in ln][0]
+        losses.append(float(line.split()[-1]))
+    return losses
+
+
+def test_two_process_pipeline_ring_crosses_hosts(tmp_path):
+    """GPipe pp=2 with the activation ppermute ring crossing the process
+    boundary on every hop (pipe axis spans the two processes)."""
+    losses = _run_two_workers(tmp_path, WORKER_PP)
+    assert losses[0] == losses[1], losses
+    assert all(np.isfinite(v) and abs(v) < 100 for v in losses), losses
