@@ -179,7 +179,8 @@ def main(argv=None):
 
     num_batches = train_loader.num_batches
     steps_per_epoch = num_batches // args.accum_freq
-    if args.max_steps is not None:
+    max_steps_explicit = args.max_steps is not None
+    if max_steps_explicit:
         args.max_epochs = math.ceil(args.max_steps * args.accum_freq / num_batches)
     else:
         args.max_steps = steps_per_epoch * args.max_epochs
@@ -202,17 +203,20 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.logs, args.name, "checkpoints")
 
     with jax.set_mesh(mesh):
-        params = shard_params(params, mesh, fsdp=args.fsdp)
+        params = shard_params(params, mesh, fsdp=args.fsdp,
+                              fsdp_min_size=args.fsdp_min_size)
         state = create_train_state(params, batch_stats, tcfg)
         # Optimizer init mostly inherits the param shardings (zeros_like),
         # but not everywhere (the compact-Adam state is built with fresh
         # zeros) — commit the whole state explicitly, and pin the train
         # step's OUTPUT to the same tree so FSDP storage stays sharded.
-        state = shard_train_state(state, mesh, fsdp=args.fsdp)
-        state_sh = train_state_shardings(state, mesh, fsdp=args.fsdp)
+        state = shard_train_state(state, mesh, fsdp=args.fsdp,
+                                  fsdp_min_size=args.fsdp_min_size)
+        state_sh = train_state_shardings(state, mesh, fsdp=args.fsdp,
+                                         fsdp_min_size=args.fsdp_min_size)
 
         # auto-resume (reference main.py:201-237)
-        start_epoch, start_step = 0, 0
+        start_epoch, start_step, start_off = 0, 0, None
         resume_tag = None
         if args.resume:
             resume_tag = args.resume
@@ -231,6 +235,24 @@ def main(argv=None):
                 if not args.reset_data_offset:
                     start_epoch = meta.get("epoch", 0)
                     start_step = meta.get("step", int(state.step))
+                    start_off = meta.get("epoch_batch")
+                    if not max_steps_explicit:
+                        # Elastic resume: steps_per_epoch may have changed
+                        # (different mesh topology / global batch), so the
+                        # epoch-derived step budget must count completed
+                        # history at ITS OWN rate: steps already taken +
+                        # what remains of this epoch + full future epochs.
+                        # (The cosine-LR horizon in tcfg keeps the value
+                        # computed at startup — an inherent elastic-resume
+                        # approximation, same as re-deriving a torch
+                        # scheduler against a new world size.)
+                        off = (start_off if start_off is not None else
+                               max(0, start_step
+                                   - start_epoch * steps_per_epoch))
+                        args.max_steps = (
+                            start_step - off
+                            + max(0, args.max_epochs - start_epoch)
+                            * steps_per_epoch)
                 logging.info("resumed from %s (epoch %d, step %d)",
                              resume_tag, start_epoch, start_step)
 
@@ -299,9 +321,21 @@ def main(argv=None):
             # reference instead replays the whole epoch and re-derives the
             # step from the batch index, train.py:167; our shuffle order is
             # a pure function of seed+epoch, so skipping is exact.)
-            resume_off = step - epoch * steps_per_epoch if epoch == start_epoch else 0
+            if epoch == start_epoch and start_off is not None:
+                # intra-epoch offset recorded in the checkpoint meta —
+                # valid even if the mesh topology / global batch size
+                # changed across the resume (elastic resume)
+                resume_off = start_off
+            elif epoch == start_epoch:
+                # legacy checkpoints (no epoch_batch): derive from the
+                # global step — only correct while steps_per_epoch is
+                # unchanged over the run's whole history
+                resume_off = step - epoch * steps_per_epoch
+            else:
+                resume_off = 0
             train_loader.set_epoch(
                 epoch, start_batch=max(0, resume_off) * args.accum_freq)
+            epoch_steps = max(0, resume_off)
             micro_buf = []
             t_data = time.time()
             data_time = 0.0
@@ -326,6 +360,7 @@ def main(argv=None):
                     prof_active["flag"] = True
                 state, metrics = train_step(state, im, tx, srng)
                 step += 1
+                epoch_steps += 1
                 if profile_range and prof_active["flag"] \
                         and step >= profile_range[1]:
                     stop_profiler()
@@ -346,12 +381,14 @@ def main(argv=None):
                 if args.valid_step_interval and step % args.valid_step_interval == 0:
                     run_validation(state, epoch)
                 if args.save_step_frequency > 0 and step % args.save_step_frequency == 0:
-                    meta = {"epoch": epoch, "step": step, "name": args.name}
+                    meta = {"epoch": epoch, "step": step, "name": args.name,
+                            "epoch_batch": epoch_steps}
                     save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
                                     args.save_torch_format, cfg)
                 if preempted["flag"]:
                     stop_profiler()
-                    meta = {"epoch": epoch, "step": step, "name": args.name}
+                    meta = {"epoch": epoch, "step": step, "name": args.name,
+                            "epoch_batch": epoch_steps}
                     save_checkpoint(ckpt_dir, f"preempt_step_{step}", state, meta,
                                     args.save_torch_format, cfg)
                     logging.info("preemption checkpoint saved at step %d", step)
@@ -362,7 +399,8 @@ def main(argv=None):
 
             if (epoch + 1) % args.valid_epoch_interval == 0:
                 run_validation(state, epoch)
-            meta = {"epoch": epoch + 1, "step": step, "name": args.name}
+            meta = {"epoch": epoch + 1, "step": step, "name": args.name,
+                    "epoch_batch": 0}
             tag = f"epoch{epoch + 1}" if (epoch + 1) % args.save_epoch_frequency == 0 \
                 else "epoch_latest"
             save_checkpoint(ckpt_dir, tag, state, meta, args.save_torch_format, cfg)

@@ -102,6 +102,10 @@ def parse_args(argv=None):
                    help="fully shard params + Adam moments over the data "
                         "axis (ZeRO-3 storage; XLA inserts the per-use "
                         "all-gather / gradient reduce-scatter)")
+    p.add_argument("--fsdp-min-size", type=int, default=None,
+                   help="replicate parameters smaller than this many "
+                        "elements instead of sharding them (default: the "
+                        "production 65536 gate; lower it for tiny models)")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel mesh axis size: each stage "
                         "stores and runs layers/pp transformer layers, "

@@ -53,12 +53,10 @@ def test_train_resume_cycle(data_dir, tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch2"))
 
 
-def test_train_fsdp_cycle(data_dir, tmp_path, monkeypatch):
+def test_train_fsdp_cycle(data_dir, tmp_path):
     """--fsdp: params + Adam moments stored sharded over 'data', full
     train -> Orbax checkpoint -> auto-resume cycle (restore must rebuild
     the sharded arrays from the sharded-state template)."""
-    from nans_clip_tpu.parallel import mesh as mesh_mod
-    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_SIZE", 1024)
     logs = str(tmp_path / "logs")
     common = [
         "--train-data", data_dir,
@@ -66,6 +64,7 @@ def test_train_fsdp_cycle(data_dir, tmp_path, monkeypatch):
         "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
         "--log-interval", "1", "--logs", logs, "--name", "fsdp_test",
         "--num-workers", "2", "--fsdp", "--tp", "2",
+        "--fsdp-min-size", "1024",
     ]
     state = train_main(common + ["--max-epochs", "1"])
     assert int(state.step) == 4  # 32 pairs / (bs2 x data4) = 4 steps
@@ -132,3 +131,32 @@ def test_mid_epoch_resume_skips_trained_batches(data_dir, tmp_path, monkeypatch)
     # epoch 0 resumed one batch in (step 1 of 2 already trained)
     assert (0, 1) in calls, calls
     assert int(state.step) == 2
+
+
+def test_cross_topology_resume(data_dir, tmp_path):
+    """Elastic resume: a checkpoint written under one mesh topology must
+    restore under a DIFFERENT one (Orbax reshards against the template
+    state built on the NEW mesh). Epoch 1 trains dp4xtp2 with FSDP
+    storage; epoch 2 auto-resumes as plain dp8 — the production
+    fleet-resize path (reference has no analog: DDP checkpoints are
+    rank-agnostic only because everything is replicated)."""
+    logs = str(tmp_path / "logs")
+    base = [
+        "--train-data", data_dir,
+        "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+        "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+        "--log-interval", "1", "--logs", logs, "--name", "xtopo_test",
+        "--num-workers", "2",
+    ]
+    state = train_main(base + ["--max-epochs", "1", "--fsdp", "--tp", "2",
+                               "--fsdp-min-size", "1024"])
+    assert int(state.step) == 4  # 32 pairs / (bs2 x data4) = 4 steps
+    wqkv = state.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "data" in str(wqkv.sharding.spec)  # FSDP-sharded storage
+
+    # resume WITHOUT tp/fsdp: 8-way data mesh, fully replicated params
+    state2 = train_main(base + ["--max-epochs", "2"])
+    assert int(state2.step) == 6  # 4 + 32/(bs2 x data8) = 4 + 2
+    wqkv2 = state2.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "data" not in str(wqkv2.sharding.spec)
+    assert np.isfinite(np.asarray(wqkv2, np.float32)).all()
