@@ -313,7 +313,8 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
     from nans_clip_tpu.ops.fused_block_bwd import (fits_attention_bwd,
                                                    fits_attn_bwd_fullgrad)
     if (not post_ln and key_bias is None and on_tpu
-            and fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads)):
+            and fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads,
+                                       jnp.dtype(x.dtype).itemsize)):
         # full-gradient kernel: weight grads contracted + fp32-accumulated
         # in-kernel — no [B,S,5W] activation round trip, no XLA dxn
         # re-matmul (routed r3; see PARITY.md r3 breakdown table)
@@ -372,7 +373,8 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
         # XLA recompute could not reproduce them. Off-TPU the rate-0 XLA
         # vjp below applies (the kernel itself is interpret-tested
         # directly in tests/test_fused_bwd.py).
-        if fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads):
+        if fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads,
+                                  jnp.dtype(x.dtype).itemsize):
             # full-gradient variant (r3): in-kernel weight grads
             from nans_clip_tpu.ops.fused_block_bwd import \
                 fused_bert_attention_block_bwd_fullgrad
@@ -1110,7 +1112,8 @@ def _mlp_bwd(act, eps, post_ln, interpret, hid_dropout, res, g):
                                                    fits_mlp_bwd_fullgrad)
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and fits_mlp_bwd_fullgrad(x.shape[1], x.shape[2],
-                                        w1.shape[-1]):
+                                        w1.shape[-1],
+                                        jnp.dtype(x.dtype).itemsize):
         # full-gradient kernel: weight grads contracted + accumulated
         # in-kernel (fp32 VMEM across the batch grid) — no [B,S,·]
         # intermediates hit HBM. Routed r3 for the bwd-MFU gap the

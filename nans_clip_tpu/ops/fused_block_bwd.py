@@ -582,16 +582,19 @@ def fused_attention_block_bwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, g)
 
 
-def fits_attn_bwd_fullgrad(seq: int, width: int, heads: int) -> bool:
+def fits_attn_bwd_fullgrad(seq: int, width: int, heads: int,
+                           esize: int = 2) -> bool:
     """Full-gradient variant's VMEM bound: the emitting kernel's live set
     plus resident fp32 accumulators (dwqkv W·3W + dwo W·W = 16·W² bytes),
-    minus the five [T,S,·] output blocks it no longer double-buffers."""
-    weights = (3 * width * width + width * width) * 2
+    minus the five [T,S,·] output blocks it no longer double-buffers.
+    ``esize``: io/weight dtype size — fp32 inputs (tests, --precision
+    fp32) double the resident weights, pushing wide cells past the pin."""
+    weights = (3 * width * width + width * width) * esize
     accums = (3 * width * width + width * width) * 4
     qkv = _rup(seq, 8) * 3 * width * 4 * 2
     probs = heads * _rup(seq, 8) * seq * 4
     acts = _rup(seq, 8) * width * 24
-    io = _rup(seq, 8) * width * 2 * 4
+    io = _rup(seq, 8) * width * 2 * esize * 2
     return weights + accums + qkv + probs + acts + io < ATTN_FULLGRAD_BUDGET
 
 
@@ -822,10 +825,14 @@ def fused_mlp_block_bwd(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g,
 # ---------------------------------------------------------------------------
 
 
-def fits_mlp_bwd_fullgrad(seq: int, width: int, inter: int) -> bool:
-    """VMEM: both weights bf16 + both fp32 grad accumulators resident
-    (6·W·I bytes ≈ 28 MB at W=768) + one sample's fp32 live set."""
-    weights_and_accums = 2 * width * inter * 2 + 2 * width * inter * 4
+def fits_mlp_bwd_fullgrad(seq: int, width: int, inter: int,
+                          esize: int = 2) -> bool:
+    """VMEM: both weights (io dtype) + both fp32 grad accumulators
+    resident (6·W·I bytes ≈ 28 MB at W=768 bf16) + one sample's fp32 live
+    set. fp32 inputs double the weight term: the S=52/W=1024 cell fits in
+    bf16 (55 MB) but NOT in fp32 (67 MB > the 64 MB pin) — the r3
+    on-chip FD test caught the esize-blind version of this gate."""
+    weights_and_accums = 2 * width * inter * esize + 2 * width * inter * 4
     live = _rup(seq, 8) * (inter * 4 * 4 + width * 4 * 6)
     return weights_and_accums + live < MLP_FULLGRAD_BUDGET
 

@@ -269,9 +269,11 @@ PROVENANCE = (
          "VMEM math", "same cell's width bound"),
     Gate("MLP_FULLGRAD_BUDGET", "fused_block_bwd.fits_mlp_bwd_fullgrad",
          "r3", "VMEM math",
-         "weights bf16 2WI + fp32 accums 8WI + live set under the 64MB "
-         "pin: admits W=768/I=3072 (~42MB at S=197), excludes W=1024 "
-         "(~74MB at S=257)"),
+         "weights (io dtype) 2WI + fp32 accums 8WI + live set under the "
+         "64MB pin: admits W=768/I=3072 (~42MB at S=197) and bf16 "
+         "S=52/W=1024 (55MB), excludes S=257/W=1024 (~74MB) and ANY fp32 "
+         "W=1024 (67MB — Mosaic rejected it by 28KB on chip; the gate is "
+         "esize-aware since that incident)"),
     Gate("ATTN_FULLGRAD_BUDGET", "fused_block_bwd.fits_attn_bwd_fullgrad",
          "r3", "VMEM math",
          "weights 8W^2 bytes + fp32 accums 16W^2 + one-shot live set: "
