@@ -1,16 +1,15 @@
-"""W=1280 whole-tower mega-kernel attempt (VERDICT r2 weak #5 / next #7).
+"""W=1280 whole-tower mega-kernel A/B (closed VERDICT r2 weak #5).
 
-ViT-H/14 image batch-1 serving currently routes per-block (one-shot fused
-attention + XLA MLP) because TOWER_MAX_WIDTH=1024 caps the tower kernel.
-The budget math says the H cell fits: double-buffered per-layer weights
+The r2 width cap (TOWER_MAX_WIDTH=1024) kept ViT-H/14 image batch-1 on
+the per-block path (one-shot fused attention + XLA MLP). The budget math
+says the H cell fits: double-buffered per-layer weights
 2*(4WW + 2WI)*2B = 78.6MB, tile=1 activations ~13.2MB (x3/qkv/h fp32
 scratch; head-major dh=80 pads 80->128 lanes so the true activation
 footprint is up to ~1.6x = ~21MB), total ~92-100MB against the 110MB
-VMEM_TOWER pin on a 128MB v5e. This script compiles the cell on the real
-chip, checks it against the per-block path, and A/Bs batch-1 latency.
-
-Outcome goes to PARITY.md; if the kernel wins, TOWER_MAX_WIDTH moves to
-1280 with this run as provenance (gates.py).
+VMEM_TOWER pin on a 128MB v5e. This script measured the cell on the real
+chip: 3.287 ms tower vs 3.922 per-block (1.19x, rel 8e-3) — since then
+TOWER_MAX_WIDTH=1280 IS the shipping route (gates.py provenance), so the
+per-block arm here forces the tower off to reproduce the A/B.
 """
 
 from __future__ import annotations
@@ -67,14 +66,19 @@ def drive(fn, params, x):
 def main():
     import nans_clip_tpu.ops.tower_kernel as tk
 
-    # Arm A: shipping route (tower capped at W=1024 -> per-block at H).
-    fn, one, params, x = build()
-    ref = np.asarray(one(params, x))
-    ms_block = drive(fn, params, x)
+    # Arm A: per-block path — force the tower OFF (since r3 the W=1280
+    # tower IS the shipping route; this A/B originally motivated that).
+    orig_tile = tk.tower_batch_tile
+    tk.tower_batch_tile = lambda *a, **k: 0
+    try:
+        fn, one, params, x = build()
+        ref = np.asarray(one(params, x))
+        ms_block = drive(fn, params, x)
+    finally:
+        tk.tower_batch_tile = orig_tile
     print(f"per-block  batch-1 ViT-H image: {ms_block:.3f} ms")
 
-    # Arm B: raise the width cap; same process, fresh jit instances.
-    tk.TOWER_MAX_WIDTH = 1280
+    # Arm B: the shipping route (W=1280 tower); same process, fresh jits.
     s, w, inter = 257, 1280, 5120
     tile = tk.tower_batch_tile(BATCH, s, w, inter, 2)
     print(f"tower_batch_tile(H) = {tile} (budget admits the cell)")
