@@ -249,10 +249,14 @@ def main(argv=None):
                         off = (start_off if start_off is not None else
                                max(0, start_step
                                    - start_epoch * steps_per_epoch))
-                        args.max_steps = (
+                        # clamp: a mid-epoch offset saved under a LARGER
+                        # steps_per_epoch can exceed the new one (the
+                        # resumed epoch is then already complete) — never
+                        # let the budget drop below the steps taken
+                        args.max_steps = max(start_step, (
                             start_step - off
                             + max(0, args.max_epochs - start_epoch)
-                            * steps_per_epoch)
+                            * steps_per_epoch))
                 logging.info("resumed from %s (epoch %d, step %d)",
                              resume_tag, start_epoch, start_step)
 
