@@ -309,7 +309,10 @@ PROVENANCE = (
     Gate("TOWER_MAX_RESTREAMS", "tower_kernel.fits_tower", "r2",
          "measured A/B",
          "batch-1 text 1.52x / image 1.36x over per-block; bs256 "
-         "neutral (3100 vs 3121 pairs/s) -> route only b <= 4 tiles"),
+         "neutral (3100 vs 3121 pairs/s) -> route only b <= 4 tiles. "
+         "Gate edge re-checked r3 at the heaviest cell (W=1280 tile=1, "
+         "4x 1.26GB weight restreams): batch-4 exactly neutral (10.494 "
+         "vs 10.495 ms) while batch-1 wins 1.19x — the cap holds"),
     Gate("MAX_PALLAS_SEQ", "attention.mha (attn_impl='pallas')", "r1",
          "VMEM math", "plain full-row kernel's seq bound (long-seq path)"),
 )
