@@ -1111,6 +1111,13 @@ def _mlp_bwd(act, eps, post_ln, interpret, hid_dropout, res, g):
     from nans_clip_tpu.ops.fused_block_bwd import (fits_fused_mlp_bwd,
                                                    fits_mlp_bwd_fullgrad)
     on_tpu = jax.default_backend() == "tpu"
+    # NOTE: the WIDE fullgrad tier (fits_mlp_bwd_fullgrad_wide, W=1024
+    # S=257 under the 110MB pin) is NOT routed: it compiles and is
+    # gradient-exact, but measured SLOWER in the full ViT-L224 train
+    # step (177.2 vs 185.3 pairs/s) — at tile=1 the in-kernel weight
+    # grads contract only S rows per grid step, losing more MXU
+    # efficiency than the saved [B,S,I] HBM traffic buys. Kept as a
+    # tested opt-in; the wide cells stay on the XLA-recompute vjp.
     if on_tpu and fits_mlp_bwd_fullgrad(x.shape[1], x.shape[2],
                                         w1.shape[-1],
                                         jnp.dtype(x.dtype).itemsize):

@@ -42,7 +42,9 @@ from nans_clip_tpu.ops.gates import (ATTN_BWD_BUDGET, ATTN_BWD_TILE_CAP,
                                      BERT_ATTN_BWD_BUDGET,
                                      HEAD_CHUNK_BUDGET, MLP_BWD_BUDGET,
                                      MLP_BWD_WIDE_SEQ, MLP_BWD_WIDE_WIDTH,
-                                     MLP_FULLGRAD_BUDGET, VMEM_RAISED)
+                                     MLP_FULLGRAD_BUDGET,
+                                     MLP_FULLGRAD_WIDE_BUDGET,
+                                     VMEM_MLP_FULLGRAD_WIDE, VMEM_RAISED)
 
 
 def fits_attention_bwd(seq: int, width: int, heads: int) -> bool:
@@ -837,6 +839,32 @@ def fits_mlp_bwd_fullgrad(seq: int, width: int, inter: int,
     return weights_and_accums + live < MLP_FULLGRAD_BUDGET
 
 
+def _mlp_fullgrad_need(seq: int, width: int, inter: int, esize: int):
+    """(resident, per-tile) VMEM bytes — the wrapper's exact accounting,
+    shared with the wide-tier gate so they cannot drift."""
+    resident = 2 * width * inter * esize + 2 * width * inter * 4
+    per = (_rup(seq, 8) * inter * 4 * 3 + _rup(seq, 8) * width * 4 * 4
+           + _rup(seq, 8) * (5 * width + 2 * inter) * esize * 2)
+    return resident, per
+
+
+def fits_mlp_bwd_fullgrad_wide(seq: int, width: int, inter: int,
+                               esize: int = 2) -> bool:
+    """Wide tier (W=1024-class cells whose resident accumulators alone
+    exceed the 64MB pin): one tile fits the raised VMEM_MLP_FULLGRAD_WIDE
+    pin's budget for bf16 ViT-L224 image (S=257/W=1024, ~82MB); W=1280
+    (~118MB), S=577 (~120MB) and fp32 W=1024 (~113MB) fit no pin.
+
+    NOT ROUTED (opt-in only): the admitted cell compiles and is
+    gradient-exact on chip, but LOST the full ViT-L224 train step
+    (177.2 vs 185.3 pairs/s) — at tile=1 the in-kernel wgrad
+    contractions see only S rows per grid step, costing more MXU
+    efficiency than the saved [B,S,I] HBM round trips. All wide cells
+    keep the XLA-recompute vjp (gates.py MLP_FULLGRAD_WIDE_BUDGET)."""
+    resident, per = _mlp_fullgrad_need(seq, width, inter, esize)
+    return resident + per < MLP_FULLGRAD_WIDE_BUDGET
+
+
 def _mlp_bwd_fullgrad_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
                              b2_ref, seed_ref, g_ref,
                              dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
@@ -899,14 +927,24 @@ def fused_mlp_block_bwd_fullgrad(x, ln_scale, ln_bias, w1, b1, w2, b2, seed,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    # resident set = weights (bf16) + fp32 accumulators; the per-tile live
-    # set divides what's left (tiling only pays at short seqs — same
-    # finding as attn_bwd_cell_tile — so the cap matches)
+    # resident set = weights (io dtype) + fp32 accumulators; the per-tile
+    # live set divides what's left (tiling only pays at short seqs — same
+    # finding as attn_bwd_cell_tile — so the cap matches). Cells the
+    # narrow gate admits keep the r2-validated 64MB pin and tile sizing;
+    # wide-tier cells (resident accums alone near the 64MB pin) pin
+    # VMEM_MLP_FULLGRAD_WIDE and run tile=1 — an OPT-IN path only:
+    # measured SLOWER in the full L224 train step (177.2 vs 185.3
+    # pairs/s — tile=1 leaves the in-kernel wgrad contractions only S
+    # rows per grid step vs XLA's one [B*S]-row batched contraction),
+    # so the dispatch never routes it (gates.py provenance).
     esize = jnp.dtype(x.dtype).itemsize
-    resident = 2 * w * i * esize + 2 * w * i * 4
-    per = (_rup(s, 8) * i * 4 * 3 + _rup(s, 8) * w * 4 * 4
-           + _rup(s, 8) * (5 * w + 2 * i) * esize * 2)
-    tile = max(1, (MLP_FULLGRAD_BUDGET - resident) // per)
+    resident, per = _mlp_fullgrad_need(s, w, i, esize)
+    if (resident + per <= MLP_FULLGRAD_BUDGET
+            or fits_mlp_bwd_fullgrad(s, w, i, esize)):
+        budget, pin = MLP_FULLGRAD_BUDGET, VMEM_RAISED
+    else:
+        budget, pin = MLP_FULLGRAD_WIDE_BUDGET, VMEM_MLP_FULLGRAD_WIDE
+    tile = max(1, (budget - resident) // per)
     tile = min(tile, ATTN_BWD_TILE_CAP if s <= ATTN_BWD_TILE_MAX_SEQ else 1)
     while tile > 1 and b % tile:
         tile -= 1
@@ -932,7 +970,7 @@ def fused_mlp_block_bwd_fullgrad(x, ln_scale, ln_bias, w1, b1, w2, b2, seed,
             jax.ShapeDtypeStruct((1, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_RAISED),
+            vmem_limit_bytes=pin),
         interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, g)
 

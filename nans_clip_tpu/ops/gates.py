@@ -142,6 +142,14 @@ HEAD_CHUNK_BUDGET = 24 * MiB
 # Whole-layer kernel (layer_kernel)
 # ---------------------------------------------------------------------------
 
+#: Wide tier of the full-gradient MLP bwd: resident fp32 dw1+dw2
+#: accumulators at W=1024/I=4096 are 33.6MB (+16.8MB bf16 weights), so
+#: the cell needs its own raised pin. Budget admits ViT-L224's image MLP
+#: (S=257: ~82MB) and excludes ViT-H (W=1280: ~118MB) and L-336 (S=577:
+#: ~120MB) — those keep the XLA-recompute vjp.
+MLP_FULLGRAD_WIDE_BUDGET = 100 * MiB
+VMEM_MLP_FULLGRAD_WIDE = 110 * MiB
+
 LAYER_CELL_BUDGET = 48 * MiB
 LAYER_TILE_CAP = 8
 #: Route the whole-layer kernel only when the tile reaches this (row-fill
@@ -274,6 +282,20 @@ PROVENANCE = (
          "S=52/W=1024 (55MB), excludes S=257/W=1024 (~74MB) and ANY fp32 "
          "W=1024 (67MB — Mosaic rejected it by 28KB on chip; the gate is "
          "esize-aware since that incident)"),
+    Gate("MLP_FULLGRAD_WIDE_BUDGET",
+         "fused_block_bwd.fits_mlp_bwd_fullgrad_wide", "r3",
+         "measured A/B (NEGATIVE — not routed)",
+         "wide tier (resident accums > the 64MB pin) admits bf16 L224 "
+         "image MLP (S=257/W=1024 ~82MB; W=1280/S=577/fp32 don't fit "
+         "any pin). Compiles + gradient-exact but LOSES the full L224 "
+         "train step 177.2 vs 185.3 pairs/s: tile=1 leaves the wgrad "
+         "contractions S rows per grid step vs XLA's one [B*S]-row "
+         "batched einsum. Tested opt-in; dispatch never routes it"),
+    Gate("VMEM_MLP_FULLGRAD_WIDE",
+         "fused_block_bwd.fused_mlp_block_bwd_fullgrad", "r3",
+         "compile bound",
+         "the (opt-in) wide fullgrad cell's pin — L224 cell compiled and "
+         "ran under it on chip"),
     Gate("ATTN_FULLGRAD_BUDGET", "fused_block_bwd.fits_attn_bwd_fullgrad",
          "r3", "VMEM math",
          "weights 8W^2 bytes + fp32 accums 16W^2 + one-shot live set: "

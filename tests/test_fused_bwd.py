@@ -100,6 +100,17 @@ def test_bwd_fullgrad_kernels_match_vjp():
     assert fits_attn_bwd_fullgrad(257, 1024, 16)      # ViT-L routed
     assert not fits_attn_bwd_fullgrad(577, 1024, 16)  # L-336 chunked
     assert not fits_attn_bwd_fullgrad(257, 1280, 16)  # H keeps emitting
+    # dtype-awareness (r3: the esize-blind gate let an fp32 W=1024 MLP
+    # cell bust the 64MB pin by 28KB on chip)
+    from nans_clip_tpu.ops.fused_block_bwd import (
+        fits_mlp_bwd_fullgrad, fits_mlp_bwd_fullgrad_wide)
+    assert fits_mlp_bwd_fullgrad(52, 1024, 4096, 2)       # bf16 H text
+    assert not fits_mlp_bwd_fullgrad(52, 1024, 4096, 4)   # fp32 busts pin
+    # wide tier: L224 image MLP only (the one W=1024-class cell that fits)
+    assert fits_mlp_bwd_fullgrad_wide(257, 1024, 4096, 2)
+    assert not fits_mlp_bwd_fullgrad_wide(257, 1280, 5120, 2)  # ViT-H
+    assert not fits_mlp_bwd_fullgrad_wide(577, 1024, 4096, 2)  # L-336
+    assert not fits_mlp_bwd_fullgrad_wide(257, 1024, 4096, 4)  # fp32
 
     H = 4
     # S=197 pins tile=1 -> a 4-step grid, exercising the fp32 VMEM
