@@ -312,6 +312,12 @@ def _bwd(heads, eps, post_ln, interpret, attn_drop, hid_drop, res, g):
     on_tpu = jax.default_backend() == "tpu"
     from nans_clip_tpu.ops.fused_block_bwd import (fits_attention_bwd,
                                                    fits_attn_bwd_fullgrad)
+    # NOTE: the WIDE attention fullgrad tier (W=1280 under the 110MB
+    # pin, fits_attn_bwd_fullgrad_wide) is NOT routed: same-process H
+    # bs64 A/B measured EXACTLY neutral (734.3 vs 734.4 ms/step) — the
+    # saved [B,S,5W] emission traffic is fully repaid by the tile=1
+    # short-row in-kernel wgrads. Tested opt-in; H keeps the r2-validated
+    # one-shot emitting kernel + XLA einsums.
     if (not post_ln and key_bias is None and on_tpu
             and fits_attn_bwd_fullgrad(x.shape[1], x.shape[2], heads,
                                        jnp.dtype(x.dtype).itemsize)):

@@ -42,6 +42,8 @@ from nans_clip_tpu.ops.gates import (ATTN_BWD_BUDGET, ATTN_BWD_TILE_CAP,
                                      BERT_ATTN_BWD_BUDGET,
                                      HEAD_CHUNK_BUDGET, MLP_BWD_BUDGET,
                                      MLP_BWD_WIDE_SEQ, MLP_BWD_WIDE_WIDTH,
+                                     ATTN_FULLGRAD_WIDE_BUDGET,
+                                     ATTN_FULLGRAD_WIDE_MAX_SEQ,
                                      MLP_FULLGRAD_BUDGET,
                                      MLP_FULLGRAD_WIDE_BUDGET,
                                      VMEM_MLP_FULLGRAD_WIDE, VMEM_RAISED)
@@ -591,13 +593,31 @@ def fits_attn_bwd_fullgrad(seq: int, width: int, heads: int,
     minus the five [T,S,·] output blocks it no longer double-buffers.
     ``esize``: io/weight dtype size — fp32 inputs (tests, --precision
     fp32) double the resident weights, pushing wide cells past the pin."""
+    return _attn_fullgrad_need(seq, width, heads,
+                               esize) < ATTN_FULLGRAD_BUDGET
+
+
+def _attn_fullgrad_need(seq: int, width: int, heads: int,
+                        esize: int) -> int:
     weights = (3 * width * width + width * width) * esize
     accums = (3 * width * width + width * width) * 4
     qkv = _rup(seq, 8) * 3 * width * 4 * 2
     probs = heads * _rup(seq, 8) * seq * 4
     acts = _rup(seq, 8) * width * 24
     io = _rup(seq, 8) * width * 2 * esize * 2
-    return weights + accums + qkv + probs + acts + io < ATTN_FULLGRAD_BUDGET
+    return weights + accums + qkv + probs + acts + io
+
+
+def fits_attn_bwd_fullgrad_wide(seq: int, width: int, heads: int,
+                                esize: int = 2) -> bool:
+    """Wide tier (ViT-H W=1280, S<=320): the ~63MB bf16 cell runs under
+    the raised VMEM_MLP_FULLGRAD_WIDE pin. Longer sequences (L-336
+    S=577) keep their measured head-chunked path regardless of fit —
+    that routing was settled by full-step drives (PARITY.md)."""
+    if seq > ATTN_FULLGRAD_WIDE_MAX_SEQ:
+        return False
+    return _attn_fullgrad_need(seq, width, heads,
+                               esize) < ATTN_FULLGRAD_WIDE_BUDGET
 
 
 def fused_attention_block_bwd_fullgrad(x, ln_scale, ln_bias, wqkv, bqkv, wo,
@@ -614,7 +634,13 @@ def fused_attention_block_bwd_fullgrad(x, ln_scale, ln_bias, wqkv, bqkv, wo,
     resident = (3 * w * w + w * w) * (esize + 4)
     per = (s * 3 * w * 8 + heads * _rup(s, 8) * s * 8
            + s * w * 4 * 6 + s * w * esize * 2 * 5)
-    tile = max(1, (ATTN_FULLGRAD_BUDGET - resident) // per)
+    # wide-tier cells (W=1280) exceed the narrow budget: pin the raised
+    # limit and size the tile against the wide budget instead
+    if fits_attn_bwd_fullgrad(s, w, heads, esize):
+        budget, pin = ATTN_FULLGRAD_BUDGET, VMEM_RAISED
+    else:
+        budget, pin = ATTN_FULLGRAD_WIDE_BUDGET, VMEM_MLP_FULLGRAD_WIDE
+    tile = max(1, (budget - resident) // per)
     tile = min(tile, ATTN_BWD_TILE_CAP if s <= ATTN_BWD_TILE_MAX_SEQ else 1)
     while tile > 1 and b % tile:
         tile -= 1
@@ -639,7 +665,7 @@ def fused_attention_block_bwd_fullgrad(x, ln_scale, ln_bias, wqkv, bqkv, wo,
             jax.ShapeDtypeStruct((1, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_RAISED),
+            vmem_limit_bytes=pin),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, g)
 

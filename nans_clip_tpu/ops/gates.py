@@ -149,6 +149,11 @@ HEAD_CHUNK_BUDGET = 24 * MiB
 #: ~120MB) — those keep the XLA-recompute vjp.
 MLP_FULLGRAD_WIDE_BUDGET = 100 * MiB
 VMEM_MLP_FULLGRAD_WIDE = 110 * MiB
+#: Wide tier of the full-gradient ATTENTION bwd (W=1280, S<=320 —
+#: longer seqs keep their tuned head-chunked path): ~63MB cell under the
+#: same 110MB pin.
+ATTN_FULLGRAD_WIDE_BUDGET = 90 * MiB
+ATTN_FULLGRAD_WIDE_MAX_SEQ = 320
 
 LAYER_CELL_BUDGET = 48 * MiB
 LAYER_TILE_CAP = 8
@@ -296,6 +301,21 @@ PROVENANCE = (
          "compile bound",
          "the (opt-in) wide fullgrad cell's pin — L224 cell compiled and "
          "ran under it on chip"),
+    Gate("ATTN_FULLGRAD_WIDE_BUDGET",
+         "fused_block_bwd.fits_attn_bwd_fullgrad_wide", "r3",
+         "measured A/B (NEUTRAL — not routed)",
+         "W=1280 S=257 pre-LN cell ~63MB bf16 under the 110MB pin; "
+         "compiles + gradient-exact, but the same-process H bs64 "
+         "full-step A/B is EXACTLY neutral (734.3 vs 734.4 ms): the "
+         "saved [B,S,5W] emission traffic is repaid by tile=1 short-row "
+         "in-kernel wgrads. Tested opt-in; the one-shot emitting kernel "
+         "+ XLA einsums stay routed at W=1280"),
+    Gate("ATTN_FULLGRAD_WIDE_MAX_SEQ",
+         "fused_block_bwd.fits_attn_bwd_fullgrad_wide", "r3",
+         "measured A/B (r2)",
+         "S=577 keeps the head-chunked bwd (hpc=4, 9.709 ms beat "
+         "flash-block 11.0 / XLA 15.6 in full-step drives) — the wide "
+         "fullgrad tier must not silently displace it"),
     Gate("ATTN_FULLGRAD_BUDGET", "fused_block_bwd.fits_attn_bwd_fullgrad",
          "r3", "VMEM math",
          "weights 8W^2 bytes + fp32 accums 16W^2 + one-shot live set: "

@@ -395,3 +395,12 @@ def test_longseq_training_bwd_routing():
     assert not fits_attention_bwd(577, 1024, 16)  # L-336 -> chunked bwd
     assert attn_bwd_head_chunk(577, 1024, 16) == 4
     assert attn_bwd_head_chunk(577, 1280, 16) == 4  # hypothetical H-336
+
+
+def test_wide_fullgrad_attn_gate():
+    """Wide attention fullgrad tier: admitted shapes (opt-in — NOT
+    routed: same-process H A/B measured exactly neutral, gates.py) and
+    the S=577 exclusion that protects L-336's tuned head-chunked path."""
+    from nans_clip_tpu.ops.fused_block_bwd import fits_attn_bwd_fullgrad_wide
+    assert fits_attn_bwd_fullgrad_wide(257, 1280, 16, 2)   # ViT-H bf16
+    assert not fits_attn_bwd_fullgrad_wide(577, 1024, 16, 2)  # L-336
