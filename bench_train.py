@@ -58,6 +58,10 @@ def main():
     # deterministic=False, so the routing (training kernels) is unchanged
     # and only the in-kernel PRNG work disappears. NOT a production mode.
     ap.add_argument("--no-dropout", action="store_true")
+    # FLIP (scaling-language-image-pretraining-via-masking) speed mode:
+    # randomly DROP this fraction of image patches per step (the
+    # reference's --mask-ratio, model.py random_masking).
+    ap.add_argument("--mask-ratio", type=float, default=0.0)
     args = ap.parse_args()
     from nans_clip_tpu.configs import load_config
     from nans_clip_tpu.models import ModelOptions
@@ -77,6 +81,7 @@ def main():
                            remat=args.remat, deterministic=False)
     tcfg = TrainConfig(lr=1e-4, warmup=10, max_steps=1000,
                        accum_freq=args.accum_freq,
+                       mask_ratio=args.mask_ratio,
                        adam_state_dtype=args.adam_state_dtype)
 
     mesh = create_mesh()  # 1-chip data mesh (the loss constrains sharding)
@@ -139,7 +144,9 @@ def main():
                      if args.adam_state_dtype else "")
                   + (f", accum={args.accum_freq}" if args.accum_freq > 1
                      else "")
-                  + (f", {K} steps/dispatch" if K > 1 else "") + ")",
+                  + (f", {K} steps/dispatch" if K > 1 else "")
+                  + (f", FLIP mask {args.mask_ratio}"
+                     if args.mask_ratio else "") + ")",
         "value": round(pairs, 1),
         "unit": "pairs/sec",
         "step_ms": round(dt * 1000, 1),
