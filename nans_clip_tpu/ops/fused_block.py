@@ -458,6 +458,13 @@ def fused_bert_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
 
 
 def fits_fused(seq: int, width: int) -> bool:
+    # Lane alignment: the kernels flatten [T,S,W]->[T*S,W], and Mosaic
+    # rejects that shape cast when W isn't a multiple of the 128-lane
+    # vreg ("unsupported shape cast", found driving a width-64 test
+    # config on chip r3). Every production tower is 768/1024/1280;
+    # sub-lane custom widths route XLA.
+    if width % 128:
+        return False
     if width <= MAX_FUSED_WIDTH and seq <= MAX_FUSED_SEQ:
         return True
     # H-class one-shot cells (W=1280: weights 13.1MB + ~11.5MB/sample)
@@ -475,7 +482,10 @@ def fits_fused(seq: int, width: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def fits_fused_wide(seq: int, width: int) -> bool:
-    return MAX_FUSED_WIDTH < width <= MAX_WIDE_WIDTH and seq <= MAX_FUSED_SEQ
+    # width % 128: Mosaic lane-alignment (see fits_fused); also keeps
+    # dh = width/heads head slices vreg-contiguous in the chunked layout
+    return (width % 128 == 0 and MAX_FUSED_WIDTH < width <= MAX_WIDE_WIDTH
+            and seq <= MAX_FUSED_SEQ)
 
 
 def _wide_kernel(x_ref, s1_ref, b1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
@@ -726,7 +736,9 @@ fused_attention_block_wide.defvjp(_wide_fwd, _wide_bwd)
 # ---------------------------------------------------------------------------
 
 def fits_fused_mlp(seq: int, width: int) -> bool:
-    return width <= MAX_FUSED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
+    # width % 128: same Mosaic lane-alignment constraint as fits_fused
+    return (width % 128 == 0 and width <= MAX_FUSED_MLP_WIDTH
+            and seq <= MAX_FUSED_SEQ)
 
 
 def fits_fused_mlp_oneshot(seq: int, width: int) -> bool:
@@ -737,7 +749,7 @@ def fits_fused_mlp_oneshot(seq: int, width: int) -> bool:
     have no dropout support)."""
     if fits_fused_mlp(seq, width):
         return True
-    return (seq <= MLP_ONESHOT_WIDE_SEQ
+    return (width % 128 == 0 and seq <= MLP_ONESHOT_WIDE_SEQ
             and width <= MLP_ONESHOT_WIDE_WIDTH)
 
 
@@ -927,7 +939,9 @@ def _fused_mlp_tiled_call(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps,
 
 
 def fits_fused_mlp_tiled(seq: int, width: int) -> bool:
-    return MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH and seq <= MAX_FUSED_SEQ
+    return (width % 128 == 0
+            and MAX_FUSED_MLP_WIDTH < width <= MAX_TILED_MLP_WIDTH
+            and seq <= MAX_FUSED_SEQ)
 
 
 def mlp_chunk_size(width: int, inter: int, esize: int = 2):

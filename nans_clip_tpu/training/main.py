@@ -35,7 +35,9 @@ from nans_clip_tpu.parallel import create_mesh, shard_params
 from nans_clip_tpu.parallel.distributed import global_batch_from_host_batch
 from nans_clip_tpu.training.params import parse_args
 from nans_clip_tpu.training.trainer import (TrainConfig, create_train_state,
-                                            make_eval_step, make_train_step,
+                                            make_eval_step,
+                                            make_multi_train_step,
+                                            make_train_step,
                                             shard_train_state,
                                             train_state_shardings)
 from nans_clip_tpu.utils.checkpoint import (latest_exists, restore_checkpoint,
@@ -262,6 +264,9 @@ def main(argv=None):
 
         train_step = make_train_step(cfg, tcfg, options, teacher=teacher,
                                      state_shardings=state_sh)
+        spc = max(1, args.steps_per_call)
+        multi_step = (make_multi_train_step(train_step, spc)
+                      if spc > 1 else None)
         eval_step = make_eval_step(cfg, options)
         rng = jax.random.PRNGKey(args.seed)
 
@@ -318,6 +323,70 @@ def main(argv=None):
                 logging.info("profiler trace written to %s", profile_dir)
 
         step = start_step
+
+        def crossed(interval, n):
+            # did (step-n, step] cross a multiple of interval? At n=1 this
+            # is exactly `step % interval == 0` — the K=1 cadence semantics
+            return (interval and interval > 0
+                    and (step // interval) > ((step - n) // interval))
+
+        def run_group(groups, i, epoch, epoch_steps):
+            """Dispatch ``len(groups)`` optimizer steps — ONE scanned call
+            for a full steps-per-call group, singles for a tail (epoch end
+            or max_steps trim; shape-stable, so the single-step executable
+            is compiled once and reused) — plus all per-step bookkeeping
+            at dispatch granularity. Returns (epoch_steps, stop_reason)."""
+            nonlocal state, step, data_time, profile_range
+            n = len(groups)
+            t0 = time.time()
+            if profile_range and not prof_active["flag"] \
+                    and step <= profile_range[0] < step + n:
+                jax.profiler.start_trace(profile_dir)
+                prof_active["flag"] = True
+            if n == spc and multi_step is not None:
+                ims, txs, rngs = (jnp.stack(z) for z in zip(*groups))
+                state, metrics = multi_step(state, ims, txs, rngs)
+            else:
+                for g in groups:
+                    state, metrics = train_step(state, *g)
+            step += n
+            epoch_steps += n
+            if profile_range and prof_active["flag"] \
+                    and step >= profile_range[1]:
+                stop_profiler()
+                profile_range = None
+
+            if crossed(args.log_interval, n):
+                metrics = jax.tree.map(float, metrics)   # last step's
+                batch_time = (time.time() - t0) / n      # per optimizer step
+                logging.info(
+                    "Epoch %d [%d/%d] | loss %.6f | i2t %.2f%% | t2i %.2f%% | "
+                    "data %.3fs | batch %.3fs | logit_scale %.3f | gbs %d",
+                    epoch, (i + 1), num_batches, metrics["loss"],
+                    100 * metrics["i2t_acc"], 100 * metrics["t2i_acc"],
+                    data_time, batch_time, metrics["logit_scale"],
+                    global_micro * args.accum_freq)
+            data_time = 0.0
+
+            if crossed(args.valid_step_interval, n):
+                run_validation(state, epoch)
+            if crossed(args.save_step_frequency, n):
+                meta = {"epoch": epoch, "step": step, "name": args.name,
+                        "epoch_batch": epoch_steps}
+                save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
+                                args.save_torch_format, cfg)
+            if preempted["flag"]:
+                stop_profiler()
+                meta = {"epoch": epoch, "step": step, "name": args.name,
+                        "epoch_batch": epoch_steps}
+                save_checkpoint(ckpt_dir, f"preempt_step_{step}", state, meta,
+                                args.save_torch_format, cfg)
+                logging.info("preemption checkpoint saved at step %d", step)
+                return epoch_steps, "preempt"
+            if step >= args.max_steps:
+                return epoch_steps, "max_steps"
+            return epoch_steps, None
+
         for epoch in range(start_epoch, args.max_epochs):
             # Mid-epoch resume (step_N / preempt_step_N): fast-forward the
             # resumed epoch past the batches already trained, so no batch
@@ -341,6 +410,8 @@ def main(argv=None):
                 epoch, start_batch=max(0, resume_off) * args.accum_freq)
             epoch_steps = max(0, resume_off)
             micro_buf = []
+            group_buf = []   # steps-per-call > 1: device-ready step inputs
+            stop = None
             t_data = time.time()
             data_time = 0.0
             for i, batch in enumerate(train_loader):
@@ -353,53 +424,31 @@ def main(argv=None):
                 texts = np.concatenate([b.texts for b in micro_buf])
                 micro_buf = []
 
-                t0 = time.time()
                 im = global_batch_from_host_batch(images, mesh)
                 tx = global_batch_from_host_batch(texts, mesh)
                 rng, srng, arng = jax.random.split(rng, 3)
                 im = preprocess_images(arng, im, resolution, augment=args.use_augment)
-                if profile_range and not prof_active["flag"] \
-                        and step == profile_range[0]:
-                    jax.profiler.start_trace(profile_dir)
-                    prof_active["flag"] = True
-                state, metrics = train_step(state, im, tx, srng)
-                step += 1
-                epoch_steps += 1
-                if profile_range and prof_active["flag"] \
-                        and step >= profile_range[1]:
-                    stop_profiler()
-                    profile_range = None
-
-                if step % args.log_interval == 0:
-                    metrics = jax.tree.map(float, metrics)
-                    batch_time = time.time() - t0
-                    logging.info(
-                        "Epoch %d [%d/%d] | loss %.6f | i2t %.2f%% | t2i %.2f%% | "
-                        "data %.3fs | batch %.3fs | logit_scale %.3f | gbs %d",
-                        epoch, (i + 1), num_batches, metrics["loss"],
-                        100 * metrics["i2t_acc"], 100 * metrics["t2i_acc"],
-                        data_time, batch_time, metrics["logit_scale"],
-                        global_micro * args.accum_freq)
-                data_time = 0.0
-
-                if args.valid_step_interval and step % args.valid_step_interval == 0:
-                    run_validation(state, epoch)
-                if args.save_step_frequency > 0 and step % args.save_step_frequency == 0:
-                    meta = {"epoch": epoch, "step": step, "name": args.name,
-                            "epoch_batch": epoch_steps}
-                    save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
-                                    args.save_torch_format, cfg)
-                if preempted["flag"]:
-                    stop_profiler()
-                    meta = {"epoch": epoch, "step": step, "name": args.name,
-                            "epoch_batch": epoch_steps}
-                    save_checkpoint(ckpt_dir, f"preempt_step_{step}", state, meta,
-                                    args.save_torch_format, cfg)
-                    logging.info("preemption checkpoint saved at step %d", step)
+                group_buf.append((im, tx, srng))
+                # collect a full steps-per-call group before dispatching —
+                # trimmed when fewer steps remain in the budget (no
+                # overshoot past max_steps)
+                if len(group_buf) < min(spc, args.max_steps - step):
+                    t_data = time.time()
+                    continue
+                groups, group_buf = group_buf, []
+                epoch_steps, stop = run_group(groups, i, epoch, epoch_steps)
+                if stop == "preempt":
                     return state
-                if step >= args.max_steps:
+                if stop == "max_steps":
                     break
                 t_data = time.time()
+            if group_buf and stop is None:
+                # epoch tail shorter than steps-per-call: flush as singles
+                epoch_steps, stop = run_group(group_buf, num_batches - 1,
+                                              epoch, epoch_steps)
+                group_buf = []
+                if stop == "preempt":
+                    return state
 
             if (epoch + 1) % args.valid_epoch_interval == 0:
                 run_validation(state, epoch)

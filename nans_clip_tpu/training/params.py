@@ -106,6 +106,14 @@ def parse_args(argv=None):
                    help="replicate parameters smaller than this many "
                         "elements instead of sharding them (default: the "
                         "production 65536 gate; lower it for tiny models)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan of "
+                        "the train step over stacked batches): amortizes "
+                        "per-dispatch host overhead (+2.6%% measured at 4 "
+                        "on the bench chip). Trajectory is identical to 1. "
+                        "Log/valid/save cadences round UP to the next "
+                        "dispatch boundary; holds K preprocessed batches "
+                        "on device, so watch HBM at large global batches")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel mesh axis size: each stage "
                         "stores and runs layers/pp transformer layers, "

@@ -360,7 +360,47 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
         return jitted.lower(state, images, texts, rng, teacher_params)
 
     step.lower = lower
+    # Unjitted 5-arg body + its teacher tree, for make_multi_train_step —
+    # which must re-thread teacher_params as a traced argument (closing
+    # them into its own jit would bake them in as XLA constants).
+    step.raw = step_fn
+    step.teacher_params = teacher_params
     return step
+
+
+def make_multi_train_step(train_step, k: int) -> Callable:
+    """K optimizer steps in ONE dispatch: ``lax.scan`` of the single-step
+    body over ``[K, ...]``-stacked batches (``--steps-per-call``).
+
+    Amortizes per-dispatch host overhead — on the tunneled bench chip this
+    is the ~27.5 ms RTT (ViT-B bs512: 744.3 -> 763.6 pairs/s at k=4,
+    PARITY.md training-floor table); on a real TPU-VM host the async
+    enqueue already hides most of it, but the scan still drops k-1 host
+    sync points and Python-side step costs. The scanned trajectory is the
+    SAME computation as k sequential calls — params bit-comparable
+    (tests/test_trainer.py::test_scan_of_steps_matches_sequential,
+    tests/test_main_cli.py::test_steps_per_call_matches_single).
+
+    Takes (state, images[K,B,...], texts[K,B,...], rngs[K,2]); returns
+    (new_state, metrics of the LAST step) — the state the caller logs and
+    checkpoints at the dispatch boundary."""
+    raw, teacher_params = train_step.raw, train_step.teacher_params
+
+    def multi(state, images, texts, rngs, teacher_params):
+        def body(s, xs):
+            im, tx, rn = xs
+            return raw(s, im, tx, rn, teacher_params)
+
+        state, ms = jax.lax.scan(body, state, (images, texts, rngs))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    jitted = jax.jit(multi, donate_argnums=(0,))
+
+    def stepk(state, images, texts, rngs):
+        assert images.shape[0] == k, (images.shape, k)
+        return jitted(state, images, texts, rngs, teacher_params)
+
+    return stepk
 
 
 def make_eval_step(cfg: CLIPConfig, options: ModelOptions, constrain: bool = True) -> Callable:

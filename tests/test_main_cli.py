@@ -6,6 +6,8 @@ import io
 import json
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -96,6 +98,34 @@ def test_train_pp_cycle(data_dir, tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "LATEST"))
     state2 = train_main(common + ["--max-epochs", "2"])
     assert int(state2.step) == 4
+
+
+def test_steps_per_call_matches_single(data_dir, tmp_path):
+    """--steps-per-call K scans K optimizer steps per dispatch; the
+    trajectory must MATCH the K=1 run (same seed -> same per-step rng
+    stream and data order), including an epoch tail shorter than K
+    (flushed as single steps) and the max-steps trim."""
+    def run(name, extra):
+        logs = str(tmp_path / name)
+        return train_main([
+            "--train-data", data_dir,
+            "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+            "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+            "--log-interval", "1", "--logs", logs, "--name", name,
+            "--num-workers", "2", "--max-epochs", "2"] + extra)
+
+    ref = run("spc1", [])                          # 2 steps/epoch, 4 total
+    k2 = run("spc2", ["--steps-per-call", "2"])    # one 2-step dispatch/epoch
+    k3 = run("spc3", ["--steps-per-call", "3"])    # every epoch is a 2-tail
+    assert int(ref.step) == int(k2.step) == int(k3.step) == 4
+    for got in (k2, k3):
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             ref.params, got.params)
+        assert max(jax.tree.leaves(diffs)) < 1e-6, diffs
+
+    # max-steps trim: 3 steps at K=2 -> a full dispatch + a 1-step tail
+    trimmed = run("spc_trim", ["--steps-per-call", "2", "--max-steps", "3"])
+    assert int(trimmed.step) == 3
 
 
 def test_mid_epoch_resume_skips_trained_batches(data_dir, tmp_path, monkeypatch):
