@@ -68,3 +68,18 @@ def test_routing_matrix_unchanged():
                            attn_fullgrad=True, mlp_fullgrad=True),
     }
     assert matrix == expected, matrix
+
+
+def test_sub_lane_widths_route_xla():
+    """Widths that aren't a multiple of the 128-lane vreg must fail every
+    fused fwd gate (Mosaic rejects the [T,S,W]->[T*S,W] shape cast — found
+    driving a width-64 config on chip, r3). The bwd gates are only reached
+    through a fused fwd, so gating fwd suffices."""
+    from nans_clip_tpu.ops import fused_block as fb
+
+    for s, w in [(5, 64), (197, 96), (52, 640 + 64), (257, 1000)]:
+        assert not fb.fits_fused(s, w), (s, w)
+        assert not fb.fits_fused_wide(s, w), (s, w)
+        assert not fb.fits_fused_mlp(s, w), (s, w)
+        assert not fb.fits_fused_mlp_oneshot(s, w), (s, w)
+        assert not fb.fits_fused_mlp_tiled(s, w), (s, w)
