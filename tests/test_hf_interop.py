@@ -281,3 +281,102 @@ def test_load_from_name_hf_dir(tmp_path):
     assert m2.params["visual"]["positional_embedding"].shape[0] == 17
     feats = m2.encode_image(jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_is_hf_layout_majority_vote():
+    """A stray ``vision_model.*`` key in a reference-layout dict must NOT
+    flip the whole translation (advisor r2: any() gave a misleading
+    'unmapped HF keys' error naming the wrong format)."""
+    from nans_clip_tpu.utils.hf_interop import is_hf_layout
+
+    ref_keys = {f"visual.transformer.resblocks.{i}.attn.Wqkv.weight": 0
+                for i in range(10)}
+    ref_keys.update({f"bert.encoder.layer.{i}.attention.self.query.weight": 0
+                     for i in range(10)})
+    assert not is_hf_layout(ref_keys)
+    assert not is_hf_layout({})
+    # one stray HF key among 20 reference keys: still reference layout
+    mixed = dict(ref_keys, **{"vision_model.embeddings.class_embedding": 0})
+    assert not is_hf_layout(mixed)
+    # predominantly HF: detected
+    hf = {f"vision_model.encoder.layers.{i}.self_attn.q_proj.weight": 0
+          for i in range(10)}
+    hf["text_projection.weight"] = 0
+    assert is_hf_layout(hf)
+    assert is_hf_layout(dict(hf, **{"visual.stray": 0}))
+
+
+def _vocab120_cfg():
+    return CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(embed_dim=48, image_resolution=32, layers=2,
+                            width=64, patch_size=16, head_width=32),
+        text=TextConfig(vocab_size=120, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=128,
+                        max_position_embeddings=64),
+    )
+
+
+def test_save_hf_checkpoint_vocab_mismatch(tmp_path):
+    """Vocab/model size mismatch: warn + model-only export for the default
+    vocab, ValueError when the caller explicitly passed the bad vocab_file
+    (advisor r2: it used to silently skip the processor side)."""
+    import os
+    import warnings
+
+    from nans_clip_tpu.utils.hf_interop import save_hf_checkpoint
+
+    cfg = _vocab120_cfg()  # vocab_size=120 != bundled 21128
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(np.asarray, params)
+
+    d1 = str(tmp_path / "warned")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        save_hf_checkpoint(d1, params, cfg)
+    assert any("vocab" in str(w.message) for w in caught)
+    assert os.path.isfile(os.path.join(d1, "model.safetensors"))
+    assert not os.path.exists(os.path.join(d1, "vocab.txt"))
+
+    bad_vocab = tmp_path / "bad_vocab.txt"
+    bad_vocab.write_text("\n".join(f"tok{i}" for i in range(7)) + "\n",
+                         encoding="utf-8")
+    with pytest.raises(ValueError, match="120"):
+        save_hf_checkpoint(str(tmp_path / "raised"), params, cfg,
+                           vocab_file=str(bad_vocab))
+
+
+def test_save_hf_checkpoint_vocab_no_trailing_newline(tmp_path):
+    """A matching vocab WITHOUT a trailing newline must count correctly
+    (advisor r2: the old line count was off by one for this case) and
+    produce the full processor-side export."""
+    import os
+
+    from nans_clip_tpu.utils.hf_interop import save_hf_checkpoint
+
+    cfg = _vocab120_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(1), cfg)
+    params = jax.tree.map(np.asarray, params)
+    vocab = tmp_path / "vocab120.txt"
+    vocab.write_text("\n".join(f"tok{i}" for i in range(120)),
+                     encoding="utf-8")  # no trailing newline
+    out = str(tmp_path / "ok")
+    save_hf_checkpoint(out, params, cfg, vocab_file=str(vocab))
+    for fname in ("vocab.txt", "tokenizer_config.json",
+                  "preprocessor_config.json"):
+        assert os.path.isfile(os.path.join(out, fname)), fname
+
+
+def test_load_from_name_hf_dir_rejects_arch_override(tmp_path):
+    """Passing vision_model_name/text_model_name alongside an HF snapshot
+    directory raises instead of being silently ignored (advisor r2)."""
+    from nans_clip_tpu.api import load_from_name
+
+    model = _tiny_hf_model()
+    model.save_pretrained(tmp_path)
+    with pytest.raises(ValueError, match="cannot override"):
+        load_from_name(str(tmp_path), vision_model_name="ViT-B-16",
+                       options=OPTS)
+    with pytest.raises(ValueError, match="cannot override"):
+        load_from_name(str(tmp_path), text_model_name="RoBERTa-wwm-ext-base-chinese",
+                       options=OPTS)
