@@ -126,6 +126,19 @@ def _load_json(name: str) -> dict:
         return json.load(f)
 
 
+def tiny_config() -> CLIPConfig:
+    """2-layer, 64-wide debug CLIP — the ``--tiny-model`` config shared by
+    the training CLIs and the integration tests (small enough that an
+    end-to-end CPU run takes seconds)."""
+    return CLIPConfig(
+        embed_dim=64,
+        vision=VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                            width=64, patch_size=16, head_width=32),
+        text=TextConfig(hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=128),
+        name="tiny")
+
+
 def load_config(struct: str) -> CLIPConfig:
     """Build a :class:`CLIPConfig` from a ``Vision@Text`` struct string.
 

@@ -16,9 +16,14 @@ from nans_clip_tpu.utils.torch_interop import (load_torch_state_dict,
 
 
 def load_eval_model(vision_model: str, text_model: str, resume: str,
-                    precision: str = "bf16", attn_impl: str = "auto"):
-    """Build (cfg, params, batch_stats, options) from any checkpoint kind."""
-    cfg = load_config(f"{vision_model}@{text_model}")
+                    precision: str = "bf16", attn_impl: str = "auto",
+                    cfg=None):
+    """Build (cfg, params, batch_stats, options) from any checkpoint kind.
+
+    ``cfg`` overrides the ``Vision@Text`` registry lookup (the CLIs'
+    ``--tiny-model`` debug config); ``resume`` may then be empty to keep
+    the random init."""
+    cfg = cfg or load_config(f"{vision_model}@{text_model}")
     params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
     if resume:
         assert os.path.exists(resume), f"checkpoint {resume} does not exist"

@@ -61,16 +61,8 @@ def setup_logging(log_dir: str, name: str) -> str:
 def build_model(args):
     cfg = load_config(f"{args.vision_model}@{args.text_model}")
     if getattr(args, "tiny_model", False):
-        import dataclasses
-
-        from nans_clip_tpu import configs as C
-        cfg = C.CLIPConfig(
-            embed_dim=64,
-            vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
-                                  width=64, patch_size=16, head_width=32),
-            text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
-                              num_attention_heads=4, intermediate_size=128),
-            name="tiny")
+        from nans_clip_tpu.configs import tiny_config
+        cfg = tiny_config()
     compute_dtype = None if args.precision == "fp32" else "bfloat16"
     assert not (args.tp > 1 and args.pp > 1), "--tp and --pp are exclusive"
     train_options = ModelOptions(attn_impl=args.attn_impl,

@@ -44,7 +44,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--train-data", required=True)
     p.add_argument("--val-data", default=None)
-    p.add_argument("--resume", required=True, help="base model checkpoint (.pt or orbax dir)")
+    p.add_argument("--resume", default=None,
+                   help="base model checkpoint (.pt or orbax dir); required "
+                        "unless --tiny-model")
+    p.add_argument("--tiny-model", action="store_true",
+                   help="2-layer 64-wide debug config (configs.tiny_config, "
+                        "same as the main trainer's flag); --resume optional")
     p.add_argument("--vision-model", default="ViT-B-16")
     p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
     p.add_argument("--output-dir", default="./lora_output")
@@ -124,8 +129,15 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True,
                         format="%(asctime)s | %(levelname)s | %(message)s")
 
+    if not (args.resume or args.tiny_model):
+        raise SystemExit("--resume is required unless --tiny-model")
+    tiny = None
+    if args.tiny_model:
+        from nans_clip_tpu.configs import tiny_config
+        tiny = tiny_config()
     cfg, params, batch_stats, options = load_eval_model(
-        args.vision_model, args.text_model, args.resume, args.precision)
+        args.vision_model, args.text_model, args.resume, args.precision,
+        cfg=tiny)
     assert not cfg.is_resnet, "LoRA targets transformer towers (ViT models)"
 
     adapters = init_lora(jax.random.PRNGKey(args.seed), params,

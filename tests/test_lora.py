@@ -83,3 +83,68 @@ def test_lora_save_load(tmp_path):
     same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
                         adapters, restored)
     assert all(jax.tree.leaves(same))
+
+
+def test_lora_cli_cycle(tmp_path):
+    """End-to-end ``train_lora`` CLI on the tiny model: 2 epochs over a
+    built dataset -> best/last adapters + training_log.csv; the saved
+    adapters load, differ from zero-init, and merge into a model that
+    produces finite features."""
+    import base64
+    import io
+    import json as _json
+    import os
+
+    from PIL import Image
+
+    from nans_clip_tpu.preprocess.build_dataset import build_split
+    from nans_clip_tpu.training.train_lora import main as lora_main
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rs = np.random.RandomState(0)
+    with open(root / "train_imgs.tsv", "w") as f:
+        for i in range(16):
+            buf = io.BytesIO()
+            Image.fromarray(rs.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+                buf, format="JPEG")
+            f.write(f"{i}\t{base64.urlsafe_b64encode(buf.getvalue()).decode()}\n")
+    with open(root / "train_texts.jsonl", "w", encoding="utf-8") as f:
+        for t in range(16):
+            f.write(_json.dumps({"text_id": t, "text": f"图{t}",
+                                 "image_ids": [t]}, ensure_ascii=False) + "\n")
+    build_split(str(root), "train")
+    data = str(root / "train")
+
+    out = str(tmp_path / "lora_out")
+    adapters = lora_main([
+        "--train-data", data, "--val-data", data, "--tiny-model",
+        "--output-dir", out, "--epochs", "2", "--batch-size", "4",
+        "--accum-freq", "2", "--lora-rank", "2", "--precision", "fp32",
+        "--num-threads", "2",
+    ])
+    for fname in ("best_lora.npz", "last_lora.npz", "training_log.csv"):
+        assert os.path.isfile(os.path.join(out, fname)), fname
+    with open(os.path.join(out, "training_log.csv")) as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == 3 and lines[0].startswith("epoch,")
+
+    from nans_clip_tpu.configs import tiny_config
+    cfg = tiny_config()
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    template = init_lora(jax.random.PRNGKey(0), params, rank=2)
+    loaded, meta = load_lora(os.path.join(out, "last_lora.npz"), template)
+    assert meta["rank"] == 2
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), loaded, adapters)
+    # the optimizer moved the zero-initialized `b` matrices: the merged
+    # model is no longer the base model
+    bs = [np.asarray(v)
+          for k, v in jax.tree_util.tree_flatten_with_path(loaded)[0]
+          if jax.tree_util.keystr(k).endswith("'b']")]
+    assert bs and any(np.abs(x).max() > 0 for x in bs)
+
+    merged = merge_lora(params, loaded, alpha=16.0)
+    feats = encode_image(merged, cfg, jnp.zeros((2, 32, 32, 3), jnp.float32),
+                         OPTS)
+    assert np.isfinite(np.asarray(feats)).all()
