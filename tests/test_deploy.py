@@ -35,3 +35,39 @@ def test_stablehlo_roundtrip(tmp_path):
     ref = encode_image(params, TINY, jnp.asarray(images), OPTS)
     ref = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_speed_benchmark_cli(tmp_path, monkeypatch):
+    """speed_benchmark smoke on the tiny model: both backends produce the
+    full stats table and the JSON artifact (reference
+    deploy/speed_benchmark.py:88-187 field set)."""
+    import json
+    import os
+
+    import nans_clip_tpu.deploy.speed_benchmark as sb
+    from nans_clip_tpu.configs import tiny_config
+    from nans_clip_tpu.eval import model_io
+
+    cfg = tiny_config()
+    params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
+
+    def fake_load(vision, text, resume, precision="bf16", attn_impl="auto",
+                  cfg_override=None):
+        return cfg, params, batch_stats, ModelOptions(attn_impl="xla")
+
+    monkeypatch.setattr(model_io, "load_eval_model", fake_load)
+
+    for backend in ("jit", "aot"):
+        out = str(tmp_path / f"{backend}.json")
+        results = sb.main(["--batch-sizes", "1,2", "--n", "3", "--warmup", "1",
+                           "--inner", "2", "--precision", "fp32",
+                           "--backend", backend, "--json-output", out])
+        assert set(results) == {"image@bs1", "text@bs1", "image@bs2", "text@bs2"}
+        for s in results.values():
+            for k in ("mean", "std", "min", "max", "median", "p95", "p99",
+                      "ms_per_sample", "samples_per_sec"):
+                assert np.isfinite(s[k]), k
+            assert s["inner"] == 2
+        assert os.path.isfile(out)
+        with open(out) as f:
+            assert set(json.load(f)) == set(results)

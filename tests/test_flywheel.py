@@ -71,3 +71,59 @@ def test_metrics_at_k():
     # AP: q0 = 1.0; q1: hit at rank 3 -> 1/3
     assert abs(m["mAP"] - 100 * (1.0 + 1 / 3) / 2) < 1e-6
     assert m["MR"] == (m["R@1"] + m["R@5"]) / 2
+
+
+def test_scrape_wikimedia_offline(tmp_path, monkeypatch):
+    """scrape CLI against a canned Commons API: sha1-named files +
+    metadata.jsonl rows; non-image mimes filtered; per-URL failures
+    tolerated (reference scripts/scrape_wikimedia.py behavior)."""
+    import hashlib
+
+    import nans_clip_tpu.flywheel.scrape as sc
+
+    png = b"\x89PNG fakebytes"
+    jpg = b"\xff\xd8\xff fake jpeg"
+
+    def fake_fetch(url, retries=3, timeout=30):
+        if "api.php" in url:
+            return json.dumps({"query": {"pages": {
+                "1": {"title": "File:A.jpg", "imageinfo": [
+                    {"thumburl": "http://x/a.jpg", "mime": "image/jpeg"}]},
+                "2": {"title": "File:B.png", "imageinfo": [
+                    {"url": "http://x/b.png", "mime": "image/png"}]},
+                "3": {"title": "File:C.pdf", "imageinfo": [
+                    {"url": "http://x/c.pdf", "mime": "application/pdf"}]},
+                "4": {"title": "File:D.jpg", "imageinfo": [
+                    {"url": "http://x/broken.jpg", "mime": "image/jpeg"}]},
+            }}}).encode()
+        if url.endswith("a.jpg"):
+            return jpg
+        if url.endswith("b.png"):
+            return png
+        raise RuntimeError("download refused")
+
+    monkeypatch.setattr(sc, "fetch", fake_fetch)
+    monkeypatch.setattr(sc, "SONG_QUERIES", ["南宋 绘画"])
+    monkeypatch.setattr(sc.time, "sleep", lambda s: None)
+
+    out = str(tmp_path / "data")
+    sc.main(["wikimedia", "--out", out, "--per-query", "10"])
+
+    with open(os.path.join(out, "metadata.jsonl"), encoding="utf-8") as f:
+        rows = [json.loads(ln) for ln in f.read().splitlines()]
+    # pdf filtered by mime, broken download skipped -> 2 images land
+    assert {r["title"] for r in rows} == {"File:A.jpg", "File:B.png"}
+    for r, raw in zip(sorted(rows, key=lambda r: r["title"]), (jpg, png)):
+        assert r["filename"] == hashlib.sha1(raw).hexdigest()[:16] + ".jpg"
+        with open(os.path.join(out, "images", r["filename"]), "rb") as f:
+            assert f.read() == raw
+        assert r["category"] == "绘画" and r["query"] == "南宋 绘画"
+
+    # distractors mode writes both pools into one metadata file
+    monkeypatch.setattr(sc, "HARD_NEGATIVE_QUERIES", ["Ming dynasty painting"])
+    monkeypatch.setattr(sc, "EASY_NEGATIVE_QUERIES", ["abstract art"])
+    d_out = str(tmp_path / "distractors")
+    sc.main(["distractors", "--out", d_out, "--per-query", "10"])
+    with open(os.path.join(d_out, "distractors_meta.jsonl"), encoding="utf-8") as f:
+        cats = {json.loads(ln)["category"] for ln in f.read().splitlines()}
+    assert cats == {"hard_negative", "easy_negative"}
