@@ -159,3 +159,30 @@ def test_flash_attention_block_grads_match_oracle():
     for name, a, o in zip("x scale bias wqkv bqkv wo bo".split(), g_ref, g_out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(a),
                                    atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+def test_profiling_utils(tmp_path):
+    """utils/profiling: trace writes an XProf capture, device_sync returns
+    the consumed scalar, StepTimer windows roll correctly."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    from nans_clip_tpu.utils.profiling import StepTimer, device_sync, trace
+
+    with trace(str(tmp_path)):
+        device_sync(jnp.ones((4,)))
+    assert glob.glob(os.path.join(str(tmp_path), "**", "*.xplane.pb"),
+                     recursive=True), "no trace artifact written"
+
+    assert device_sync() == 0.0
+    assert device_sync(jnp.full((3,), 2.0)) == 6.0
+
+    t = StepTimer(window=2)
+    t.data_ready(); t.step_done(8)
+    t.data_ready(); t.step_done(8)
+    t.data_ready(); t.step_done(8)  # rolls past the window
+    assert len(t.step_times) == 2 and len(t.data_times) == 2
+    assert t.step_time > 0 and t.data_time >= 0
+    assert t.samples_per_sec(8) > 0
