@@ -190,3 +190,29 @@ def test_cross_topology_resume(data_dir, tmp_path):
     wqkv2 = state2.params["visual"]["transformer"]["attn"]["wqkv"]
     assert "data" not in str(wqkv2.sharding.spec)
     assert np.isfinite(np.asarray(wqkv2, np.float32)).all()
+
+
+def test_steps_per_call_composes_with_fsdp(data_dir, tmp_path):
+    """--steps-per-call x --fsdp --tp: the scanned step body carries the
+    with_sharding_constraint pin, so the multi-step dispatch must keep the
+    state ZeRO-3-sharded over 'data' AND produce the same trajectory as
+    the K=1 fsdp run."""
+    def run(name, extra):
+        logs = str(tmp_path / name)
+        return train_main([
+            "--train-data", data_dir,
+            "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+            "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+            "--log-interval", "1", "--logs", logs, "--name", name,
+            "--num-workers", "2", "--max-epochs", "1",
+            "--fsdp", "--tp", "2", "--fsdp-min-size", "1024"] + extra)
+
+    ref = run("fsdp_k1", [])
+    k2 = run("fsdp_k2", ["--steps-per-call", "2"])
+    assert int(ref.step) == int(k2.step) == 4
+    # the multi-step output state kept the fsdp storage sharding
+    wqkv = k2.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "data" in str(wqkv.sharding.spec)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ref.params, k2.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-6, diffs
