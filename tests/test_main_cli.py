@@ -216,3 +216,25 @@ def test_steps_per_call_composes_with_fsdp(data_dir, tmp_path):
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          ref.params, k2.params)
     assert max(jax.tree.leaves(diffs)) < 1e-6, diffs
+
+
+def test_steps_per_call_composes_with_pp(data_dir, tmp_path):
+    """--steps-per-call x --pp: the GPipe shard_map step scans identically
+    — per-stage storage sharding kept, trajectory equal to K=1."""
+    def run(name, extra):
+        logs = str(tmp_path / name)
+        return train_main([
+            "--train-data", data_dir,
+            "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+            "--batch-size", "4", "--lr", "1e-4", "--warmup", "2",
+            "--log-interval", "1", "--logs", logs, "--name", name,
+            "--num-workers", "2", "--max-epochs", "1", "--pp", "2"] + extra)
+
+    ref = run("pp_k1", [])
+    k2 = run("pp_k2", ["--steps-per-call", "2"])
+    assert int(ref.step) == int(k2.step) == 2
+    wqkv = k2.params["visual"]["transformer"]["attn"]["wqkv"]
+    assert "pipe" in str(wqkv.sharding.spec)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ref.params, k2.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-6, diffs
