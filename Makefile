@@ -1,6 +1,6 @@
 CSRC := nans_clip_tpu/csrc
 
-.PHONY: native test bench clean
+.PHONY: native test smoke bench clean
 
 native: $(CSRC)/libnpack.so $(CSRC)/libnanstok.so
 
@@ -15,6 +15,13 @@ $(CSRC)/libnanstok.so: $(CSRC)/tokenizer.cpp $(CSRC)/unicode_tables.inc
 
 test:
 	python -m pytest tests/ -q
+
+# fast pre-commit subset (~2-3 min): model/op/tokenizer/data correctness
+# without the CLI-cycle and parity-vs-reference integration modules
+smoke:
+	python -m pytest tests/test_ops.py tests/test_fused_block.py \
+	  tests/test_tokenizer.py tests/test_data.py tests/test_configs.py \
+	  tests/test_trainer.py -q
 
 bench:
 	python bench.py
