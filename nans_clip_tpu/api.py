@@ -56,6 +56,24 @@ class CLIPModel:
     def image_resolution(self) -> int:
         return self.cfg.vision.image_resolution
 
+    def quantize(self, mode: str = "int8",
+                 towers=("text", "image")) -> "CLIPModel":
+        """Weight-only int8 serving copy (utils/quantize.py): the
+        whole-tower kernel then streams half the weight bytes per call —
+        the batch-1 latency bottleneck; shapes outside the tower route
+        dequantize on entry. Returns a NEW model; ``self`` is unchanged.
+        Text towers win decisively (1.21-1.45x batch-1); wide image
+        towers measured neutral-to-slower — pass ``towers=("text",)``
+        for ViT-H-class deployments (see quantize_for_serving). TPU
+        analog of the reference's quantized TensorRT engine option
+        (cn_clip/deploy/onnx_to_tensorrt.py precision flags)."""
+        if mode != "int8":
+            raise ValueError(f"unsupported quantize mode: {mode!r}")
+        from nans_clip_tpu.utils.quantize import quantize_for_serving
+        return CLIPModel(self.cfg,
+                         quantize_for_serving(self.params, towers),
+                         self.batch_stats, self.options)
+
     def encode_image(self, images) -> jax.Array:
         """images: [B, R, R, 3] NHWC float. Unnormalized features [B, E]."""
         return self._encode_image(self.params, self.batch_stats, jnp.asarray(images))

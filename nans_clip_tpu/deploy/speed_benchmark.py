@@ -42,6 +42,14 @@ def parse_args(argv=None):
                         "time lowered+compiled executable at fixed shapes "
                         "(the TensorRT-engine analog, same machinery as "
                         "deploy.compile_tower)")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int8-text"],
+                   help="weight-only quantized serving (utils/quantize.py):"
+                        " the whole-tower kernel streams half the weight "
+                        "bytes — the batch-1 bottleneck; non-tower shapes "
+                        "dequantize on entry. int8-text quantizes only the "
+                        "text tower (the measured win; wide image towers "
+                        "are compute-bound and don't profit)")
     p.add_argument("--inner", type=int, default=1,
                    help="forwards per dispatch (chained through a fori_loop "
                         "data dependency). >1 gives DEVICE-side latency on "
@@ -79,6 +87,11 @@ def main(argv=None):
     cfg, params, batch_stats, options = load_eval_model(
         args.vision_model, args.text_model, args.resume, args.precision,
         attn_impl=args.attn_impl)
+    if args.quantize:
+        from nans_clip_tpu.utils.quantize import quantize_for_serving
+        towers = ("text",) if args.quantize == "int8-text" \
+            else ("text", "image")
+        params = quantize_for_serving(params, towers)
     resolution = cfg.vision.image_resolution
     rs = np.random.RandomState(0)
 

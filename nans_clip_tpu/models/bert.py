@@ -106,6 +106,28 @@ def bert_features(params: dict, input_ids: jax.Array,
     # explicit "fused" off-TPU (CPU test meshes) runs in interpreter mode
     fused_interpret = not on_tpu
 
+    # int8-quantized serving params (utils/quantize.py): only the
+    # whole-tower kernel streams them directly (half the weight HBM bytes
+    # — the batch-1 bottleneck); any other path dequantizes up front and
+    # runs the normal routing unchanged.
+    from nans_clip_tpu.utils.quantize import (dequantize_layer_tree,
+                                              layer_tree_quantized)
+    quant = layer_tree_quantized(params["encoder"])
+    if quant:
+        from nans_clip_tpu.ops.fused_block import fits_fused as _fits_f
+        from nans_clip_tpu.ops.tower_kernel import fits_tower as _fits_t
+        serve_tower = (use_fused and det and cfg.hidden_act == "gelu"
+                       and options.pp == 1 and options.tp == 1
+                       and _fits_f(s, cfg.hidden_size)
+                       and _fits_t(b, s, cfg.hidden_size,
+                                   cfg.intermediate_size,
+                                   jnp.dtype(x.dtype).itemsize, quant=True))
+        if not serve_tower:
+            params = dict(params)
+            params["encoder"] = dequantize_layer_tree(params["encoder"],
+                                                      x.dtype)
+            quant = False
+
     if options.tp > 1 and det:
         # Tensor parallel (deterministic path): shard_map head/column-split
         # sub-blocks over the 'model' axis (parallel/tp.py). Dropout
@@ -159,7 +181,7 @@ def bert_features(params: dict, input_ids: jax.Array,
     if use_fused and det and cfg.hidden_act == "gelu" and options.pp == 1:
         from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
         if fits_tower(b, s, cfg.hidden_size, cfg.intermediate_size,
-                      jnp.dtype(x.dtype).itemsize):
+                      jnp.dtype(x.dtype).itemsize, quant=quant):
             enc = params["encoder"]
             return fused_tower(
                 x, key_bias, enc["attn_ln"]["scale"], enc["attn_ln"]["bias"],

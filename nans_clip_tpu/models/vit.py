@@ -118,6 +118,26 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # interpreter mode instead of failing to lower
     fused_interpret = jax.default_backend() != "tpu"
 
+    # int8-quantized serving params (utils/quantize.py): the whole-tower
+    # kernel streams them directly (half the HBM bytes — the batch-1
+    # bottleneck); every other path dequantizes up front and runs the
+    # normal routing unchanged.
+    from nans_clip_tpu.utils.quantize import (dequantize_layer_tree,
+                                              layer_tree_quantized)
+    quant = layer_tree_quantized(params["transformer"])
+    if quant:
+        from nans_clip_tpu.ops.tower_kernel import fits_tower
+        serve_tower = (use_fused and options.deterministic
+                       and options.pp == 1 and options.tp == 1
+                       and fits_tower(b, x.shape[1], w, 4 * w,
+                                      jnp.dtype(x.dtype).itemsize,
+                                      quant=True))
+        if not serve_tower:
+            params = dict(params)
+            params["transformer"] = dequantize_layer_tree(
+                params["transformer"], x.dtype)
+            quant = False
+
     if options.tp > 1:
         # Tensor parallel: shard_map over the mesh's 'model' axis with
         # head-split attention and column/row-split MLP (parallel/tp.py).
@@ -152,7 +172,8 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # dominate latency.
     if use_fused and options.deterministic and options.pp == 1:
         from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
-        if fits_tower(b, x.shape[1], w, 4 * w, jnp.dtype(x.dtype).itemsize):
+        if fits_tower(b, x.shape[1], w, 4 * w, jnp.dtype(x.dtype).itemsize,
+                      quant=quant):
             tr = params["transformer"]
             x = fused_tower(x, None, tr["ln_1"]["scale"], tr["ln_1"]["bias"],
                             tr["attn"]["wqkv"], tr["attn"]["bqkv"],

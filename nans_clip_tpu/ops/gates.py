@@ -357,6 +357,18 @@ PROVENANCE = (
          "vs 10.495 ms) while batch-1 wins 1.19x — the cap holds"),
     Gate("MAX_PALLAS_SEQ", "attention.mha (attn_impl='pallas')", "r1",
          "VMEM math", "plain full-row kernel's seq bound (long-seq path)"),
+    Gate("(int8 tower streaming)", "tower_kernel._tower_kernel_q", "r3",
+         "measured A/B",
+         "weight-only int8 streaming (utils/quantize.py), opt-in per "
+         "tower, same-process batch-1 A/Bs vs the bf16 tower: text "
+         "W=768/L12 1.21x (0.676 -> 0.560 ms), text W=1024/L24 1.45x "
+         "(1.543 -> 1.065), image ViT-B S=197 1.03x (0.699 -> 0.682), "
+         "image ViT-H S=257/W=1280 LOSES 0.89x (2.900 -> 3.266) — long "
+         "rows make the cell compute-bound and the in-VMEM dequant "
+         "lands on the critical path. No routing constant: "
+         "quantize_for_serving(towers=...) is the user-facing switch; "
+         "tile math reuses TOWER_* (int8 double-buffer + one dequantized "
+         "copy == the bf16 double-buffer at esize=2)"),
 )
 
 
@@ -367,7 +379,10 @@ def check() -> None:
     names = [r.name for r in PROVENANCE]
     assert len(names) == len(set(names)), "duplicate provenance record"
     for r in PROVENANCE:
-        assert r.name in g, f"provenance names unknown constant {r.name}"
+        # "(...)" records document measured routing DECISIONS that have
+        # no tunable constant (e.g. the int8 tower-streaming verdicts)
+        assert r.name.startswith("(") or r.name in g, \
+            f"provenance names unknown constant {r.name}"
     # every module-level int constant has a record (except MiB helper)
     consts = {k for k, v in g.items()
               if k.isupper() and isinstance(v, int) and k != "MiB"}
@@ -388,8 +403,11 @@ def table() -> str:
     w = max(len(r.name) for r in PROVENANCE)
     lines = [f"routing gates — {CHIP}", ""]
     for r in PROVENANCE:
-        v = globals()[r.name]
-        vs = f"{v // MiB}MB" if v >= MiB and v % MiB == 0 else str(v)
+        v = globals().get(r.name)
+        if v is None:          # informational "(...)" decision record
+            vs = "—"
+        else:
+            vs = f"{v // MiB}MB" if v >= MiB and v % MiB == 0 else str(v)
         lines.append(f"{r.name:<{w}} = {vs:>6}  [{r.round}, {r.kind}] "
                      f"{r.used_in}")
         lines.append(f"{'':<{w}}   {'':>6}  {r.evidence}")

@@ -71,3 +71,12 @@ def test_speed_benchmark_cli(tmp_path, monkeypatch):
         assert os.path.isfile(out)
         with open(out) as f:
             assert set(json.load(f)) == set(results)
+
+    # weight-only int8 serving flag: params quantized before the drive
+    # (the xla fallback dequantizes on entry; the tower-kernel numerics
+    # are covered by test_quantize.py)
+    results = sb.main(["--batch-sizes", "1", "--n", "2", "--warmup", "1",
+                       "--precision", "fp32", "--quantize", "int8"])
+    assert set(results) == {"image@bs1", "text@bs1"}
+    for s in results.values():
+        assert np.isfinite(s["mean"])

@@ -1,0 +1,204 @@
+"""Weight-only int8 serving mode (utils/quantize.py + the quantized
+whole-tower kernel): quantizer bounds, kernel-vs-oracle on dequantized
+weights, end-to-end encode routing, and the dequantize fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower, tower_batch_tile
+from nans_clip_tpu.utils.quantize import (dequantize_layer_tree,
+                                          dequantize_weight, is_quantized,
+                                          layer_tree_quantized,
+                                          quantize_for_serving,
+                                          quantize_layer_tree,
+                                          quantize_weight)
+from tests.test_tower_kernel import _oracle, _stacked
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def test_quantize_roundtrip_bounds():
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(3, 96, 160).astype(np.float32))
+    q = quantize_weight(w)
+    assert q["int8"].dtype == jnp.int8 and q["scale"].shape == (3, 1, 160)
+    back = dequantize_weight(q, jnp.float32)
+    # symmetric per-output-channel: |err| <= scale/2 elementwise
+    err = np.abs(np.asarray(back - w))
+    bound = np.broadcast_to(np.asarray(q["scale"]) / 2 + 1e-9, w.shape)
+    assert (err <= bound).all()
+    # the per-channel max hits the top code exactly (|q| == 127 somewhere)
+    assert int(np.abs(np.asarray(q["int8"])).max()) == 127
+
+
+def test_quant_tile_math_matches_bf16():
+    # at esize=2 the int8 double-buffer + one dequantized copy equals the
+    # bf16 double-buffer, so every validated routing cell is unchanged
+    for (b, s, w, i) in [(1, 52, 768, 3072), (8, 197, 768, 3072),
+                         (1, 257, 1280, 5120)]:
+        assert tower_batch_tile(b, s, w, i, 2, True) == \
+            tower_batch_tile(b, s, w, i, 2, False)
+        assert fits_tower(b, s, w, i, 2, quant=True)
+
+
+@pytest.mark.parametrize("post_ln,act,masked", [
+    (False, "quick_gelu", False),   # ViT-like pre-LN
+    (True, "gelu", True),           # BERT-like post-LN
+])
+def test_quant_tower_matches_dequantized_oracle(post_ln, act, masked):
+    B, S, W, I, heads = 2, 12, 128, 512, 4
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    p = _stacked(3, W, I, seed=5)
+    key_bias = None
+    if masked:
+        mask = np.ones((B, S), np.float32)
+        mask[:, S - 3:] = 0.0
+        key_bias = jnp.asarray((1.0 - mask) * -10000.0).reshape(B, 1, S)
+    qw = {k: quantize_weight(p[k]) for k in ("wqkv", "wo", "w1", "w2")}
+    out = fused_tower(x, key_bias, p["ln1_s"], p["ln1_b"], qw["wqkv"],
+                      p["bqkv"], qw["wo"], p["bo"], p["ln2_s"], p["ln2_b"],
+                      qw["w1"], p["b1"], qw["w2"], p["b2"], heads, 1e-5,
+                      act, post_ln, interpret=INTERPRET)
+    pd = dict(p)
+    for k in ("wqkv", "wo", "w1", "w2"):
+        pd[k] = dequantize_weight(qw[k], jnp.float32)
+    ref = _oracle(x, pd, heads, 1e-5, act, post_ln,
+                  key_bias=None if key_bias is None
+                  else key_bias.reshape(B, S))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def _tiny_cfg():
+    from nans_clip_tpu import configs as C
+    return C.CLIPConfig(
+        embed_dim=64,
+        vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                              width=128, patch_size=16, head_width=32),
+        text=C.TextConfig(hidden_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=512),
+        name="tiny128",
+    )
+
+
+def _tiny_inputs(b=3):
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(b, 32, 32, 3), jnp.float32)
+    texts = np.zeros((b, 52), np.int32)
+    texts[:, 0] = 101
+    texts[:, 1:12] = rs.randint(1000, 20000, (b, 11))
+    texts[:, 12] = 102
+    return images, jnp.asarray(texts)
+
+
+def test_quantize_for_serving_tree_shape():
+    from nans_clip_tpu.models.clip import init_clip
+    cfg = _tiny_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(1), cfg)
+    qp = quantize_for_serving(params)
+    assert layer_tree_quantized(qp["visual"]["transformer"])
+    assert layer_tree_quantized(qp["bert"]["encoder"])
+    assert is_quantized(qp["bert"]["encoder"]["mlp"]["w2"])
+    # everything else untouched (same objects)
+    assert qp["text_projection"] is params["text_projection"]
+    assert not is_quantized(qp["bert"]["encoder"]["attn"]["bqkv"])
+    # the original tree is not mutated
+    assert not layer_tree_quantized(params["bert"]["encoder"])
+    # per-tower selection (text-only: the measured-win configuration for
+    # wide image towers, see quantize_for_serving docstring)
+    tq = quantize_for_serving(params, towers=("text",))
+    assert layer_tree_quantized(tq["bert"]["encoder"])
+    assert not layer_tree_quantized(tq["visual"]["transformer"])
+    with pytest.raises(ValueError):
+        quantize_for_serving(params, towers=("vision",))
+
+
+def test_quant_encode_routes_tower_and_matches_dequantized():
+    """attn_impl='fused' with int8 params routes the quantized tower
+    kernel; it must equal the XLA path run on the DEQUANTIZED params
+    (same effective weights, different kernels), and the XLA path on the
+    quantized params must take the dequantize fallback and match exactly."""
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip
+    cfg = _tiny_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(1), cfg)
+    qp = quantize_for_serving(params)
+    dq = {**qp,
+          "visual": {**qp["visual"],
+                     "transformer": dequantize_layer_tree(
+                         qp["visual"]["transformer"], jnp.float32)},
+          "bert": {**qp["bert"],
+                   "encoder": dequantize_layer_tree(qp["bert"]["encoder"],
+                                                    jnp.float32)}}
+    images, texts = _tiny_inputs()
+    for enc, data in ((encode_image, images), (encode_text, texts)):
+        ref = enc(dq, cfg, data, ModelOptions(attn_impl="xla"))
+        out = enc(qp, cfg, data, ModelOptions(attn_impl="fused"))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-4)
+        # dequantize fallback (non-tower path) is numerically identical
+        # to running the dequantized params through the same path
+        fb = enc(qp, cfg, data, ModelOptions(attn_impl="xla"))
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(ref),
+                                   atol=0, rtol=0)
+
+
+def test_quant_composes_with_aot_compile():
+    """deploy.compile_tower (the TRT-engine analog) accepts a quantized
+    param tree unchanged: the executable embeds int8 weights + scales
+    (half the weight bytes device-resident) and matches the dequantized
+    run."""
+    from nans_clip_tpu.deploy.aot import compile_tower
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import encode_text, init_clip
+    cfg = _tiny_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(1), cfg)
+    qp = quantize_for_serving(params)
+    _, texts = _tiny_inputs(2)
+    opts = ModelOptions(attn_impl="xla", compute_dtype=None)
+    run = compile_tower(cfg, qp, "text", 2, options=opts)
+    out = np.asarray(run(texts))
+    ref = encode_text(qp, cfg, texts, opts)
+    ref = np.asarray(ref / jnp.linalg.norm(ref, axis=-1, keepdims=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_clipmodel_quantize_method():
+    """api.CLIPModel.quantize() returns a serving copy whose similarity
+    matrix tracks the full-precision one; the original is untouched."""
+    from nans_clip_tpu.api import CLIPModel
+    from nans_clip_tpu.models.clip import init_clip
+    cfg = _tiny_cfg()
+    params, bstats = init_clip(jax.random.PRNGKey(3), cfg)
+    m = CLIPModel(cfg, params, bstats)
+    q = m.quantize()
+    assert not layer_tree_quantized(m.params["bert"]["encoder"])
+    assert layer_tree_quantized(q.params["bert"]["encoder"])
+    images, texts = _tiny_inputs(2)
+    li, _ = m.get_similarity(images, texts)
+    qli, _ = q.get_similarity(images, texts)
+    np.testing.assert_allclose(np.asarray(qli), np.asarray(li),
+                               atol=0.15, rtol=0.05)
+    with pytest.raises(ValueError):
+        m.quantize("int4")
+
+
+def test_quant_quality_vs_full_precision():
+    """int8 weight error stays second-order through the full model:
+    embedding cosine vs the full-precision forward > 0.999."""
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip
+    cfg = _tiny_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(2), cfg)
+    qp = quantize_for_serving(params)
+    images, texts = _tiny_inputs()
+    opts = ModelOptions(attn_impl="xla")
+    for enc, data in ((encode_image, images), (encode_text, texts)):
+        full = np.asarray(enc(params, cfg, data, opts), np.float64)
+        q = np.asarray(enc(qp, cfg, data, opts), np.float64)
+        cos = (full * q).sum(-1) / (
+            np.linalg.norm(full, axis=-1) * np.linalg.norm(q, axis=-1))
+        assert (cos > 0.999).all(), cos

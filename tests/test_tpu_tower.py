@@ -56,3 +56,44 @@ def test_tower_routing_matches_per_block_on_tpu():
             tk.tower_batch_tile = orig
     rel = np.abs(out - ref).max() / max(1e-6, np.abs(ref).max())
     assert rel < 2e-2, rel
+
+
+def test_quantized_tower_on_tpu():
+    """int8 weight-streaming tower (utils/quantize.py): Mosaic compile +
+    numerics at production widths — text (W=768 post-LN) and image
+    (W=768 pre-LN, S=197) towers vs the same encode on host-dequantized
+    params (identical effective weights up to the bf16 scale cast)."""
+    from nans_clip_tpu.configs import load_config
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import encode_image, encode_text, init_clip
+    from nans_clip_tpu.utils.quantize import (dequantize_layer_tree,
+                                              quantize_for_serving)
+
+    cfg = load_config("ViT-B-16@RoBERTa-wwm-ext-base-chinese")
+    options = ModelOptions(attn_impl="auto", compute_dtype="bfloat16")
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                          params)
+    qp = quantize_for_serving(params)
+    dq = {**qp,
+          "visual": {**qp["visual"],
+                     "transformer": dequantize_layer_tree(
+                         qp["visual"]["transformer"], jnp.bfloat16)},
+          "bert": {**qp["bert"],
+                   "encoder": dequantize_layer_tree(qp["bert"]["encoder"],
+                                                    jnp.bfloat16)}}
+    rs = np.random.RandomState(0)
+    txt = jnp.zeros((2, 52), jnp.int32).at[:, 0].set(101)
+    txt = txt.at[:, 1:12].set(jnp.asarray(rs.randint(1000, 20000, (2, 11))))
+    txt = txt.at[:, 12].set(102)
+    img = jnp.asarray(rs.randn(2, 224, 224, 3), jnp.bfloat16)
+
+    with jax.default_matmul_precision("default"):
+        for enc, data in ((encode_text, txt), (encode_image, img)):
+            out = np.asarray(jax.jit(
+                lambda p, t: enc(p, cfg, t, options))(qp, data), np.float32)
+            ref = np.asarray(jax.jit(
+                lambda p, t: enc(p, cfg, t, options))(dq, data), np.float32)
+            rel = np.abs(out - ref).max() / max(1e-6, np.abs(ref).max())
+            assert rel < 2e-2, (enc.__name__, rel)
