@@ -86,6 +86,38 @@ def check_pokemon(checkpoint: str, image_path: str | None = None) -> dict:
             "golden": POKEMON_GOLDEN.tolist()}
 
 
+def check_pokemon_int8(checkpoint: str, image_path: str | None = None,
+                       atol: float = 0.05) -> dict:
+    """Quality gate for the int8 serving mode (utils/quantize.py) on the
+    published checkpoint: the quantized model's pokemon probabilities must
+    track the full-precision ones within ``atol`` (per-output-channel
+    weight-only int8 is empirically well inside 0.01 on trained weights;
+    the gate is deliberately loose so it only catches real regressions)."""
+    from PIL import Image
+
+    import nans_clip_tpu as nc
+
+    model, preprocess = nc.load_from_name(
+        checkpoint, vision_model_name="ViT-B-16",
+        text_model_name="RoBERTa-wwm-ext-base-chinese",
+        input_resolution=224)
+    img = preprocess(Image.open(_find_pokemon_image(image_path)))[None]
+    ids = nc.tokenize(POKEMON_LABELS)
+
+    def probs_of(m):
+        logits, _ = m.get_similarity(img, ids)
+        logits = np.asarray(logits.astype("float32"))[0]
+        p = np.exp(logits - logits.max())
+        return p / p.sum()
+
+    full = probs_of(model)
+    quant = probs_of(model.quantize())
+    err = float(np.abs(full - quant).max())
+    return {"check": "pokemon_int8", "ok": bool(err < atol),
+            "max_abs_shift": err, "atol": atol,
+            "full_probs": full.tolist(), "int8_probs": quant.tolist()}
+
+
 def _ensure_npack_valid(muge_dir: str, work_dir: str) -> tuple[str, str]:
     """Return (npack valid dir, valid_texts.jsonl). Accepts either the raw
     official download (valid_imgs.tsv + valid_texts.jsonl) — converted via
@@ -152,6 +184,9 @@ def main(argv=None):
     pk = sub.add_parser("pokemon")
     pk.add_argument("--checkpoint", required=True)
     pk.add_argument("--image", default=None)
+    pq = sub.add_parser("pokemon-int8")
+    pq.add_argument("--checkpoint", required=True)
+    pq.add_argument("--image", default=None)
     mg = sub.add_parser("muge")
     mg.add_argument("--checkpoint", required=True)
     mg.add_argument("--muge-dir", required=True)
@@ -160,6 +195,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "pokemon":
         result = check_pokemon(args.checkpoint, args.image)
+    elif args.cmd == "pokemon-int8":
+        result = check_pokemon_int8(args.checkpoint, args.image)
     else:
         result = check_muge(args.checkpoint, args.muge_dir, args.work_dir,
                             args.batch_size)

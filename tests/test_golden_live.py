@@ -42,6 +42,16 @@ def test_pokemon_probs_match_published():
     assert result["ok"], result
 
 
+@pytest.mark.skipif(not GOLDEN_CKPT, reason="published ViT-B-16 checkpoint "
+                    "not available (zero egress); set NANS_GOLDEN_CKPT")
+def test_pokemon_int8_tracks_full_precision():
+    """int8 serving-quality gate on TRAINED weights: quantized probs must
+    track the full-precision ones within 0.05 abs."""
+    from nans_clip_tpu.eval.golden import check_pokemon_int8
+    result = check_pokemon_int8(GOLDEN_CKPT)
+    assert result["ok"], result
+
+
 @pytest.mark.skipif(not (GOLDEN_CKPT and GOLDEN_MUGE),
                     reason="published checkpoint/MUGE valid set not "
                     "available; set NANS_GOLDEN_CKPT + NANS_GOLDEN_MUGE")
@@ -85,6 +95,22 @@ def test_pokemon_harness_runs_and_gates(tiny_ckpt):
     assert not result["ok"]  # random weights cannot reproduce the goldens
     assert result["max_abs_err"] > result["atol"]
     np.testing.assert_allclose(result["golden"], POKEMON_GOLDEN)
+
+
+def test_pokemon_int8_harness_runs(tiny_ckpt):
+    """The int8 quality leg flows end-to-end on a random full-size
+    checkpoint: both forwards run, probs are distributions, and the
+    self-referential gate (int8 vs full precision IN THE SAME RUN) holds
+    even on random weights — it measures quantization shift, not golden
+    agreement."""
+    from nans_clip_tpu.eval.golden import check_pokemon_int8
+    result = check_pokemon_int8(tiny_ckpt)
+    assert result["check"] == "pokemon_int8"
+    for k in ("full_probs", "int8_probs"):
+        p = np.asarray(result[k])
+        assert p.shape == (4,) and abs(p.sum() - 1.0) < 1e-4
+    assert result["ok"], result
+    assert result["max_abs_shift"] < result["atol"]
 
 
 def test_muge_harness_runs_end_to_end(tiny_ckpt, tmp_path):

@@ -72,6 +72,33 @@ def test_quant_tower_matches_dequantized_oracle(post_ln, act, masked):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_quant_tower_batch_tiled_grid():
+    """B > tile: the int8 blocks re-stream once per batch tile and the
+    VMEM scratch re-initializes — same contract as the bf16 grid."""
+    import nans_clip_tpu.ops.tower_kernel as tk
+    B, S, W, I, heads = 6, 12, 128, 512, 4
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    p = _stacked(3, W, I, seed=8)
+    qw = {k: quantize_weight(p[k]) for k in ("wqkv", "wo", "w1", "w2")}
+    orig = tk.tower_batch_tile
+    tk.tower_batch_tile = lambda *a, **k: 2    # force B=6 into 3 tiles
+    try:
+        out = fused_tower(x, None, p["ln1_s"], p["ln1_b"], qw["wqkv"],
+                          p["bqkv"], qw["wo"], p["bo"], p["ln2_s"],
+                          p["ln2_b"], qw["w1"], p["b1"], qw["w2"], p["b2"],
+                          heads, 1e-5, "quick_gelu", False,
+                          interpret=INTERPRET)
+    finally:
+        tk.tower_batch_tile = orig
+    pd = dict(p)
+    for k in ("wqkv", "wo", "w1", "w2"):
+        pd[k] = dequantize_weight(qw[k], jnp.float32)
+    ref = _oracle(x, pd, heads, 1e-5, "quick_gelu", False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def _tiny_cfg():
     from nans_clip_tpu import configs as C
     return C.CLIPConfig(
