@@ -299,6 +299,60 @@ def test_tower_kernel_routed_cell():
         _ab("tower/text_base", _time(fused, x), _time(ref, x))
 
 
+def test_tower_kernel_int8_cell():
+    """The int8 weight-streaming tower at its flagship cell (text_base,
+    serving batch): compile + numerics vs the bf16 tower on the
+    dequantized weights, and the A/B tripwire — int8 measured 1.21x at
+    batch-1 (gates.py provenance); at b=8 the cell is less DMA-bound, so
+    the bound only asserts it never becomes a regression."""
+    from nans_clip_tpu.ops import tower_kernel as tk
+    from nans_clip_tpu.utils.quantize import (dequantize_weight,
+                                              quantize_weight)
+    L, s, w, h, inter = 12, 52, 768, 12, 3072
+    b = 8
+    assert tk.fits_tower(b, s, w, inter, 2, quant=True)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(b, s, w), jnp.bfloat16)
+    stk = lambda *sh: jnp.asarray(0.02 * rs.randn(L, *sh), jnp.bfloat16)
+    ln1s, ln1b = 1.0 + stk(w), stk(w)
+    wqkv, bqkv, wo, bo = stk(w, 3 * w), stk(3 * w), stk(w, w), stk(w)
+    ln2s, ln2b = 1.0 + stk(w), stk(w)
+    w1, b1, w2, b2 = stk(w, inter), stk(inter), stk(inter, w), stk(w)
+    q = {k: quantize_weight(v) for k, v in
+         dict(wqkv=wqkv, wo=wo, w1=w1, w2=w2).items()}
+    d = {k: dequantize_weight(v, jnp.bfloat16) for k, v in q.items()}
+    kb = _key_bias(b, s).reshape(b, 1, s)
+    # weights as TRACED args (the tunnel's remote-compile request limit
+    # rejects big constant pytrees — same rule as the H cell below)
+    with jax.default_matmul_precision("default"):
+        def int8_fn(x, *ws):
+            (ln1s, ln1b, bqkv, bo, ln2s, ln2b, b1, b2,
+             qqkv, sqkv, qo, so, q1, s1, q2, s2) = ws
+            return tk.fused_tower(
+                x, kb, ln1s, ln1b, {"int8": qqkv, "scale": sqkv}, bqkv,
+                {"int8": qo, "scale": so}, bo, ln2s, ln2b,
+                {"int8": q1, "scale": s1}, b1,
+                {"int8": q2, "scale": s2}, b2, h, 1e-12, "gelu", True)
+
+        def bf16_fn(x, *ws):
+            (ln1s, ln1b, bqkv, bo, ln2s, ln2b, b1, b2,
+             dqkv, do, d1, d2) = ws
+            return tk.fused_tower(x, kb, ln1s, ln1b, dqkv, bqkv, do, bo,
+                                  ln2s, ln2b, d1, b1, d2, b2, h, 1e-12,
+                                  "gelu", True)
+
+        common = (ln1s, ln1b, bqkv, bo, ln2s, ln2b, b1, b2)
+        qargs = common + (q["wqkv"]["int8"], q["wqkv"]["scale"],
+                          q["wo"]["int8"], q["wo"]["scale"],
+                          q["w1"]["int8"], q["w1"]["scale"],
+                          q["w2"]["int8"], q["w2"]["scale"])
+        dargs = common + (d["wqkv"], d["wo"], d["w1"], d["w2"])
+        _check(jax.jit(int8_fn)(x, *qargs), jax.jit(bf16_fn)(x, *dargs),
+               tol=5e-2)
+        _ab("tower_int8/text_base", _time(int8_fn, x, *qargs),
+            _time(bf16_fn, x, *dargs))
+
+
 def test_tower_kernel_h_cell():
     """The W=1280 (ViT-H image) tower cell — routed in r3 after a
     measured batch-1 win (3.287 vs 3.922 ms per-block, 1.19x; see
