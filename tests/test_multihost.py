@@ -202,3 +202,101 @@ def test_two_process_pipeline_ring_crosses_hosts(tmp_path):
     losses = _run_two_workers(tmp_path, WORKER_PP)
     assert losses[0] == losses[1], losses
     assert all(np.isfinite(v) and abs(v) < 100 for v in losses), losses
+
+
+WORKER_FSDP = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+
+import numpy as np
+import jax.numpy as jnp
+from nans_clip_tpu.models import ModelOptions
+from nans_clip_tpu.models.clip import init_clip
+from nans_clip_tpu.parallel import create_mesh, shard_params
+from nans_clip_tpu.parallel.distributed import global_batch_from_host_batch
+from nans_clip_tpu.training import TrainConfig, create_train_state, make_train_step
+from nans_clip_tpu.training.trainer import (shard_train_state,
+                                            train_state_shardings)
+from nans_clip_tpu import configs as C
+
+cfg = C.CLIPConfig(
+    embed_dim=64,
+    vision=C.VisionConfig(embed_dim=64, image_resolution=32, layers=2,
+                          width=64, patch_size=16, head_width=32),
+    text=C.TextConfig(hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128),
+    name="tiny")
+mesh = create_mesh(data=8, model=1)
+tcfg = TrainConfig(lr=1e-3, warmup=1, max_steps=4)
+options = ModelOptions(attn_impl="xla", deterministic=True)
+MIN = 256   # tiny config: shard everything >= 256 elements
+
+rs = np.random.RandomState(100 + pid)
+local_images = rs.randn(8, 32, 32, 3).astype(np.float32)
+local_texts = np.zeros((8, 52), np.int32)
+local_texts[:, 0] = 101
+local_texts[:, 1:12] = rs.randint(1000, 20000, (8, 11))
+local_texts[:, 12] = 102
+
+with jax.set_mesh(mesh):
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    params = shard_params(params, mesh, fsdp=True, fsdp_min_size=MIN)
+    # ZeRO-3 STORAGE spans the two hosts: a big leaf is split over the
+    # 8-device data axis, so only half its shards are process-local
+    leaf = params["bert"]["encoder"]["attn"]["wqkv"]
+    assert len(leaf.sharding.device_set) == 8, leaf.sharding
+    assert len(leaf.addressable_shards) == 4, len(leaf.addressable_shards)
+
+    state = create_train_state(params, {}, tcfg)
+    state = shard_train_state(state, mesh, fsdp=True, fsdp_min_size=MIN)
+    state_sh = train_state_shardings(state, mesh, fsdp=True,
+                                     fsdp_min_size=MIN)
+    step = make_train_step(cfg, tcfg, options, state_shardings=state_sh)
+    im = global_batch_from_host_batch(local_images, mesh)
+    tx = global_batch_from_host_batch(local_texts, mesh)
+    compiled = step.lower(state, im, tx, jax.random.PRNGKey(0)).compile()
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier("fsdp_compiled", timeout_in_ms=600000)
+    state, m1 = compiled(state, im, tx, jax.random.PRNGKey(0), None)
+    # second step: the optimizer consumed cross-host-sharded Adam moments
+    state, m2 = compiled(state, im, tx, jax.random.PRNGKey(1), None)
+    # the updated params keep the ZeRO-3 storage sharding (the
+    # state_shardings pin), still spanning both hosts
+    leaf2 = state.params["bert"]["encoder"]["attn"]["wqkv"]
+    assert len(leaf2.addressable_shards) == 4, len(leaf2.addressable_shards)
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert l1 != l2, (l1, l2)   # training moved
+print(f"WORKER {pid} LOSS {l1:.6f} {l2:.6f}", flush=True)
+jax.distributed.shutdown()
+'''
+
+
+def test_two_process_fsdp_spans_hosts(tmp_path):
+    """ZeRO-3 param+optimizer storage sharded over a data axis that SPANS
+    two real processes: the forward's weight all-gathers and the
+    optimizer's sharded-moment update both cross the host boundary, and
+    the output-state sharding pin keeps storage sharded across steps."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER_FSDP)
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coordinator, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    rows = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [ln for ln in out.splitlines() if "LOSS" in ln][0]
+        rows.append((float(line.split()[-2]), float(line.split()[-1])))
+    assert rows[0] == rows[1], rows          # identical global trajectory
+    assert all(np.isfinite(v) and abs(v) < 100 for r in rows for v in r)
