@@ -76,6 +76,13 @@ def merge_lora(params: dict, adapters: dict, alpha: float = 16.0,
     """Effective params with LoRA deltas applied (differentiable in adapters)."""
     if not adapters:
         return params
+    from nans_clip_tpu.utils.quantize import is_quantized
+    for tower, key in (("visual", "transformer"), ("bert", "encoder")):
+        if tower in adapters and tower in params \
+                and is_quantized(params[tower][key]["attn"]["wqkv"]):
+            raise ValueError(
+                "cannot merge LoRA into int8-quantized params — merge "
+                "first, then quantize_for_serving the merged tree")
     r = rank or _infer_rank(adapters)
     scale = alpha / r
     out = dict(params)

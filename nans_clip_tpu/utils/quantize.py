@@ -62,6 +62,11 @@ def is_quantized(leaf: Any) -> bool:
 def quantize_layer_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize the four weight leaves of a stacked encoder-layer tree
     ({"attn": {...}, "mlp": {...}, ...}); everything else unchanged."""
+    if layer_tree_quantized(tree):
+        raise ValueError(
+            "tree is already int8-quantized; quantization is not "
+            "idempotent (and must come AFTER any LoRA merge — "
+            "merge_lora cannot apply deltas to int8 leaves)")
     out = jax.tree_util.tree_map(lambda x: x, tree)  # shallow-ish copy
     for grp, name in _QUANT_LEAVES:
         out[grp] = dict(out[grp])

@@ -141,6 +141,13 @@ def test_quantize_for_serving_tree_shape():
     assert not layer_tree_quantized(tq["visual"]["transformer"])
     with pytest.raises(ValueError):
         quantize_for_serving(params, towers=("vision",))
+    # not idempotent — and ordering with LoRA is enforced both ways
+    with pytest.raises(ValueError, match="already int8-quantized"):
+        quantize_for_serving(qp)
+    from nans_clip_tpu.models.lora import init_lora, merge_lora
+    adapters = init_lora(jax.random.PRNGKey(0), params, rank=2)
+    with pytest.raises(ValueError, match="merge first"):
+        merge_lora(qp, adapters)
 
 
 def test_quant_encode_routes_tower_and_matches_dequantized():
