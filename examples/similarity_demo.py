@@ -26,11 +26,18 @@ def main():
     p.add_argument("--resolution", type=int, default=224)
     p.add_argument("--texts", nargs="+",
                    default=["杰尼龟", "妙蛙种子", "小火龙", "皮卡丘"])
+    p.add_argument("--quantize", default=None, choices=[None, "int8",
+                                                        "int8-text"],
+                   help="weight-only int8 serving (1.21-1.45x batch-1 "
+                        "text latency; see utils/quantize.py)")
     args = p.parse_args()
 
     model, preprocess = nc.load_from_name(
         args.ckpt, vision_model_name=args.vision_model,
         text_model_name=args.text_model, input_resolution=args.resolution)
+    if args.quantize:
+        model = model.quantize(towers=("text",) if args.quantize ==
+                               "int8-text" else ("text", "image"))
 
     image = preprocess(Image.open(args.image))[None]
     tokens = nc.tokenize(args.texts)
