@@ -37,11 +37,18 @@ def parse_args(argv=None):
     p.add_argument("--precision", default="bf16")
     p.add_argument("--attn-impl", default="auto")
     p.add_argument("--json-output", default=None)
-    p.add_argument("--backend", default="jit", choices=["jit", "aot"],
+    p.add_argument("--backend", default="jit",
+                   choices=["jit", "aot", "engine"],
                    help="jit = dispatch-cached jax.jit; aot = ahead-of-"
                         "time lowered+compiled executable at fixed shapes "
                         "(the TensorRT-engine analog, same machinery as "
-                        "deploy.compile_tower)")
+                        "deploy.compile_tower); engine = saved pre-compiled "
+                        "engines from `python -m nans_clip_tpu.deploy.engine"
+                        " build` (--engine-dir) — no compile in this "
+                        "process at all, like benchmarking a .trt file")
+    p.add_argument("--engine-dir", default=None,
+                   help="directory of {tower}_bs{N}.engine files for "
+                        "--backend engine")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8-text"],
                    help="weight-only quantized serving (utils/quantize.py):"
@@ -121,7 +128,27 @@ def main(argv=None):
                         lambda t, acc: jnp.where(acc < jnp.float32(np.inf),
                                                  t, t + 1))
 
-        if args.backend == "aot":
+        if args.backend == "engine":
+            # Saved engines return the f32 feature matrix; sync by summing
+            # it on host (batch-1 feature fetch is a few KB — the fixed
+            # dispatch RTT dominates either way). --inner doesn't apply:
+            # the engine is the single-forward executable.
+            assert args.engine_dir, "--backend engine needs --engine-dir"
+            assert args.inner == 1, "--inner >1 requires jit/aot backends"
+            from nans_clip_tpu.deploy.engine import engine_path, load_engine
+
+            def _eng(tower):
+                eng = load_engine(engine_path(args.engine_dir, tower, bs),
+                                  params)
+                built_q = eng.meta.get("quantize")
+                if built_q != args.quantize:
+                    raise SystemExit(
+                        f"engine was built with --quantize {built_q}, this "
+                        f"run passed --quantize {args.quantize}; the param "
+                        f"pytree must match the engine's calling convention")
+                return lambda p, x: np.asarray(eng(x), np.float32).sum()
+            img_jit, txt_jit = _eng("image"), _eng("text")
+        elif args.backend == "aot":
             img_jit = img_jit.lower(params, images).compile()
             txt_jit = txt_jit.lower(params, texts).compile()
 

@@ -53,17 +53,39 @@ def parse_args(argv=None):
                         "to the reference eval transform (clip/utils.py:179-186) "
                         "— use for score parity; native = C++ decode pool + "
                         "device resize, faster for large-scale extraction")
-    # serialized-artifact backend — the extract_features_{onnx,tensorrt}
-    # analog (reference eval/extract_features_onnx.py:121-138): run towers
-    # from exported StableHLO instead of live-jitted code.
-    p.add_argument("--backend", choices=["jit", "stablehlo"], default="jit")
+    # serialized-artifact backends — the extract_features_{onnx,tensorrt}
+    # analogs (reference eval/extract_features_onnx.py:121-138,
+    # extract_features_tensorrt.py:11): "stablehlo" runs towers from
+    # exported StableHLO (the ONNX-file analog, re-compiles on load);
+    # "engine" runs saved pre-compiled executables (the TRT-engine-file
+    # analog, deploy/engine.py — no re-trace, no re-compile on load).
+    p.add_argument("--backend", choices=["jit", "stablehlo", "engine"],
+                   default="jit")
     p.add_argument("--image-artifact", default=None)
     p.add_argument("--text-artifact", default=None)
     return p.parse_args(argv)
 
 
+def _load_engine_fn(path: str, params, batch_size: int, tower: str):
+    """Bind a saved engine and check its fixed batch shape against the
+    CLI's batch size — the TRT fixed-shape discipline."""
+    from nans_clip_tpu.deploy.engine import load_engine
+    eng = load_engine(path, params)
+    if eng.batch_size is not None and eng.batch_size != batch_size:
+        raise SystemExit(
+            f"{path}: engine was built at batch_size={eng.batch_size} but "
+            f"--{tower}-batch-size is {batch_size}; rebuild the engine or "
+            f"pass the matching batch size (engines are fixed-shape, like "
+            f"TensorRT engines)")
+    return lambda _params, x: eng(x)
+
+
 def extract_text_features(args, cfg, params, options, out_path):
-    if args.backend == "stablehlo":
+    if args.backend == "engine":
+        assert args.text_artifact, "--backend engine needs --text-artifact"
+        txt_fn = _load_engine_fn(args.text_artifact, params,
+                                 args.text_batch_size, "text")
+    elif args.backend == "stablehlo":
         from nans_clip_tpu.deploy.aot import load_stablehlo
         assert args.text_artifact, "--backend stablehlo needs --text-artifact"
         txt_fn = load_stablehlo(args.text_artifact)
@@ -102,10 +124,15 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
     resolution = cfg.vision.image_resolution
     pil = args.image_transform == "pil"
 
-    if args.backend == "stablehlo":
-        from nans_clip_tpu.deploy.aot import load_stablehlo
-        assert args.image_artifact, "--backend stablehlo needs --image-artifact"
-        artifact_fn = load_stablehlo(args.image_artifact)
+    if args.backend in ("stablehlo", "engine"):
+        if args.backend == "engine":
+            assert args.image_artifact, "--backend engine needs --image-artifact"
+            artifact_fn = _load_engine_fn(args.image_artifact, params,
+                                          args.img_batch_size, "img")
+        else:
+            from nans_clip_tpu.deploy.aot import load_stablehlo
+            assert args.image_artifact, "--backend stablehlo needs --image-artifact"
+            artifact_fn = load_stablehlo(args.image_artifact)
 
         def img_fn(p, bs_, x):
             if not pil:
