@@ -135,17 +135,18 @@ def main(argv=None):
             # the engine is the single-forward executable.
             assert args.engine_dir, "--backend engine needs --engine-dir"
             assert args.inner == 1, "--inner >1 requires jit/aot backends"
-            from nans_clip_tpu.deploy.engine import engine_path, load_engine
+            from nans_clip_tpu.deploy.engine import (engine_path, load_engine,
+                                                     read_header)
 
             def _eng(tower):
-                eng = load_engine(engine_path(args.engine_dir, tower, bs),
-                                  params)
-                built_q = eng.meta.get("quantize")
+                path = engine_path(args.engine_dir, tower, bs)
+                built_q = read_header(path).get("meta", {}).get("quantize")
                 if built_q != args.quantize:
                     raise SystemExit(
-                        f"engine was built with --quantize {built_q}, this "
+                        f"{path} was built with --quantize {built_q}, this "
                         f"run passed --quantize {args.quantize}; the param "
                         f"pytree must match the engine's calling convention")
+                eng = load_engine(path, params)
                 return lambda p, x: np.asarray(eng(x), np.float32).sum()
             img_jit, txt_jit = _eng("image"), _eng("text")
         elif args.backend == "aot":

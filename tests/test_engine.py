@@ -152,6 +152,23 @@ def test_engine_build_cli_and_consumers(tmp_path, monkeypatch, capsys):
             np.testing.assert_allclose(ra["feature"], rb["feature"],
                                        atol=1e-5, rtol=1e-5)
 
+    # int8 engines: the quantized calling convention survives
+    # serialization, and a quantize mismatch fails fast
+    qd = str(tmp_path / "engines_q")
+    engine_mod.main(["build", "--tiny-model", "--towers", "text,image",
+                     "--batch-sizes", "1", "--precision", "fp32",
+                     "--attn-impl", "xla", "--quantize", "int8-text",
+                     "--out-dir", qd])
+    results = sb.main(["--batch-sizes", "1", "--n", "2", "--warmup", "1",
+                       "--precision", "fp32", "--backend", "engine",
+                       "--quantize", "int8-text", "--engine-dir", qd,
+                       "--batch-sizes", "1"])
+    assert np.isfinite(results["text@bs1"]["mean"])
+    with pytest.raises(SystemExit, match="calling convention"):
+        sb.main(["--batch-sizes", "1", "--n", "2", "--warmup", "1",
+                 "--precision", "fp32", "--backend", "engine",
+                 "--engine-dir", qd])
+
     # fixed-shape discipline: wrong batch size fails fast, like TRT
     with pytest.raises(SystemExit, match="fixed-shape"):
         extract_features.main([
