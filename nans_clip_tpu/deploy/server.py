@@ -1,0 +1,279 @@
+"""Serving daemon — a production HTTP shim around the compiled towers.
+
+The reference's deployment story ends at artifact files plus a Gradio
+demo (demo.py:95-212); real TRT deployments wrap the engine in a serving
+runtime (Triton-style) that owns batching and keeps the executable warm.
+This is that runtime for the TPU stack, stdlib-only:
+
+- backends: a directory of saved engines (``deploy/engine.py`` — no
+  compile at startup, the production path) or live jit (compiles per
+  batch bucket on first use);
+- fixed-shape discipline: requests are padded to the engine batch and
+  chunked, so ONE compiled shape per tower serves any request size; the
+  jit backend buckets to powers of two up to ``--max-batch`` to bound
+  the number of compiled programs (the TRT optimization-profile analog);
+- endpoints (JSON over POST, ``GET /health``):
+    /encode_text  {"texts": [str, ...]}            -> {"features": [[...]]}
+    /encode_image {"images": [b64-jpeg, ...]}      -> {"features": [[...]]}
+    /similarity   {"texts": [...], "images": [...]} ->
+        {"logits_per_image": [[...]], "probs": [[...]]}
+  Features are L2-normalized fp32, identical to ``extract_features``
+  output; images are urlsafe/standard base64 JPEG — the dataset's own
+  on-disk encoding (reference training/data.py:102-110).
+
+The HTTP layer is a ``ThreadingHTTPServer``; encode calls are serialized
+around the device with a lock (one TPU program runs at a time anyway —
+the threaded front end overlaps request parsing and JPEG decode, which
+is where host time goes).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+class ClipService:
+    """Backend-agnostic encode service: pads/chunks to fixed shapes and
+    returns L2-normalized fp32 features."""
+
+    def __init__(self, cfg, params, batch_stats=None, options=None,
+                 engine_dir: Optional[str] = None, max_batch: int = 32,
+                 context_length: int = 52):
+        from nans_clip_tpu.models import ModelOptions
+        from nans_clip_tpu.utils.transform import image_transform
+
+        self.cfg = cfg
+        self.params = params
+        self.batch_stats = batch_stats
+        self.options = options or ModelOptions(attn_impl="auto",
+                                               compute_dtype="bfloat16")
+        self.max_batch = max_batch
+        self.context_length = context_length
+        self._transform = image_transform(cfg.vision.image_resolution)
+        self._lock = threading.Lock()
+        self._fns: Dict[tuple, object] = {}
+        self._engine_batch: Optional[int] = None
+        if engine_dir is not None:
+            self._load_engines(engine_dir)
+
+    def _load_engines(self, engine_dir: str):
+        import glob
+        import re
+
+        from nans_clip_tpu.deploy.engine import load_engine
+
+        for path in sorted(glob.glob(f"{engine_dir.rstrip('/')}/*.engine")):
+            m = re.match(r"(image|text)_bs(\d+)\.engine$",
+                         path.rsplit("/", 1)[-1])
+            if not m:
+                continue
+            eng = load_engine(path, self.params)
+            tower, bs = m.group(1), int(m.group(2))
+            self._fns[(tower, bs)] = eng
+            logger.info("loaded engine %s", path)
+        if not self._fns:
+            raise ValueError(f"no {{image,text}}_bsN.engine files in "
+                             f"{engine_dir}")
+        # serve each tower at its LARGEST engine batch (smaller requests
+        # pad up; larger ones chunk)
+        self._engine_batch = {
+            tower: max(b for t, b in self._fns if t == tower)
+            for tower in {t for t, _ in self._fns}}
+
+    def _tower_fn(self, tower: str, n: int):
+        """(callable, padded_batch) for a request of n samples."""
+        if self._engine_batch is not None:
+            avail = sorted(b for t, b in self._fns if t == tower)
+            if not avail:
+                raise ValueError(f"no engine for the {tower} tower in the "
+                                 f"engine dir")
+            fits = [b for b in avail if b >= n]
+            bs = fits[0] if fits else avail[-1]  # smallest fit, else chunk
+            return self._fns[(tower, bs)], bs
+        bs = _bucket(n, self.max_batch)
+        key = (tower, bs)
+        if key not in self._fns:
+            from nans_clip_tpu.deploy.aot import compile_tower
+            self._fns[key] = compile_tower(
+                self.cfg, self.params, tower, bs, options=self.options,
+                batch_stats=self.batch_stats,
+                context_length=self.context_length)
+            logger.info("compiled %s tower at batch %d", tower, bs)
+        return self._fns[key], bs
+
+    def _run(self, tower: str, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        out: List[np.ndarray] = []
+        with self._lock:
+            fn, bs = self._tower_fn(tower, n)
+            for i in range(0, n, bs):
+                chunk = x[i:i + bs]
+                pad = bs - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                         chunk.dtype)])
+                feats = np.asarray(fn(jnp.asarray(chunk)), np.float32)
+                out.append(feats[:bs - pad])
+        feats = np.concatenate(out)
+        # engines normalize in-graph; normalizing again is a no-op there
+        # and required on freshly compiled towers
+        return feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    def encode_texts(self, texts: List[str]) -> np.ndarray:
+        from nans_clip_tpu.data.dataset import preprocess_text
+        from nans_clip_tpu.tokenizer import tokenize
+        tok = tokenize([preprocess_text(str(t)) for t in texts],
+                       self.context_length)
+        return self._run("text", np.asarray(tok))
+
+    def encode_images(self, images_b64: List[str]) -> np.ndarray:
+        from PIL import Image
+        arrs = []
+        for i, b in enumerate(images_b64):
+            try:
+                raw = base64.urlsafe_b64decode(
+                    b + "=" * (-len(b) % 4)) if ("-" in b or "_" in b) \
+                    else base64.b64decode(b + "=" * (-len(b) % 4))
+                arrs.append(self._transform(Image.open(io.BytesIO(raw))))
+            except Exception as e:
+                raise ValueError(f"images[{i}]: cannot decode ({e})") from e
+        return self._run("image", np.stack(arrs).astype(np.float32))
+
+    def similarity(self, images_b64: List[str], texts: List[str]):
+        img = self.encode_images(images_b64)
+        txt = self.encode_texts(texts)
+        scale = float(np.exp(np.asarray(self.params["logit_scale"],
+                                        np.float32)))
+        logits_per_image = scale * img @ txt.T
+        e = np.exp(logits_per_image - logits_per_image.max(-1, keepdims=True))
+        return logits_per_image, e / e.sum(-1, keepdims=True)
+
+
+def make_handler(service: ClipService):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % a)
+
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok",
+                                 "model": service.cfg.name,
+                                 "backend": "engine"
+                                 if service._engine_batch else "jit"})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/encode_text":
+                    feats = service.encode_texts(req["texts"])
+                    self._send(200, {"features": feats.tolist()})
+                elif self.path == "/encode_image":
+                    feats = service.encode_images(req["images"])
+                    self._send(200, {"features": feats.tolist()})
+                elif self.path == "/similarity":
+                    logits, probs = service.similarity(req["images"],
+                                                       req["texts"])
+                    self._send(200, {"logits_per_image": logits.tolist(),
+                                     "probs": probs.tolist()})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive 500
+                logger.exception("request failed")
+                self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def make_server(service: ClipService, host: str = "127.0.0.1",
+                port: int = 8000):
+    from http.server import ThreadingHTTPServer
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(prog="nans_clip_tpu.deploy.server")
+    p.add_argument("--vision-model", default="ViT-B-16")
+    p.add_argument("--text-model", default="RoBERTa-wwm-ext-base-chinese")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--attn-impl", default="auto")
+    p.add_argument("--engine-dir", default=None,
+                   help="serve saved engines (deploy.engine build) instead "
+                        "of compiling at startup")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "int8-text"])
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--context-length", type=int, default=52)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--tiny-model", action="store_true",
+                   help="2-layer debug config (configs.tiny_config)")
+    args = p.parse_args(argv)
+
+    from nans_clip_tpu.eval.model_io import load_eval_model
+    cfg_override = None
+    if args.tiny_model:
+        from nans_clip_tpu.configs import tiny_config
+        cfg_override = tiny_config()
+    cfg, params, batch_stats, options = load_eval_model(
+        args.vision_model, args.text_model, args.resume, args.precision,
+        attn_impl=args.attn_impl, cfg=cfg_override)
+    if args.quantize:
+        from nans_clip_tpu.utils.quantize import quantize_for_serving
+        towers = ("text",) if args.quantize == "int8-text" \
+            else ("text", "image")
+        params = quantize_for_serving(params, towers)
+    service = ClipService(cfg, params, batch_stats, options,
+                          engine_dir=args.engine_dir,
+                          max_batch=args.max_batch,
+                          context_length=args.context_length)
+    srv = make_server(service, args.host, args.port)
+    logging.basicConfig(level=logging.INFO)
+    logger.info("serving %s on %s:%d (%s backend)", cfg.name, args.host,
+                args.port, "engine" if args.engine_dir else "jit")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+if __name__ == "__main__":
+    main()
