@@ -56,7 +56,7 @@ class ClipService:
 
     def __init__(self, cfg, params, batch_stats=None, options=None,
                  engine_dir: Optional[str] = None, max_batch: int = 32,
-                 context_length: int = 52):
+                 context_length: int = 52, quantize: Optional[str] = None):
         from nans_clip_tpu.models import ModelOptions
         from nans_clip_tpu.utils.transform import image_transform
 
@@ -68,6 +68,7 @@ class ClipService:
         self.max_batch = max_batch
         self.context_length = context_length
         self._transform = image_transform(cfg.vision.image_resolution)
+        self.quantize = quantize
         self._lock = threading.Lock()
         self._fns: Dict[tuple, object] = {}
         self._engine_batch: Optional[int] = None
@@ -78,13 +79,19 @@ class ClipService:
         import glob
         import re
 
-        from nans_clip_tpu.deploy.engine import load_engine
+        from nans_clip_tpu.deploy.engine import load_engine, read_header
 
         for path in sorted(glob.glob(f"{engine_dir.rstrip('/')}/*.engine")):
             m = re.match(r"(image|text)_bs(\d+)\.engine$",
                          path.rsplit("/", 1)[-1])
             if not m:
                 continue
+            built_q = read_header(path).get("meta", {}).get("quantize")
+            if built_q != self.quantize:
+                raise ValueError(
+                    f"{path} was built with --quantize {built_q}, this "
+                    f"server got --quantize {self.quantize}; the param "
+                    f"pytree must match the engine's calling convention")
             eng = load_engine(path, self.params)
             tower, bs = m.group(1), int(m.group(2))
             self._fns[(tower, bs)] = eng
@@ -262,7 +269,8 @@ def main(argv=None):
     service = ClipService(cfg, params, batch_stats, options,
                           engine_dir=args.engine_dir,
                           max_batch=args.max_batch,
-                          context_length=args.context_length)
+                          context_length=args.context_length,
+                          quantize=args.quantize)
     srv = make_server(service, args.host, args.port)
     logging.basicConfig(level=logging.INFO)
     logger.info("serving %s on %s:%d (%s backend)", cfg.name, args.host,

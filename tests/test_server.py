@@ -136,3 +136,8 @@ def test_engine_backend_matches_jit(tmp_path, service):
                                atol=1e-5, rtol=1e-5)
     # no compiled-on-demand functions were added alongside the engines
     assert set(eng_service._fns) == {("text", 2), ("image", 2)}
+
+    # quantize-convention mismatch fails at startup, not at request time
+    with pytest.raises(ValueError, match="calling convention"):
+        ClipService(cfg, params, batch_stats, OPTS, engine_dir=d,
+                    quantize="int8-text")
