@@ -128,6 +128,8 @@ class ClipService:
 
     def _run(self, tower: str, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
+        if n == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
         out: List[np.ndarray] = []
         with self._lock:
             fn, bs = self._tower_fn(tower, n)

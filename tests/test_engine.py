@@ -51,6 +51,24 @@ def test_engine_roundtrip(tmp_path):
                                atol=0, rtol=0)
 
 
+def test_engine_serves_other_checkpoints(tmp_path):
+    """The anti-TRT property: weights are an ARGUMENT, not baked in — an
+    engine built under checkpoint A must produce checkpoint B's exact
+    features when loaded with B's params."""
+    cfg, _params_a, run, path = _build(tmp_path)
+    params_b, _ = init_clip(jax.random.PRNGKey(7), cfg)
+    texts = _texts()
+    from nans_clip_tpu.deploy.aot import compile_tower
+    opts = ModelOptions(attn_impl="xla", compute_dtype=None)
+    ref_b = np.asarray(compile_tower(cfg, params_b, "text", 2,
+                                     options=opts)(texts))
+    eng_b = load_engine(path, params_b)
+    np.testing.assert_allclose(np.asarray(eng_b(texts)), ref_b,
+                               atol=0, rtol=0)
+    # and A's engine output stays A's (engine isn't secretly stateful)
+    assert not np.allclose(np.asarray(run(texts)), ref_b)
+
+
 def test_engine_header_mismatch(tmp_path):
     _cfg, params, _run, path = _build(tmp_path)
     with open(path, "rb") as f:
