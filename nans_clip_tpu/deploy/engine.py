@@ -44,6 +44,33 @@ def _platform_version() -> str:
         return "unknown"
 
 
+def _read_payload(path: str) -> dict:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("magic") != _MAGIC:
+        raise ValueError(f"{path}: not a nans-clip-tpu engine file")
+    return payload
+
+
+def batch_stats_digest(batch_stats) -> Optional[str]:
+    """Stable fingerprint of a BN-statistics pytree. ResNet towers close
+    their running means/vars into the traced function, so they are BAKED
+    into the engine (unlike the weights, which stay arguments) — the
+    digest lets consumers refuse an engine whose baked stats don't match
+    the checkpoint they serve. None for stat-less (ViT) models."""
+    import hashlib
+
+    import numpy as np
+
+    leaves = jax.tree.leaves(batch_stats)
+    if not leaves:
+        return None
+    h = hashlib.sha256()
+    for leaf in leaves:
+        h.update(np.ascontiguousarray(np.asarray(leaf, np.float32)).tobytes())
+    return h.hexdigest()[:16]
+
+
 def save_engine(path: str, run, meta: Optional[dict] = None) -> str:
     """Persist a ``compile_tower`` result (or any object exposing
     ``.compiled`` from ``jit(...).lower(...).compile()``)."""
@@ -74,17 +101,17 @@ def save_engine(path: str, run, meta: Optional[dict] = None) -> str:
     return path
 
 
-def load_engine(path: str, params=None, strict: bool = True):
+def load_engine(path: str, params=None, strict: bool = True,
+                payload: Optional[dict] = None):
     """Restore an engine. Returns ``fn(x)`` with ``params`` bound (the
     ``compile_tower`` calling convention) when ``params`` is given, else
     the raw ``fn(params, x)``. The result carries ``.batch_size`` and
-    ``.meta``."""
+    ``.meta``. ``payload`` skips re-reading a file the caller already
+    loaded (a large-tower engine is hundreds of MB)."""
     from jax.experimental.serialize_executable import deserialize_and_load
 
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    if payload.get("magic") != _MAGIC:
-        raise ValueError(f"{path}: not a nans-clip-tpu engine file")
+    if payload is None:
+        payload = _read_payload(path)
     checks = [("jax", jax.__version__),
               ("backend", jax.default_backend()),
               ("platform_version", _platform_version())]
@@ -144,13 +171,11 @@ def load_engine(path: str, params=None, strict: bool = True):
     return run
 
 
-def read_header(path: str) -> dict:
+def read_header(path: str, payload: Optional[dict] = None) -> dict:
     """The engine's compatibility header, without deserializing the
     executable (the blob stays untouched)."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    if payload.get("magic") != _MAGIC:
-        raise ValueError(f"{path}: not a nans-clip-tpu engine file")
+    if payload is None:
+        payload = _read_payload(path)
     return {k: v for k, v in payload.items()
             if k not in ("blob", "in_tree", "out_tree")}
 
@@ -229,12 +254,18 @@ def main(argv=None):
                                 context_length=args.context_length)
             path = save_engine(
                 engine_path(args.out_dir, tower, bs), run,
-                meta={"tower": tower, "vision_model": args.vision_model,
+                meta={"tower": tower, "model": cfg.name,
+                      "vision_model": args.vision_model,
                       "text_model": args.text_model,
                       "precision": args.precision,
                       "attn_impl": args.attn_impl,
                       "quantize": args.quantize,
-                      "context_length": args.context_length})
+                      "context_length": args.context_length,
+                      # ResNet towers bake BN running stats into the
+                      # executable; consumers match this against their
+                      # checkpoint's stats (ViT: None)
+                      "batch_stats_digest": batch_stats_digest(batch_stats)
+                      if (tower == "image" and cfg.is_resnet) else None})
             print(f"built {path} in {time.time() - t0:.1f}s")
 
 

@@ -79,23 +79,51 @@ class ClipService:
         import glob
         import re
 
-        from nans_clip_tpu.deploy.engine import load_engine, read_header
+        from nans_clip_tpu.deploy.engine import (_read_payload,
+                                                 batch_stats_digest,
+                                                 load_engine)
 
         for path in sorted(glob.glob(f"{engine_dir.rstrip('/')}/*.engine")):
-            m = re.match(r"(image|text)_bs(\d+)\.engine$",
+            m = re.match(r"(image|text)_bs\d+\.engine$",
                          path.rsplit("/", 1)[-1])
             if not m:
                 continue
-            built_q = read_header(path).get("meta", {}).get("quantize")
-            if built_q != self.quantize:
-                raise ValueError(
-                    f"{path} was built with --quantize {built_q}, this "
-                    f"server got --quantize {self.quantize}; the param "
-                    f"pytree must match the engine's calling convention")
-            eng = load_engine(path, self.params)
-            tower, bs = m.group(1), int(m.group(2))
-            self._fns[(tower, bs)] = eng
-            logger.info("loaded engine %s", path)
+            payload = _read_payload(path)   # read once: header + executable
+            meta = payload.get("meta", {})
+            # fail fast at startup on every convention the header records —
+            # a mismatch would otherwise surface per-request as an opaque
+            # XLA shape/pytree error blamed on the client
+            mismatches = []
+            if meta.get("quantize") != self.quantize:
+                mismatches.append(f"quantize: built {meta.get('quantize')}, "
+                                  f"server has {self.quantize}")
+            if meta.get("model") is not None and meta["model"] != self.cfg.name:
+                mismatches.append(f"model: built {meta['model']!r}, server "
+                                  f"has {self.cfg.name!r}")
+            if m.group(1) == "text" \
+                    and meta.get("context_length") is not None \
+                    and meta["context_length"] != self.context_length:
+                mismatches.append(f"context_length: built "
+                                  f"{meta['context_length']}, server has "
+                                  f"{self.context_length}")
+            if meta.get("batch_stats_digest") is not None:
+                now = batch_stats_digest(self.batch_stats)
+                if meta["batch_stats_digest"] != now:
+                    mismatches.append(
+                        "batch_stats_digest: the engine baked different BN "
+                        "running stats than this checkpoint's (ResNet "
+                        "engines must be rebuilt per checkpoint)")
+            if mismatches:
+                raise ValueError(f"{path} does not match this server's "
+                                 f"configuration — rebuild the engine or "
+                                 f"fix the flags: " + "; ".join(mismatches))
+            eng = load_engine(path, self.params, payload=payload)
+            tower = m.group(1)
+            bs = payload.get("batch_size")
+            if bs is None:   # legacy file: trust the name
+                bs = int(re.search(r"_bs(\d+)\.engine$", path).group(1))
+            self._fns[(tower, int(bs))] = eng
+            logger.info("loaded engine %s (batch %s)", path, bs)
         if not self._fns:
             raise ValueError(f"no {{image,text}}_bsN.engine files in "
                              f"{engine_dir}")
@@ -143,8 +171,9 @@ class ClipService:
                 feats = np.asarray(fn(jnp.asarray(chunk)), np.float32)
                 out.append(feats[:bs - pad])
         feats = np.concatenate(out)
-        # engines normalize in-graph; normalizing again is a no-op there
-        # and required on freshly compiled towers
+        # both backends normalize in-graph (compile_tower normalize_out
+        # defaults True); this re-normalization is a numerical no-op kept
+        # as a safety net for custom engines built without it
         return feats / np.linalg.norm(feats, axis=-1, keepdims=True)
 
     def encode_texts(self, texts: List[str]) -> np.ndarray:
@@ -156,6 +185,8 @@ class ClipService:
 
     def encode_images(self, images_b64: List[str]) -> np.ndarray:
         from PIL import Image
+        if not images_b64:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
         arrs = []
         for i, b in enumerate(images_b64):
             try:
@@ -173,6 +204,8 @@ class ClipService:
         scale = float(np.exp(np.asarray(self.params["logit_scale"],
                                         np.float32)))
         logits_per_image = scale * img @ txt.T
+        if logits_per_image.size == 0:   # empty texts or images
+            return logits_per_image, np.zeros_like(logits_per_image)
         e = np.exp(logits_per_image - logits_per_image.max(-1, keepdims=True))
         return logits_per_image, e / e.sum(-1, keepdims=True)
 
@@ -181,6 +214,10 @@ def make_handler(service: ClipService):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
+        # keep-alive: _send always sets Content-Length, so sequential
+        # clients skip the per-request TCP reconnect
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *a):  # route through logging, not stderr
             logger.debug("%s - %s", self.address_string(), fmt % a)
 

@@ -66,11 +66,27 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _load_engine_fn(path: str, params, batch_size: int, tower: str):
-    """Bind a saved engine and check its fixed batch shape against the
-    CLI's batch size — the TRT fixed-shape discipline."""
-    from nans_clip_tpu.deploy.engine import load_engine
-    eng = load_engine(path, params)
+def _load_engine_fn(path: str, params, batch_size: int, tower: str,
+                    batch_stats=None):
+    """Bind a saved engine and check its conventions up front — the TRT
+    fixed-shape discipline (batch shape, quantize layout, baked BN
+    stats) — instead of failing mid-extraction with an XLA error."""
+    from nans_clip_tpu.deploy.engine import (_read_payload,
+                                             batch_stats_digest, load_engine)
+    payload = _read_payload(path)
+    meta = payload.get("meta", {})
+    if meta.get("quantize"):
+        raise SystemExit(
+            f"{path}: engine was built with --quantize {meta['quantize']}; "
+            f"extract_features loads unquantized checkpoints — rebuild the "
+            f"engine without --quantize")
+    built_digest = meta.get("batch_stats_digest")
+    if built_digest is not None \
+            and built_digest != batch_stats_digest(batch_stats):
+        raise SystemExit(
+            f"{path}: engine baked different BN running stats than this "
+            f"checkpoint's (ResNet engines must be rebuilt per checkpoint)")
+    eng = load_engine(path, params, payload=payload)
     if eng.batch_size is not None and eng.batch_size != batch_size:
         raise SystemExit(
             f"{path}: engine was built at batch_size={eng.batch_size} but "
@@ -128,7 +144,8 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
         if args.backend == "engine":
             assert args.image_artifact, "--backend engine needs --image-artifact"
             artifact_fn = _load_engine_fn(args.image_artifact, params,
-                                          args.img_batch_size, "img")
+                                          args.img_batch_size, "img",
+                                          batch_stats=batch_stats)
         else:
             from nans_clip_tpu.deploy.aot import load_stablehlo
             assert args.image_artifact, "--backend stablehlo needs --image-artifact"

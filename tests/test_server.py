@@ -4,6 +4,7 @@ engine backends, fixed-shape padding/chunking, error paths."""
 import base64
 import io
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -138,6 +139,58 @@ def test_engine_backend_matches_jit(tmp_path, service):
     assert set(eng_service._fns) == {("text", 2), ("image", 2)}
 
     # quantize-convention mismatch fails at startup, not at request time
-    with pytest.raises(ValueError, match="calling convention"):
+    with pytest.raises(ValueError, match="quantize"):
         ClipService(cfg, params, batch_stats, OPTS, engine_dir=d,
                     quantize="int8-text")
+
+
+def test_server_rejects_mismatched_engine_headers(tmp_path, service):
+    """Every convention the header records fails fast at startup: model
+    name, text context length, and (for ResNet towers) the baked
+    BatchNorm-statistics digest."""
+    import pickle
+    import shutil
+
+    import nans_clip_tpu.deploy.engine as engine_mod
+
+    d = str(tmp_path / "engines")
+    engine_mod.main(["build", "--tiny-model", "--towers", "text",
+                     "--batch-sizes", "2", "--precision", "fp32",
+                     "--attn-impl", "xla", "--out-dir", d])
+    cfg = tiny_config()
+    params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
+
+    def corrupt(key, value):
+        dd = str(tmp_path / f"bad_{key}")
+        shutil.rmtree(dd, ignore_errors=True)
+        shutil.copytree(d, dd)
+        p = engine_mod.engine_path(dd, "text", 2)
+        with open(p, "rb") as f:
+            payload = pickle.load(f)
+        payload["meta"][key] = value
+        with open(p, "wb") as f:
+            pickle.dump(payload, f)
+        return dd
+
+    for key, value, frag in [
+            ("model", "ViT-H-14@RoBERTa-wwm-ext-large-chinese", "model"),
+            ("context_length", 64, "context_length"),
+            ("batch_stats_digest", "deadbeef", "BN running stats")]:
+        with pytest.raises(ValueError, match=frag):
+            ClipService(cfg, params, batch_stats, OPTS,
+                        engine_dir=corrupt(key, value))
+
+    # batch size comes from the payload, not the filename
+    dd = str(tmp_path / "renamed")
+    shutil.copytree(d, dd)
+    os.rename(engine_mod.engine_path(dd, "text", 2),
+              engine_mod.engine_path(dd, "text", 8))
+    svc = ClipService(cfg, params, batch_stats, OPTS, engine_dir=dd)
+    assert set(svc._fns) == {("text", 2)}
+
+
+def test_empty_requests(server):
+    out = _post(server, "/encode_image", {"images": []})
+    assert out["features"] == []
+    sim = _post(server, "/similarity", {"images": [], "texts": ["一"]})
+    assert sim["probs"] == [] and sim["logits_per_image"] == []
