@@ -65,9 +65,9 @@ class RetrievalEngine:
             params = merge_lora(params, adapters, alpha=meta.get("alpha", 16.0))
             logger.info("merged LoRA adapters from %s", args.lora)
         if args.quantize:
-            from nans_clip_tpu.utils.quantize import quantize_for_serving
-            towers = ("text",) if args.quantize == "int8-text" \
-                else ("text", "image")
+            from nans_clip_tpu.utils.quantize import (quantize_for_serving,
+                                                      towers_for_mode)
+            towers = towers_for_mode(args.quantize)
             params = quantize_for_serving(params, towers)
             logger.info("int8-quantized towers: %s", towers)
         self.cfg, self.params, self.batch_stats, self.options = cfg, params, batch_stats, options

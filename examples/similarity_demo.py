@@ -36,8 +36,8 @@ def main():
         args.ckpt, vision_model_name=args.vision_model,
         text_model_name=args.text_model, input_resolution=args.resolution)
     if args.quantize:
-        model = model.quantize(towers=("text",) if args.quantize ==
-                               "int8-text" else ("text", "image"))
+        from nans_clip_tpu.utils.quantize import towers_for_mode
+        model = model.quantize(towers=towers_for_mode(args.quantize))
 
     image = preprocess(Image.open(args.image))[None]
     tokens = nc.tokenize(args.texts)

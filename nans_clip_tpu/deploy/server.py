@@ -301,10 +301,9 @@ def main(argv=None):
         args.vision_model, args.text_model, args.resume, args.precision,
         attn_impl=args.attn_impl, cfg=cfg_override)
     if args.quantize:
-        from nans_clip_tpu.utils.quantize import quantize_for_serving
-        towers = ("text",) if args.quantize == "int8-text" \
-            else ("text", "image")
-        params = quantize_for_serving(params, towers)
+        from nans_clip_tpu.utils.quantize import (quantize_for_serving,
+                                                  towers_for_mode)
+        params = quantize_for_serving(params, towers_for_mode(args.quantize))
     service = ClipService(cfg, params, batch_stats, options,
                           engine_dir=args.engine_dir,
                           max_batch=args.max_batch,

@@ -106,6 +106,20 @@ def bert_features(params: dict, input_ids: jax.Array,
     # explicit "fused" off-TPU (CPU test meshes) runs in interpreter mode
     fused_interpret = not on_tpu
 
+    def _tower_route(q: bool) -> bool:
+        # THE single whole-tower routing predicate — used both to decide
+        # whether int8 params can stream directly (below) and to take the
+        # route itself (the mega-kernel branch). `use_fused` is read at
+        # call time; the later fits_fused refinement is folded in
+        # explicitly so both call sites agree.
+        from nans_clip_tpu.ops.fused_block import fits_fused
+        from nans_clip_tpu.ops.tower_kernel import fits_tower
+        return (use_fused and det and cfg.hidden_act == "gelu"
+                and options.pp == 1 and options.tp == 1
+                and fits_fused(s, cfg.hidden_size)
+                and fits_tower(b, s, cfg.hidden_size, cfg.intermediate_size,
+                               jnp.dtype(x.dtype).itemsize, quant=q))
+
     # int8-quantized serving params (utils/quantize.py): only the
     # whole-tower kernel streams them directly (half the weight HBM bytes
     # — the batch-1 bottleneck); any other path dequantizes up front and
@@ -113,20 +127,10 @@ def bert_features(params: dict, input_ids: jax.Array,
     from nans_clip_tpu.utils.quantize import (dequantize_layer_tree,
                                               layer_tree_quantized)
     quant = layer_tree_quantized(params["encoder"])
-    if quant:
-        from nans_clip_tpu.ops.fused_block import fits_fused as _fits_f
-        from nans_clip_tpu.ops.tower_kernel import fits_tower as _fits_t
-        serve_tower = (use_fused and det and cfg.hidden_act == "gelu"
-                       and options.pp == 1 and options.tp == 1
-                       and _fits_f(s, cfg.hidden_size)
-                       and _fits_t(b, s, cfg.hidden_size,
-                                   cfg.intermediate_size,
-                                   jnp.dtype(x.dtype).itemsize, quant=True))
-        if not serve_tower:
-            params = dict(params)
-            params["encoder"] = dequantize_layer_tree(params["encoder"],
-                                                      x.dtype)
-            quant = False
+    if quant and not _tower_route(True):
+        params = dict(params)
+        params["encoder"] = dequantize_layer_tree(params["encoder"], x.dtype)
+        quant = False
 
     if options.tp > 1 and det:
         # Tensor parallel (deterministic path): shard_map head/column-split
@@ -178,18 +182,16 @@ def bert_features(params: dict, input_ids: jax.Array,
 
     # Low-latency serving: whole-tower mega-kernel (ONE pallas_call for all
     # L layers — ops/tower_kernel.py), deterministic forwards only.
-    if use_fused and det and cfg.hidden_act == "gelu" and options.pp == 1:
-        from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
-        if fits_tower(b, s, cfg.hidden_size, cfg.intermediate_size,
-                      jnp.dtype(x.dtype).itemsize, quant=quant):
-            enc = params["encoder"]
-            return fused_tower(
-                x, key_bias, enc["attn_ln"]["scale"], enc["attn_ln"]["bias"],
-                enc["attn"]["wqkv"], enc["attn"]["bqkv"], enc["attn"]["wo"],
-                enc["attn"]["bo"], enc["mlp_ln"]["scale"],
-                enc["mlp_ln"]["bias"], enc["mlp"]["w1"], enc["mlp"]["b1"],
-                enc["mlp"]["w2"], enc["mlp"]["b2"], heads,
-                cfg.layer_norm_eps, "gelu", True, interpret=fused_interpret)
+    if _tower_route(quant):
+        from nans_clip_tpu.ops.tower_kernel import fused_tower
+        enc = params["encoder"]
+        return fused_tower(
+            x, key_bias, enc["attn_ln"]["scale"], enc["attn_ln"]["bias"],
+            enc["attn"]["wqkv"], enc["attn"]["bqkv"], enc["attn"]["wo"],
+            enc["attn"]["bo"], enc["mlp_ln"]["scale"],
+            enc["mlp_ln"]["bias"], enc["mlp"]["w1"], enc["mlp"]["b1"],
+            enc["mlp"]["w2"], enc["mlp"]["b2"], heads,
+            cfg.layer_norm_eps, "gelu", True, interpret=fused_interpret)
 
     # Deterministic forwards at one-shot shapes: whole-layer kernel (see
     # models/vit.py note; ops/layer_kernel.py).

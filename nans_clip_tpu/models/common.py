@@ -47,8 +47,20 @@ class ModelOptions:
 def cast_tree(tree, options: ModelOptions):
     if options.compute_dtype is None:
         return tree
+    from nans_clip_tpu.utils.quantize import is_quantized
     dt = jnp.dtype(options.compute_dtype)
-    return jax.tree.map(lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+    def cast(a):
+        if is_quantized(a):
+            # int8-quantized leaves are atomic: the int8 payload is not
+            # floating, and the per-channel scales are documented fp32
+            # (utils/quantize.py) — downcasting them to bf16 would add
+            # avoidable dequant error on the shipped serving path for a
+            # few KB of savings
+            return a
+        return a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return jax.tree.map(cast, tree, is_leaf=is_quantized)
 
 
 def normal(rng, shape, std=0.02, dtype=jnp.float32):

@@ -118,6 +118,17 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # interpreter mode instead of failing to lower
     fused_interpret = jax.default_backend() != "tpu"
 
+    def _tower_route(q: bool) -> bool:
+        # THE single whole-tower routing predicate — decides both whether
+        # int8 params can stream directly (below) and whether the
+        # mega-kernel branch itself is taken (tp > 1 returns before that
+        # branch, hence the explicit tp == 1 here).
+        from nans_clip_tpu.ops.tower_kernel import fits_tower
+        return (use_fused and options.deterministic and options.pp == 1
+                and options.tp == 1
+                and fits_tower(b, x.shape[1], w, 4 * w,
+                               jnp.dtype(x.dtype).itemsize, quant=q))
+
     # int8-quantized serving params (utils/quantize.py): the whole-tower
     # kernel streams them directly (half the HBM bytes — the batch-1
     # bottleneck); every other path dequantizes up front and runs the
@@ -125,18 +136,11 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     from nans_clip_tpu.utils.quantize import (dequantize_layer_tree,
                                               layer_tree_quantized)
     quant = layer_tree_quantized(params["transformer"])
-    if quant:
-        from nans_clip_tpu.ops.tower_kernel import fits_tower
-        serve_tower = (use_fused and options.deterministic
-                       and options.pp == 1 and options.tp == 1
-                       and fits_tower(b, x.shape[1], w, 4 * w,
-                                      jnp.dtype(x.dtype).itemsize,
-                                      quant=True))
-        if not serve_tower:
-            params = dict(params)
-            params["transformer"] = dequantize_layer_tree(
-                params["transformer"], x.dtype)
-            quant = False
+    if quant and not _tower_route(True):
+        params = dict(params)
+        params["transformer"] = dequantize_layer_tree(
+            params["transformer"], x.dtype)
+        quant = False
 
     if options.tp > 1:
         # Tensor parallel: shard_map over the mesh's 'model' axis with
@@ -170,20 +174,18 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # deterministic forwards at VMEM-fitting batch sizes, where the
     # per-sub-block path's 2L launches + activation HBM round trips
     # dominate latency.
-    if use_fused and options.deterministic and options.pp == 1:
-        from nans_clip_tpu.ops.tower_kernel import fits_tower, fused_tower
-        if fits_tower(b, x.shape[1], w, 4 * w, jnp.dtype(x.dtype).itemsize,
-                      quant=quant):
-            tr = params["transformer"]
-            x = fused_tower(x, None, tr["ln_1"]["scale"], tr["ln_1"]["bias"],
-                            tr["attn"]["wqkv"], tr["attn"]["bqkv"],
-                            tr["attn"]["wo"], tr["attn"]["bo"],
-                            tr["ln_2"]["scale"], tr["ln_2"]["bias"],
-                            tr["mlp"]["w1"], tr["mlp"]["b1"],
-                            tr["mlp"]["w2"], tr["mlp"]["b2"], heads, 1e-5,
-                            "quick_gelu", False, interpret=fused_interpret)
-            x = layer_norm(x[:, 0, :], **params["ln_post"])
-            return x @ params["proj"]
+    if _tower_route(quant):
+        from nans_clip_tpu.ops.tower_kernel import fused_tower
+        tr = params["transformer"]
+        x = fused_tower(x, None, tr["ln_1"]["scale"], tr["ln_1"]["bias"],
+                        tr["attn"]["wqkv"], tr["attn"]["bqkv"],
+                        tr["attn"]["wo"], tr["attn"]["bo"],
+                        tr["ln_2"]["scale"], tr["ln_2"]["bias"],
+                        tr["mlp"]["w1"], tr["mlp"]["b1"],
+                        tr["mlp"]["w2"], tr["mlp"]["b2"], heads, 1e-5,
+                        "quick_gelu", False, interpret=fused_interpret)
+        x = layer_norm(x[:, 0, :], **params["ln_post"])
+        return x @ params["proj"]
 
     use_fused_mlp = False
     use_wide = False

@@ -67,7 +67,7 @@ def quantize_layer_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
             "tree is already int8-quantized; quantization is not "
             "idempotent (and must come AFTER any LoRA merge — "
             "merge_lora cannot apply deltas to int8 leaves)")
-    out = jax.tree_util.tree_map(lambda x: x, tree)  # shallow-ish copy
+    out = dict(tree)
     for grp, name in _QUANT_LEAVES:
         out[grp] = dict(out[grp])
         out[grp][name] = quantize_weight(tree[grp][name])
@@ -86,6 +86,46 @@ def dequantize_layer_tree(tree: Dict[str, Any], dtype) -> Dict[str, Any]:
 
 def layer_tree_quantized(tree: Dict[str, Any]) -> bool:
     return is_quantized(tree["attn"]["wqkv"])
+
+
+def params_quantized(params: Dict[str, Any]) -> bool:
+    """True if either tower's stacked encoder carries int8 leaves."""
+    for tower_keys in (("visual", "transformer"), ("bert", "encoder")):
+        node = params
+        for k in tower_keys:
+            node = node.get(k) if isinstance(node, dict) else None
+            if node is None:
+                break
+        if node is not None and "attn" in node and layer_tree_quantized(node):
+            return True
+    return False
+
+
+def dequantize_params(params: Dict[str, Any], dtype=None) -> Dict[str, Any]:
+    """Inverse of :func:`quantize_for_serving` up to int8 rounding: every
+    quantized stack goes back to dense weights (for checkpoint export or
+    paths that need plain arrays). ``dtype`` defaults to fp32."""
+    import jax.numpy as _jnp
+    dtype = dtype or _jnp.float32
+    out = dict(params)
+    for outer, inner in (("visual", "transformer"), ("bert", "encoder")):
+        if outer in out and isinstance(out[outer], dict) \
+                and inner in out[outer] and "attn" in out[outer][inner] \
+                and layer_tree_quantized(out[outer][inner]):
+            out[outer] = dict(out[outer])
+            out[outer][inner] = dequantize_layer_tree(out[outer][inner], dtype)
+    return out
+
+
+def towers_for_mode(mode: str):
+    """Map a CLI ``--quantize`` mode to the tower set: ``int8`` = both,
+    ``int8-text`` = text only (the measured batch-1 win — image towers
+    are compute-bound, see the module docstring)."""
+    if mode == "int8":
+        return ("text", "image")
+    if mode == "int8-text":
+        return ("text",)
+    raise ValueError(f"unknown quantize mode: {mode!r}")
 
 
 def quantize_for_serving(params: Dict[str, Any],

@@ -333,6 +333,13 @@ def merge_pretrained(params: dict, batch_stats: dict, cfg: CLIPConfig,
 def state_dict_from_params(params: dict, cfg: CLIPConfig,
                            batch_stats: Optional[dict] = None) -> Dict[str, np.ndarray]:
     """Export our pytree to the reference's (non-flash) state_dict layout."""
+    from nans_clip_tpu.utils.quantize import params_quantized
+    if params_quantized(params):
+        raise ValueError(
+            "param tree is int8-quantized for serving; checkpoints are "
+            "exported from the original weights — dequantize first "
+            "(utils.quantize.dequantize_params) or export the tree you "
+            "quantized from")
     sd: Dict[str, np.ndarray] = {}
 
     def put(key, val):

@@ -236,3 +236,68 @@ def test_quant_quality_vs_full_precision():
         cos = (full * q).sum(-1) / (
             np.linalg.norm(full, axis=-1) * np.linalg.norm(q, axis=-1))
         assert (cos > 0.999).all(), cos
+
+
+def test_cast_tree_keeps_quant_scales_fp32():
+    """Production serving loads with compute_dtype=bf16; cast_tree must
+    treat {'int8','scale'} leaves as atomic — downcasting the documented
+    fp32 per-channel scales to bf16 would add avoidable dequant error on
+    the shipped path while CI validates fp32-scale configs."""
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import init_clip
+    from nans_clip_tpu.models.common import cast_tree
+    cfg = _tiny_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    qp = quantize_for_serving(params)
+    cast = cast_tree(qp, ModelOptions(compute_dtype="bfloat16"))
+    enc = cast["bert"]["encoder"]
+    assert enc["attn"]["wqkv"]["int8"].dtype == jnp.int8
+    assert enc["attn"]["wqkv"]["scale"].dtype == jnp.float32
+    assert enc["mlp"]["w2"]["scale"].dtype == jnp.float32
+    # non-quantized floating leaves still cast
+    assert cast["bert"]["encoder"]["attn"]["bqkv"].dtype == jnp.bfloat16
+    assert cast["text_projection"].dtype == jnp.bfloat16
+    # and the bf16 quantized forward equals the bf16 dequantized-params
+    # forward (the scales no longer diverge between the two)
+    from nans_clip_tpu.models.clip import encode_text
+    from nans_clip_tpu.utils.quantize import dequantize_params
+    _, texts = _tiny_inputs()
+    out = encode_text(qp, cfg, texts, ModelOptions(attn_impl="xla",
+                                                   compute_dtype="bfloat16"))
+    ref = encode_text(dequantize_params(qp), cfg, texts,
+                      ModelOptions(attn_impl="xla",
+                                   compute_dtype="bfloat16"))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_quantized_tree_export_fails_fast():
+    """torch_interop must refuse a quantized tree with a clear message
+    (CLAUDE.md: torch_interop stays in sync with param-tree changes)."""
+    from nans_clip_tpu.models.clip import init_clip
+    from nans_clip_tpu.utils.quantize import (dequantize_params,
+                                              params_quantized)
+    from nans_clip_tpu.utils.torch_interop import state_dict_from_params
+    cfg = _tiny_cfg()
+    params, _ = init_clip(jax.random.PRNGKey(0), cfg)
+    qp = quantize_for_serving(params, ("text",))
+    assert params_quantized(qp) and not params_quantized(params)
+    with pytest.raises(ValueError, match="dequantize first"):
+        state_dict_from_params(qp, cfg)
+    # dequantize_params makes it exportable again, close to the original
+    dq = dequantize_params(qp)
+    assert not params_quantized(dq)
+    sd = state_dict_from_params(dq, cfg)
+    w = np.asarray(params["bert"]["encoder"]["mlp"]["w1"])
+    scale = np.abs(w).max()
+    got = sd["bert.encoder.layer.0.intermediate.dense.weight"]
+    assert np.abs(np.asarray(got).T - w[0]).max() < scale / 100
+
+
+def test_towers_for_mode():
+    from nans_clip_tpu.utils.quantize import towers_for_mode
+    assert towers_for_mode("int8") == ("text", "image")
+    assert towers_for_mode("int8-text") == ("text",)
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        towers_for_mode("int4")
