@@ -95,41 +95,53 @@ class LMDBReader:
         (self.psize, _flags, self.depth, self.branch_pages, self.leaf_pages,
          self.overflow_pages, self.entries, self.root) = meta
 
-    def _read_meta(self, byte_off: int):
+    def _read_meta_raw(self, byte_off: int):
         off = byte_off + PAGEHDRSZ
         if off + _META_HEAD.size + 2 * _DB.size + _META_TAIL.size > len(self._mm):
             return None
         magic, version, _addr, _mapsize = _META_HEAD.unpack_from(self._mm, off)
         if magic != MDB_MAGIC or version not in (MDB_VERSION, 999):
             return None
-        db0 = _DB.unpack_from(self._mm, off + _META_HEAD.size)
-        db1 = _DB.unpack_from(self._mm, off + _META_HEAD.size + _DB.size)
+        free_db = _DB.unpack_from(self._mm, off + _META_HEAD.size)
+        main_db = _DB.unpack_from(self._mm, off + _META_HEAD.size + _DB.size)
         last_pg, txnid = _META_TAIL.unpack_from(
             self._mm, off + _META_HEAD.size + 2 * _DB.size)
-        psize = db0[0] or PSIZE
-        return txnid, (psize,) + db1[1:]
+        return {"txnid": txnid, "free_db": free_db, "main_db": main_db,
+                "last_pg": last_pg, "psize": free_db[0] or PSIZE}
 
-    def _pick_meta(self):
-        # Meta 0 is always at byte 0; meta 1 sits at the file's ACTUAL page
-        # size (recorded in meta 0's free-DB md_pad), which is the host's
-        # OS page size at creation time — 16K/64K files from e.g. aarch64
-        # hosts put meta 1 well past the 4K default.
-        m0 = self._read_meta(0)
+    def _read_meta(self, byte_off: int):
+        m = self._read_meta_raw(byte_off)
+        if m is None:
+            return None
+        return m["txnid"], (m["psize"],) + m["main_db"][1:]
+
+    def _live_meta(self) -> dict:
+        """The live meta page, RAW — the one true pick used by the reader
+        and the verifier (mdb.c tie-break: meta 0 wins equal txnids).
+        Meta 0 is always at byte 0; meta 1 sits at the file's ACTUAL page
+        size (recorded in meta 0's free-DB md_pad), which is the host's
+        OS page size at creation time — 16K/64K files from e.g. aarch64
+        hosts put meta 1 well past the 4K default."""
+        m0 = self._read_meta_raw(0)
         if m0 is not None:
-            m1 = self._read_meta(m0[1][0])
+            m1 = self._read_meta_raw(m0["psize"])
         else:
             m1 = None
             for ps in (PSIZE, 8192, 16384, 32768, 65536):
-                m1 = self._read_meta(ps)
+                m1 = self._read_meta_raw(ps)
                 if m1 is not None:
                     break
         if m0 is None and m1 is None:
             raise LMDBError(f"{self.path}: no valid LMDB meta page")
         if m0 is None:
-            return m1[1]
-        if m1 is None or m0[0] >= m1[0]:
-            return m0[1]
-        return m1[1]
+            return m1
+        if m1 is None or m0["txnid"] >= m1["txnid"]:
+            return m0
+        return m1
+
+    def _pick_meta(self):
+        m = self._live_meta()
+        return (m["psize"],) + m["main_db"][1:]
 
     def _page(self, pgno: int) -> memoryview:
         off = pgno * self.psize
@@ -608,28 +620,12 @@ def verify(path: str) -> dict:
         psize = r.psize
         nodemax = ((psize - PAGEHDRSZ) // 2) & ~1
         file_pages = len(r._mm) // psize
-        # the live meta's last_pg: re-pick it the way _pick_meta did
-        metas = [m for m in (r._read_meta(0), r._read_meta(psize)) if m]
-        if not metas:
-            raise LMDBError(f"{path}: no valid meta page")
-        live_txn = max(m[0] for m in metas)
-        # last_pg sits right before txnid in the meta tail
-        last_pg = None
-        for byte_off in (0, psize):
-            off = byte_off + PAGEHDRSZ
-            if off + _META_HEAD.size + 2 * _DB.size + _META_TAIL.size > len(r._mm):
-                continue
-            magic = _META_HEAD.unpack_from(r._mm, off)[0]
-            if magic != MDB_MAGIC:
-                continue
-            lp, txn = _META_TAIL.unpack_from(
-                r._mm, off + _META_HEAD.size + 2 * _DB.size)
-            if txn == live_txn:
-                last_pg = lp
-                free_db = _DB.unpack_from(r._mm, off + _META_HEAD.size)
-                main_db = _DB.unpack_from(r._mm, off + _META_HEAD.size + _DB.size)
-        if last_pg is None:
-            raise LMDBError(f"{path}: live meta page not found")
+        # the live meta — the SAME pick the reader makes (_live_meta:
+        # version-checked, meta-0 tie-break), so the verifier can never
+        # validate a different tree than the one a consumer walks
+        live = r._live_meta()
+        last_pg, free_db, main_db = (live["last_pg"], live["free_db"],
+                                     live["main_db"])
         if last_pg >= file_pages:
             raise LMDBError(f"last_pg {last_pg} beyond file ({file_pages} pages)")
 
@@ -664,15 +660,15 @@ def verify(path: str) -> dict:
                                     f"[{upper}, {psize})")
             return page, ptype, ptrs
 
-        stats = {"branch": 0, "leaf": 0, "overflow": 0, "entries": 0}
+        stats = {t: {"branch": 0, "leaf": 0, "overflow": 0, "entries": 0}
+                 for t in ("main", "free")}
 
         def walk(pgno: int, depth: int, tree: str, lo_key, hi_key,
                  leaf_depths: set):
             claim(pgno, tree)
             page, ptype, ptrs = check_page(pgno)
             if ptype == P_LEAF:
-                stats["leaf" if tree == "main" else "free_leaf"] = \
-                    stats.get("leaf" if tree == "main" else "free_leaf", 0) + 1
+                stats[tree]["leaf"] += 1
                 leaf_depths.add(depth)
                 prev = None
                 for o in ptrs:
@@ -703,14 +699,12 @@ def verify(path: str) -> dict:
                                 f"{need} needed for {dsize} bytes")
                         for i in range(ocount):
                             claim(ovpgno + i, "overflow")
-                        if tree == "main":
-                            stats["overflow"] += ocount
+                        stats[tree]["overflow"] += ocount
                     else:
                         if o + 8 + ksize + dsize > psize:
                             raise LMDBError(f"page {pgno}: node data clipped")
-                    if tree == "main":
-                        stats["entries"] += 1
-                    else:
+                    stats[tree]["entries"] += 1
+                    if tree != "main":
                         # free-DB entry: txnid key, MDB_IDL data
                         if ksize != 8:
                             raise LMDBError(
@@ -725,8 +719,7 @@ def verify(path: str) -> dict:
                         for fp in idl[1:]:
                             claim(fp, "freed")
                 return
-            stats["branch" if tree == "main" else "free_branch"] = \
-                stats.get("branch" if tree == "main" else "free_branch", 0) + 1
+            stats[tree]["branch"] += 1
             if len(ptrs) < 2:
                 raise LMDBError(f"branch page {pgno}: {len(ptrs)} children")
             child_keys = [r._node(page, o)[4] for o in ptrs]
@@ -756,18 +749,19 @@ def verify(path: str) -> dict:
             if leaf_depths != {depth}:
                 raise LMDBError(f"{name} DB: meta depth {depth}, actual "
                                 f"{leaf_depths.pop()}")
-            if name == "main":
-                got = (stats["branch"], stats["leaf"], stats["overflow"],
-                       stats["entries"])
-                want = (n_branch, n_leaf, n_over, entries)
-                if got != want:
-                    raise LMDBError(
-                        f"main DB stats mismatch: meta {want} vs walked {got}")
+            got = (stats[name]["branch"], stats[name]["leaf"],
+                   stats[name]["overflow"], stats[name]["entries"])
+            want = (n_branch, n_leaf, n_over, entries)
+            if got != want:
+                raise LMDBError(
+                    f"{name} DB stats mismatch: meta {want} vs walked {got}")
         unreferenced = last_pg + 1 - len(seen)
         return {"psize": psize, "last_pg": last_pg,
-                "entries": stats["entries"], "depth": main_db[2],
-                "branch_pages": stats["branch"], "leaf_pages": stats["leaf"],
-                "overflow_pages": stats["overflow"],
+                "entries": stats["main"]["entries"], "depth": main_db[2],
+                "branch_pages": stats["main"]["branch"],
+                "leaf_pages": stats["main"]["leaf"],
+                "overflow_pages": stats["main"]["overflow"],
+                "free_entries": stats["free"]["entries"],
                 "freed_pages": sum(1 for v in seen.values() if v == "freed"),
                 "unreferenced_pages": unreferenced}
     finally:

@@ -230,6 +230,17 @@ def main(argv=None):
                     start_epoch = meta.get("epoch", 0)
                     start_step = meta.get("step", int(state.step))
                     start_off = meta.get("epoch_batch")
+                    saved_samples = meta.get("epoch_samples")
+                    if saved_samples is not None:
+                        # elastic resume: the SAMPLE count into the epoch is
+                        # topology-independent; convert it to optimizer
+                        # steps at the NEW global batch (epoch_batch alone
+                        # would skip K*new_gbs samples when only K*old_gbs
+                        # were trained). Floor = retrain at most one new
+                        # step's tail rather than skip data; exact when the
+                        # topology is unchanged.
+                        start_off = saved_samples // (global_micro
+                                                      * args.accum_freq)
                     if not max_steps_explicit:
                         # Elastic resume: steps_per_epoch may have changed
                         # (different mesh topology / global batch), so the
@@ -364,13 +375,17 @@ def main(argv=None):
                 run_validation(state, epoch)
             if crossed(args.save_step_frequency, n):
                 meta = {"epoch": epoch, "step": step, "name": args.name,
-                        "epoch_batch": epoch_steps}
+                        "epoch_batch": epoch_steps,
+                        "epoch_samples": epoch_steps * args.accum_freq
+                        * global_micro}
                 save_checkpoint(ckpt_dir, f"step_{step}", state, meta,
                                 args.save_torch_format, cfg)
             if preempted["flag"]:
                 stop_profiler()
                 meta = {"epoch": epoch, "step": step, "name": args.name,
-                        "epoch_batch": epoch_steps}
+                        "epoch_batch": epoch_steps,
+                        "epoch_samples": epoch_steps * args.accum_freq
+                        * global_micro}
                 save_checkpoint(ckpt_dir, f"preempt_step_{step}", state, meta,
                                 args.save_torch_format, cfg)
                 logging.info("preemption checkpoint saved at step %d", step)
@@ -387,9 +402,11 @@ def main(argv=None):
             # step from the batch index, train.py:167; our shuffle order is
             # a pure function of seed+epoch, so skipping is exact.)
             if epoch == start_epoch and start_off is not None:
-                # intra-epoch offset recorded in the checkpoint meta —
-                # valid even if the mesh topology / global batch size
-                # changed across the resume (elastic resume)
+                # intra-epoch offset from the checkpoint meta, already
+                # converted to optimizer steps at THIS run's global batch
+                # (epoch_samples above) — valid across a mesh-topology /
+                # global-batch change; bare epoch_batch (pre-epoch_samples
+                # checkpoints) is only same-topology-exact
                 resume_off = start_off
             elif epoch == start_epoch:
                 # legacy checkpoints (no epoch_batch): derive from the
@@ -445,7 +462,7 @@ def main(argv=None):
             if (epoch + 1) % args.valid_epoch_interval == 0:
                 run_validation(state, epoch)
             meta = {"epoch": epoch + 1, "step": step, "name": args.name,
-                    "epoch_batch": 0}
+                    "epoch_batch": 0, "epoch_samples": 0}
             tag = f"epoch{epoch + 1}" if (epoch + 1) % args.save_epoch_frequency == 0 \
                 else "epoch_latest"
             save_checkpoint(ckpt_dir, tag, state, meta, args.save_torch_format, cfg)

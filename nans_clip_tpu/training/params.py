@@ -120,8 +120,10 @@ def parse_args(argv=None):
                         "activations ride a ppermute ring (GPipe schedule); "
                         "mutually exclusive with --tp > 1")
     p.add_argument("--pp-microbatches", type=int, default=0,
-                   help="pipeline microbatches per step (0 = auto, "
-                        "<= 2*pp divisor of the per-data-shard batch)")
+                   help="pipeline microbatches per step (0 = auto: the "
+                        "largest divisor of the per-data-shard batch <= "
+                        "4*pp keeping >= 2 samples per microbatch — "
+                        "bubble <= 1/5 at the 4*pp target)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed via TPU-pod metadata "
                         "autodetect (multi-host). Explicit rendezvous works "

@@ -26,6 +26,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+from tests.conftest import requires_reference  # noqa: E402
+
 GOLDEN_CKPT = os.environ.get("NANS_GOLDEN_CKPT")
 GOLDEN_MUGE = os.environ.get("NANS_GOLDEN_MUGE")
 
@@ -84,6 +86,7 @@ def tiny_ckpt(tmp_path_factory):
     return path
 
 
+@requires_reference
 def test_pokemon_harness_runs_and_gates(tiny_ckpt):
     """A RANDOM checkpoint must flow through the whole pokemon harness and
     FAIL the golden gate (ok=False) — proving the gate discriminates."""
@@ -97,6 +100,7 @@ def test_pokemon_harness_runs_and_gates(tiny_ckpt):
     np.testing.assert_allclose(result["golden"], POKEMON_GOLDEN)
 
 
+@requires_reference
 def test_pokemon_int8_harness_runs(tiny_ckpt):
     """The int8 quality leg flows end-to-end on a random full-size
     checkpoint: both forwards run, probs are distributions, and the
@@ -113,6 +117,7 @@ def test_pokemon_int8_harness_runs(tiny_ckpt):
     assert result["max_abs_shift"] < result["atol"]
 
 
+@requires_reference
 def test_muge_harness_runs_end_to_end(tiny_ckpt, tmp_path):
     """Synthetic MUGE-layout dir -> builder -> extract -> topk -> score ->
     gate, through the public one-command entry point."""

@@ -192,6 +192,47 @@ def test_cross_topology_resume(data_dir, tmp_path):
     assert np.isfinite(np.asarray(wqkv2, np.float32)).all()
 
 
+def test_cross_topology_mid_epoch_resume(data_dir, tmp_path, monkeypatch):
+    """Mid-epoch elastic resume: the checkpoint records the SAMPLE offset
+    (epoch_samples), so resuming under a different global batch skips
+    exactly the trained samples — epoch_batch alone would convert step
+    counts at the NEW batch size and silently skip (or replay) data."""
+    from nans_clip_tpu.data.dataset import DataLoader as DL
+    logs = str(tmp_path / "logs")
+    base = [
+        "--train-data", data_dir,
+        "--tiny-model", "--precision", "fp32", "--attn-impl", "xla",
+        "--batch-size", "2", "--lr", "1e-4", "--warmup", "2",
+        "--log-interval", "1", "--logs", logs, "--name", "xtopo_mid",
+        "--num-workers", "2",
+    ]
+    # dp4xtp2: global batch 8, 32 pairs -> 4 steps/epoch; stop after 2
+    state = train_main(base + ["--tp", "2", "--max-epochs", "1",
+                               "--max-steps", "2",
+                               "--save-step-frequency", "2"])
+    assert int(state.step) == 2     # 16 of 32 samples trained
+    ckpt_dir = os.path.join(logs, "xtopo_mid", "checkpoints")
+    with open(os.path.join(ckpt_dir, "step_2.meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch_samples"] == 16
+    with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+        f.write("step_2")
+
+    calls = []
+    orig = DL.set_epoch
+
+    def record(self, epoch, start_batch=0):
+        calls.append((epoch, start_batch))
+        return orig(self, epoch, start_batch)
+
+    monkeypatch.setattr(DL, "set_epoch", record)
+    # resume as dp8: global batch 16 -> the 16 trained samples are exactly
+    # 1 new-size step; the epoch's remaining 16 samples train as 1 step
+    state2 = train_main(base + ["--max-epochs", "1"])
+    assert (0, 1) in calls, calls   # fast-forwarded 1 loader batch, not 2
+    assert int(state2.step) == 3
+
+
 def test_steps_per_call_composes_with_fsdp(data_dir, tmp_path):
     """--steps-per-call x --fsdp --tp: the scanned step body carries the
     with_sharding_constraint pin, so the multi-step dispatch must keep the
