@@ -127,3 +127,89 @@ def test_scrape_wikimedia_offline(tmp_path, monkeypatch):
     with open(os.path.join(d_out, "distractors_meta.jsonl"), encoding="utf-8") as f:
         cats = {json.loads(ln)["category"] for ln in f.read().splitlines()}
     assert cats == {"hard_negative", "easy_negative"}
+
+
+def test_scrape_images_multisource_offline(tmp_path, monkeypatch):
+    """Multi-source ``images`` crawler against canned APIs (reference
+    scripts/scrape_images.py): all four sources land rows, non-public-domain
+    museum objects are filtered, too-small / non-image payloads rejected,
+    and a second run resumes from metadata (original_url dedup -> 0 new)."""
+    import nans_clip_tpu.flywheel.scrape as sc
+
+    jpg = b"\xff\xd8\xff" + b"x" * 25_000    # valid: JPEG sig, >20KB
+    tiny = b"\xff\xd8\xff small"             # rejected: under byte floor
+    html = b"<html>not an image" + b"y" * 25_000   # rejected: bad signature
+
+    def fake_fetch(url, retries=3, timeout=30):
+        if "image.baidu.com/search/acjson" in url:
+            if "pn=0" not in url:
+                return b'{"data": []}'
+            return json.dumps({"data": [
+                {"hoverURL": "http://b/1.jpg",
+                 "fromPageTitleEnc": "<b>马远</b> 踏歌图"},
+                {"middleURL": "http://b/tiny.jpg", "fromPageTitle": "small"},
+                "junk-non-dict",
+            ]}).encode()
+        if "commons.wikimedia.org" in url:
+            return json.dumps({"query": {"pages": {"1": {
+                "title": "File:W.jpg", "imageinfo": [
+                    {"thumburl": "http://w/1.jpg", "mime": "image/jpeg"}]}}}}
+            ).encode()
+        if "collectionapi.metmuseum.org" in url and "/search" in url:
+            return json.dumps({"objectIDs": [11, 12]}).encode()
+        if "collectionapi.metmuseum.org/public/collection/v1/objects/11" in url:
+            return json.dumps({"primaryImage": "http://m/pd.jpg",
+                               "isPublicDomain": True, "title": "Met PD",
+                               "period": "Southern Song",
+                               "department": "Asian Art"}).encode()
+        if "collectionapi.metmuseum.org/public/collection/v1/objects/12" in url:
+            return json.dumps({"primaryImage": "http://m/priv.jpg",
+                               "isPublicDomain": False,
+                               "title": "Met private"}).encode()
+        if "api.artic.edu" in url:
+            return json.dumps({"data": [
+                {"image_id": "abc", "is_public_domain": True,
+                 "title": "ARTIC PD", "date_display": "1200",
+                 "department_title": "Arts of Asia"},
+                {"image_id": "nope", "is_public_domain": False,
+                 "title": "ARTIC private"},
+            ]}).encode()
+        if url.endswith(("b/1.jpg", "w/1.jpg", "m/pd.jpg")) \
+                or "artic.edu/iiif/2/abc/" in url:
+            return jpg
+        if url.endswith("tiny.jpg"):
+            return tiny
+        return html
+
+    monkeypatch.setattr(sc, "fetch", fake_fetch)
+    monkeypatch.setattr(sc.time, "sleep", lambda s: None)
+    monkeypatch.setattr(sc, "BAIDU_QUERIES", ["马远 踏歌图 高清"])
+    monkeypatch.setattr(sc, "MET_QUERIES", ["Song dynasty painting"])
+    monkeypatch.setattr(sc, "ARTIC_QUERIES", ["Southern Song"])
+    monkeypatch.setattr(
+        sc, "IMAGE_SOURCES",
+        tuple((p, qs if p != "wiki" else ["Ma Yuan painting"], f)
+              for p, qs, f in sc.IMAGE_SOURCES))
+
+    out = str(tmp_path / "flywheel")
+    sc.main(["images", "--out", out, "--per-query", "5"])
+
+    meta = os.path.join(out, "image_metadata.jsonl")
+    with open(meta, encoding="utf-8") as f:
+        rows = [json.loads(ln) for ln in f.read().splitlines()]
+    by_src = {r["source"]: r for r in rows}
+    assert set(by_src) == {"Baidu Images", "Wikimedia Commons",
+                           "The Metropolitan Museum of Art",
+                           "Art Institute of Chicago"}
+    assert len(rows) == 4          # tiny/html/non-PD all filtered
+    assert by_src["Baidu Images"]["title"] == "马远 踏歌图"  # tags stripped
+    assert by_src["The Metropolitan Museum of Art"]["era"] == "Southern Song"
+    for i, r in enumerate(rows):
+        assert r["filename"].split("_")[1] == f"{i:03d}"
+        with open(os.path.join(out, "images", r["filename"]), "rb") as f:
+            assert f.read() == jpg
+
+    # resume: identical second run adds nothing (original_url dedup)
+    sc.main(["images", "--out", out, "--per-query", "5"])
+    with open(meta, encoding="utf-8") as f:
+        assert len(f.read().splitlines()) == 4
