@@ -25,11 +25,23 @@ The HTTP layer is a ``ThreadingHTTPServer``; encode calls are serialized
 around the device with a lock (one TPU program runs at a time anyway —
 the threaded front end overlaps request parsing and JPEG decode, which
 is where host time goes).
+
+Dynamic batching (Triton's ``dynamic_batching`` analog, on by default):
+concurrent requests for the same tower are coalesced into ONE device
+dispatch by an opportunistic drain — while the device runs one batch,
+arriving requests queue, and the dispatcher takes the whole same-tower
+run of the queue (up to the serving batch) the moment the device frees.
+No timer and no latency penalty for a lone client (an empty queue
+dispatches immediately); under concurrency, N batch-1 requests ride one
+batch-N program instead of N sequential dispatches. With the engine
+backend, build engines at the batch sizes you want coalescing to reach
+(requests pad to the smallest engine that fits the coalesced run).
 """
 
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import logging
@@ -50,13 +62,27 @@ def _bucket(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+class _Pending:
+    """One queued encode request awaiting a coalesced device dispatch."""
+
+    __slots__ = ("tower", "x", "out", "err", "done")
+
+    def __init__(self, tower: str, x: np.ndarray):
+        self.tower = tower
+        self.x = x
+        self.out: Optional[np.ndarray] = None
+        self.err: Optional[BaseException] = None
+        self.done = threading.Event()
+
+
 class ClipService:
     """Backend-agnostic encode service: pads/chunks to fixed shapes and
     returns L2-normalized fp32 features."""
 
     def __init__(self, cfg, params, batch_stats=None, options=None,
                  engine_dir: Optional[str] = None, max_batch: int = 32,
-                 context_length: int = 52, quantize: Optional[str] = None):
+                 context_length: int = 52, quantize: Optional[str] = None,
+                 dynamic_batching: bool = True):
         from nans_clip_tpu.models import ModelOptions
         from nans_clip_tpu.utils.transform import image_transform
 
@@ -72,6 +98,10 @@ class ClipService:
         self._lock = threading.Lock()
         self._fns: Dict[tuple, object] = {}
         self._engine_batch: Optional[int] = None
+        self.dynamic_batching = dynamic_batching
+        self._queue: collections.deque = collections.deque()
+        self._qcond = threading.Condition()
+        self._dispatcher: Optional[threading.Thread] = None
         if engine_dir is not None:
             self._load_engines(engine_dir)
 
@@ -155,9 +185,65 @@ class ClipService:
         return self._fns[key], bs
 
     def _run(self, tower: str, x: np.ndarray) -> np.ndarray:
-        n = x.shape[0]
-        if n == 0:
+        if x.shape[0] == 0:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
+        if not self.dynamic_batching:
+            return self._run_device(tower, x)
+        item = _Pending(tower, x)
+        with self._qcond:
+            if self._dispatcher is None:
+                self._dispatcher = threading.Thread(
+                    target=self._dispatch_loop, daemon=True,
+                    name="clip-service-dispatch")
+                self._dispatcher.start()
+            self._queue.append(item)
+            self._qcond.notify()
+        item.done.wait()
+        if item.err is not None:
+            raise item.err
+        return item.out
+
+    def _coalesce_cap(self, tower: str) -> int:
+        """Samples worth coalescing into one drain: the largest batch one
+        device program serves (beyond it, early requests would just wait
+        on extra chunk dispatches that buy no coalescing)."""
+        if self._engine_batch is not None:
+            return self._engine_batch.get(tower, 1)
+        return self.max_batch
+
+    def _dispatch_loop(self):
+        """Opportunistic batcher: take the whole same-tower run at the
+        head of the queue (up to the serving batch), run it as ONE padded
+        device dispatch, scatter results back per request."""
+        while True:
+            with self._qcond:
+                while not self._queue:
+                    self._qcond.wait()
+                tower = self._queue[0].tower
+                cap = self._coalesce_cap(tower)
+                batch: List[_Pending] = [self._queue.popleft()]
+                total = batch[0].x.shape[0]
+                while (self._queue and self._queue[0].tower == tower
+                       and total < cap):
+                    total += self._queue[0].x.shape[0]
+                    batch.append(self._queue.popleft())
+            try:
+                xs = (batch[0].x if len(batch) == 1
+                      else np.concatenate([it.x for it in batch]))
+                feats = self._run_device(tower, xs)
+                ofs = 0
+                for it in batch:
+                    it.out = feats[ofs:ofs + it.x.shape[0]]
+                    ofs += it.x.shape[0]
+            except BaseException as e:  # scatter the failure to every rider
+                for it in batch:
+                    it.err = e
+            finally:
+                for it in batch:
+                    it.done.set()
+
+    def _run_device(self, tower: str, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
         out: List[np.ndarray] = []
         with self._lock:
             fn, bs = self._tower_fn(tower, n)
@@ -234,7 +320,9 @@ def make_handler(service: ClipService):
                 self._send(200, {"status": "ok",
                                  "model": service.cfg.name,
                                  "backend": "engine"
-                                 if service._engine_batch else "jit"})
+                                 if service._engine_batch else "jit",
+                                 "dynamic_batching":
+                                 service.dynamic_batching})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -285,6 +373,10 @@ def main(argv=None):
     p.add_argument("--quantize", default=None,
                    choices=[None, "int8", "int8-text"])
     p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--no-dynamic-batching", action="store_true",
+                   help="dispatch each request separately instead of "
+                        "coalescing concurrent same-tower requests into "
+                        "one device batch")
     p.add_argument("--context-length", type=int, default=52)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
@@ -308,7 +400,8 @@ def main(argv=None):
                           engine_dir=args.engine_dir,
                           max_batch=args.max_batch,
                           context_length=args.context_length,
-                          quantize=args.quantize)
+                          quantize=args.quantize,
+                          dynamic_batching=not args.no_dynamic_batching)
     srv = make_server(service, args.host, args.port)
     logging.basicConfig(level=logging.INFO)
     logger.info("serving %s on %s:%d (%s backend)", cfg.name, args.host,

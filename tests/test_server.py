@@ -194,3 +194,192 @@ def test_empty_requests(server):
     assert out["features"] == []
     sim = _post(server, "/similarity", {"images": [], "texts": ["一"]})
     assert sim["probs"] == [] and sim["logits_per_image"] == []
+
+
+# ---------------------------------------------------------------------------
+# Dynamic batching (Triton dynamic_batching analog)
+# ---------------------------------------------------------------------------
+
+def _gated_service(max_batch=8, **kw):
+    """Fresh service whose _run_device records (tower, n) per device call
+    and blocks the FIRST call on a gate — deterministic window in which
+    later requests must queue."""
+    cfg = tiny_config()
+    params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
+    svc = ClipService(cfg, params, batch_stats, OPTS, max_batch=max_batch,
+                      **kw)
+    real = svc._run_device
+    calls = []
+    gate, first_in = threading.Event(), threading.Event()
+
+    def wrapped(tower, x):
+        calls.append((tower, x.shape[0]))
+        if len(calls) == 1:
+            first_in.set()
+            assert gate.wait(30), "test gate never released"
+        return real(tower, x)
+
+    svc._run_device = wrapped
+    return svc, calls, gate, first_in
+
+
+def _wait_queue(svc, n, timeout=30.0):
+    import time
+    deadline = time.monotonic() + timeout
+    while len(svc._queue) < n:
+        assert time.monotonic() < deadline, \
+            f"queue never reached {n} (at {len(svc._queue)})"
+        time.sleep(0.005)
+
+
+def test_dynamic_batching_coalesces_concurrent_requests():
+    """While the device runs request 0, four batch-1 requests queue; the
+    dispatcher drains them as ONE 4-sample device call, and every request
+    gets exactly its own features."""
+    svc, calls, gate, first_in = _gated_service()
+    texts = [f"动态批处理{i}" for i in range(5)]
+    results = {}
+
+    def post(i):
+        results[i] = svc.encode_texts([texts[i]])
+
+    threads = [threading.Thread(target=post, args=(0,))]
+    threads[0].start()
+    assert first_in.wait(30)          # dispatcher is inside the device call
+    for i in range(1, 5):
+        threads.append(threading.Thread(target=post, args=(i,)))
+        threads[-1].start()
+    _wait_queue(svc, 4)
+    gate.set()
+    for t in threads:
+        t.join(60)
+        assert not t.is_alive()
+
+    assert [n for _, n in calls] == [1, 4], calls
+    direct = ClipService(svc.cfg, svc.params, svc.batch_stats, OPTS,
+                         max_batch=8, dynamic_batching=False)
+    for i in range(5):
+        np.testing.assert_allclose(results[i], direct.encode_texts([texts[i]]),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_dynamic_batching_coalesces_only_same_tower_runs():
+    """A queue of text,text,image,text drains as text(2), image(1),
+    text(1) — towers never mix inside one dispatch."""
+    rs = np.random.RandomState(0)
+    img = _jpeg_b64(rs)
+    svc, calls, gate, first_in = _gated_service()
+    results = {}
+
+    def post_text(i):
+        results[i] = svc.encode_texts([f"塔{i}"])
+
+    def post_image(i):
+        results[i] = svc.encode_images([img])
+
+    threads = [threading.Thread(target=post_text, args=(0,))]
+    threads[0].start()
+    assert first_in.wait(30)
+    # enqueue strictly in order by waiting for each arrival
+    for n, t in enumerate([threading.Thread(target=post_text, args=(1,)),
+                           threading.Thread(target=post_text, args=(2,)),
+                           threading.Thread(target=post_image, args=(3,)),
+                           threading.Thread(target=post_text, args=(4,))]):
+        t.start()
+        threads.append(t)
+        _wait_queue(svc, n + 1)
+    gate.set()
+    for t in threads:
+        t.join(60)
+        assert not t.is_alive()
+
+    assert calls == [("text", 1), ("text", 2), ("image", 1), ("text", 1)], \
+        calls
+    direct = ClipService(svc.cfg, svc.params, svc.batch_stats, OPTS,
+                         max_batch=8, dynamic_batching=False)
+    for i in (0, 1, 2, 4):
+        np.testing.assert_allclose(results[i],
+                                   direct.encode_texts([f"塔{i}"]),
+                                   atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(results[3], direct.encode_images([img]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dynamic_batching_respects_coalesce_cap():
+    """Coalescing stops at the serving batch: 5 queued singles at
+    max_batch=2 drain as ceil-grouped runs, not one giant dispatch whose
+    tail chunks would delay the head request."""
+    svc, calls, gate, first_in = _gated_service(max_batch=2)
+    threads = [threading.Thread(target=svc.encode_texts,
+                                args=(["首个"],))]
+    threads[0].start()
+    assert first_in.wait(30)
+    for i in range(5):
+        t = threading.Thread(target=svc.encode_texts, args=([f"排{i}"],))
+        t.start()
+        threads.append(t)
+        _wait_queue(svc, i + 1)
+    gate.set()
+    for t in threads:
+        t.join(60)
+        assert not t.is_alive()
+    # first blocked call is 1; the 5 queued singles drain in runs of <=2
+    assert calls[0] == ("text", 1)
+    assert all(n <= 2 for _, n in calls[1:])
+    assert sum(n for _, n in calls[1:]) == 5
+
+
+def test_dynamic_batching_scatters_device_errors():
+    """A device failure inside a coalesced dispatch reaches EVERY rider
+    as the error, not a hang."""
+    svc, calls, gate, first_in = _gated_service()
+
+    def boom(tower, x):
+        raise ValueError("device exploded")
+
+    errs = {}
+
+    def post(i):
+        try:
+            svc.encode_texts([f"错{i}"])
+        except ValueError as e:
+            errs[i] = str(e)
+
+    t0 = threading.Thread(target=post, args=(0,))
+    t0.start()
+    assert first_in.wait(30)
+    svc._run_device = boom            # swap under the blocked first call
+    t1 = threading.Thread(target=post, args=(1,))
+    t2 = threading.Thread(target=post, args=(2,))
+    t1.start(); t2.start()
+    _wait_queue(svc, 2)
+    gate.set()
+    for t in (t0, t1, t2):
+        t.join(60)
+        assert not t.is_alive()
+    # riders 1+2 were coalesced into the failing dispatch; 0 ran on the
+    # still-real gated wrapper
+    assert errs.get(1) == "device exploded" and errs.get(2) == "device exploded"
+    assert 0 not in errs
+
+
+def test_http_concurrent_requests_roundtrip(server, service):
+    """End-to-end over HTTP with the default (dynamic batching ON):
+    concurrent unique requests each get their own features back."""
+    texts = [f"并发请求{i}" for i in range(6)]
+    results = {}
+
+    def post(i):
+        results[i] = np.asarray(
+            _post(server, "/encode_text", {"texts": [texts[i]]})["features"],
+            np.float32)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+        assert not t.is_alive()
+    for i in range(6):
+        np.testing.assert_allclose(results[i], service.encode_texts([texts[i]]),
+                                   atol=1e-5, rtol=1e-5)
