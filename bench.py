@@ -46,11 +46,12 @@ def _clip_pair_flops(cfg, text_seq: int) -> float:
     txt += 2.0 * t.hidden_size * cfg.embed_dim
     return img + txt
 
-# Batch settled by same-process A/Bs (512 -> 1024 -> 2048 each won: image
-# 0.2364/0.2333/0.2316 ms/sample, text 0.0683/0.0669/0.0655): bigger
-# dispatches amortize per-call scheduling; gains flatten past 2048.
-IMAGE_BATCH = 2048
-TEXT_BATCH = 2048
+# Batch settled by same-process A/Bs (512 -> 1024 -> 2048 -> 4096 each
+# won: image 0.2364/0.2333/0.2316/0.2305 ms/sample, text 0.0683/0.0669/
+# 0.0655/0.0645): bigger dispatches amortize per-call scheduling; the
+# 2048->4096 step is the flattening tail (+0.8% pairs/s, r3 ladder probe).
+IMAGE_BATCH = 4096
+TEXT_BATCH = 4096
 ITERS = 8        # host-visible timing iterations
 INNER = 8        # forwards per jitted call (amortizes the tunnel RTT,
                  # measured ~27.5 ms fixed per dispatch on the axon relay)
