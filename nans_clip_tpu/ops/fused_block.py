@@ -1088,7 +1088,20 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
     fwd rule (they must agree: the one-shot kernel's fc weights exceed VMEM
     at widths the tiled variant exists for)."""
     w = x.shape[-1]
-    if not fits_fused_mlp_oneshot(x.shape[1], w):
+    oneshot = fits_fused_mlp_oneshot(x.shape[1], w)
+    if (not oneshot and w % 128 and w <= MAX_FUSED_MLP_WIDTH
+            and x.shape[1] <= MAX_FUSED_SEQ):
+        # Sub-lane widths fail the ROUTING gates (models fall back to XLA
+        # — the r3 lane-alignment rule: Mosaic rejects the tile>1
+        # [T,S,W]->[T*S,W] flatten), but a DIRECT call still runs the
+        # one-shot kernel: the tile pickers return 1 at w % 128 != 0, so
+        # the rejected cast never exists, and the tile=1 cell (incl.
+        # in-kernel dropout fwd+bwd at W=64) is chip-validated
+        # (tests/test_tpu_dropout.py). Without this, the r3 gate change
+        # silently demoted direct sub-lane calls into the dropout-less
+        # tiled branch below.
+        oneshot = True
+    if not oneshot:
         assert hid_drop == 0.0, "tiled MLP kernel has no dropout support"
         i = w1.shape[-1]
         esize = jnp.dtype(x.dtype).itemsize

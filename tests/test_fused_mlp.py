@@ -128,3 +128,30 @@ def test_cell_tiled_mlp_matches_reference():
         out = fused_mlp_block(x, *args, act, 1e-5, post, INTERPRET)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_sub_lane_direct_call_keeps_oneshot_and_dropout():
+    """Sub-lane widths (w % 128 != 0) fail the ROUTING gates (models fall
+    back to XLA, r3 lane-alignment rule), but a DIRECT fused_mlp_block
+    call must still dispatch the one-shot kernel at tile=1 — NOT the
+    dropout-less tiled branch. Regression: the r3 gate change made a
+    W=64 dropout call die on the tiled branch's assert (caught by the
+    on-chip tests/test_tpu_dropout.py MLP legs)."""
+    from nans_clip_tpu.ops.fused_block import fits_fused_mlp_oneshot
+    x, *args = _args(7, 52, 64, 256)
+    assert not fits_fused_mlp_oneshot(52, 64)   # routing still says XLA
+    # eval path: one-shot branch, oracle-exact
+    ref = _reference_mlp(x, *args, act="quick_gelu", eps=1e-5, post_ln=False)
+    out = fused_mlp_block(x, *args, "quick_gelu", 1e-5, False, INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    # dropout path: must not raise "tiled MLP kernel has no dropout
+    # support". The Mosaic PRNG has no CPU lowering (even in interpret
+    # mode), so trace abstractly — eval_shape runs the Python dispatch
+    # (where the assert lives) without lowering the kernel; the PRNG
+    # semantics themselves are validated on-chip (test_tpu_dropout.py)
+    out_d = jax.eval_shape(
+        lambda x, *a: fused_mlp_block(x, *a, "quick_gelu", 1e-5, False,
+                                      INTERPRET, 0.3, jnp.int32(11)),
+        x, *args)
+    assert out_d.shape == x.shape
