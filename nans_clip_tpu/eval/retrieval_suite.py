@@ -1,8 +1,13 @@
 """Fork-style retrieval evaluator — behavioral twin of reference
 ``evaluate.py``:
 
-* loads a whole npack split into memory with ground-truth maps
-  (evaluate.py:48-101);
+* loads a whole split into memory with ground-truth maps keyed the way the
+  reference keys them (evaluate.py:48-101): queries are UNIQUE TEXT STRINGS
+  (not text_ids — duplicate captions collapse into one query with a merged
+  ground-truth set), the gallery is the sorted unique image ids, and pairs
+  whose image is missing from the store are dropped from the ground truth;
+* texts are tokenized RAW — the fork's evaluate.py does NOT apply the
+  training-time ``_preprocess_text`` lowercasing (evaluate.py:147);
 * optional hard-negative distractor pool appended to the image gallery
   with non-colliding ids from 100000 (evaluate.py:104-125);
 * metrics R@K / NDCG@K / mAP / MeanRecall both directions
@@ -24,15 +29,13 @@ import json
 import logging
 import math
 import os
-from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nans_clip_tpu.data import PairDataset, preprocess_images
-from nans_clip_tpu.data.dataset import preprocess_text
 from nans_clip_tpu.eval.model_io import load_eval_model
 from nans_clip_tpu.models.clip import encode_image, encode_text
 from nans_clip_tpu.tokenizer import tokenize
@@ -51,6 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--context-length", type=int, default=52)
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--image-transform", choices=["pil", "native"],
+                   default="pil",
+                   help="pil = host PIL bicubic resize, numerically identical "
+                        "to the reference preprocess; native = C++ "
+                        "libjpeg decode + on-device resize (faster)")
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
 
@@ -94,27 +102,53 @@ def metrics_at_k(sims: np.ndarray, ground_truth: Dict[int, set],
     return out
 
 
-def load_split(data_dir: str) -> Tuple[List[int], List[Tuple[int, str]],
-                                       Dict[int, List[int]], "PairDataset"]:
-    """(image_ids, [(text_id, text)], text->image ground truth, dataset)."""
+def load_split(data_dir: str) -> Tuple[List[int], List[str],
+                                       Dict[int, set], Dict[int, set],
+                                       "PairDataset"]:
+    """(gallery image_ids, unique texts, t2i gt, i2t gt, dataset).
+
+    Mirrors reference evaluate.py:48-101: the gallery is the sorted set of
+    image ids that actually decode from the store; queries are unique raw
+    text strings; ground truth maps are keyed by POSITION (text index /
+    image gallery position), with pairs pointing at missing images dropped.
+    """
     ds = PairDataset(data_dir)
-    text_by_id: Dict[int, str] = {}
-    gt = defaultdict(list)
+    pairs = []
     for i in range(len(ds)):
-        image_id, text_id, raw = ds.get_pair(i)
-        text_by_id[text_id] = raw
-        gt[text_id].append(image_id)
-    image_ids = [int(k) for k in ds.imgs.keys()]
-    texts = sorted(text_by_id.items())
-    return image_ids, texts, dict(gt), ds
+        image_id, _text_id, raw = ds.get_pair(i)
+        pairs.append((image_id, raw))
+
+    unique_image_ids = sorted({p[0] for p in pairs})
+    available = {int(k) for k in ds.imgs.keys()}
+    image_ids = [iid for iid in unique_image_ids if iid in available]
+    imgid_to_pos = {iid: pos for pos, iid in enumerate(image_ids)}
+
+    # reference uses list(set(...)); dict.fromkeys gives a deterministic
+    # order with the same dedup semantics (metrics are order-independent)
+    unique_texts = list(dict.fromkeys(p[1] for p in pairs))
+    text_to_idx = {t: i for i, t in enumerate(unique_texts)}
+
+    text_to_images: Dict[int, set] = {}
+    image_to_texts: Dict[int, set] = {}
+    for img_id, text in pairs:
+        tidx = text_to_idx[text]
+        pos = imgid_to_pos.get(img_id)
+        if pos is None:
+            continue
+        text_to_images.setdefault(tidx, set()).add(pos)
+        image_to_texts.setdefault(pos, set()).add(tidx)
+    return image_ids, unique_texts, text_to_images, image_to_texts, ds
 
 
 def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
-                     batch_size, context_length, distractors=None):
+                     batch_size, context_length, distractors=None,
+                     pil: bool = True):
     resolution = cfg.vision.image_resolution
 
     def img_fwd(p, bs_, x):
-        x = preprocess_images(jax.random.PRNGKey(0), x, resolution, augment=False)
+        if not pil:
+            x = preprocess_images(jax.random.PRNGKey(0), x, resolution,
+                                  augment=False)
         f = encode_image(p, cfg, x, options, batch_stats=bs_ if cfg.is_resnet else None)
         f = f.astype(jnp.float32)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
@@ -125,16 +159,30 @@ def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
 
     img_fn, txt_fn = jax.jit(img_fwd), jax.jit(txt_fwd)
 
+    def decode_batch(chunk):
+        if not pil:
+            raw, _ = ds.imgs.decode_jpeg_batch(np.asarray(chunk, np.uint64),
+                                               resolution)
+            return raw
+        # reference-exact path: PIL decode + bicubic square resize +
+        # normalize (evaluate.py:71 via load_from_name's preprocess)
+        import io
+
+        from PIL import Image
+
+        from nans_clip_tpu.utils.transform import image_transform
+        t = image_transform(resolution)
+        return np.stack([t(Image.open(io.BytesIO(ds.imgs.get(int(k)))))
+                         for k in chunk])
+
     feats = []
-    keys = np.asarray(image_ids, np.uint64)
-    for i in range(0, len(keys), batch_size):
-        chunk = keys[i:i + batch_size]
-        raw, _ = ds.imgs.decode_jpeg_batch(chunk, resolution)
+    for i in range(0, len(image_ids), batch_size):
+        chunk = image_ids[i:i + batch_size]
+        raw = decode_batch(chunk)
         pad = batch_size - len(chunk)
         if pad:
             raw = np.concatenate([raw, np.zeros((pad,) + raw.shape[1:], raw.dtype)])
         feats.append(np.asarray(img_fn(params, batch_stats, jnp.asarray(raw)))[: len(chunk)])
-    gallery_ids = list(image_ids)
     if distractors:
         # batch the distractors like the gallery (one padded dispatch per
         # image would cost batch_size x the encoder FLOPs + a tunnel RTT each)
@@ -147,45 +195,45 @@ def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
                     [raw, np.zeros((pad,) + raw.shape[1:], raw.dtype)])
             feats.append(np.asarray(
                 img_fn(params, batch_stats, jnp.asarray(raw)))[: len(chunk)])
-            gallery_ids.extend(did for did, _ in chunk)
     image_features = np.concatenate(feats)
 
     tfeats = []
     for i in range(0, len(texts), batch_size):
-        chunk = [preprocess_text(t) for _, t in texts[i:i + batch_size]]
+        # raw text, NO _preprocess_text — reference evaluate.py:147
+        chunk = texts[i:i + batch_size]
         tok = tokenize(chunk, context_length)
         pad = batch_size - len(chunk)
         if pad:
             tok = np.concatenate([tok, np.zeros((pad, tok.shape[1]), tok.dtype)])
         tfeats.append(np.asarray(txt_fn(params, jnp.asarray(tok)))[: len(chunk)])
     text_features = np.concatenate(tfeats)
-    return image_features, text_features, gallery_ids
+    return image_features, text_features
 
 
-def evaluate_model(cfg, params, batch_stats, options, ds, image_ids, texts, gt,
-                   batch_size, context_length, distractors=None):
-    img_f, txt_f, gallery_ids = compute_features(
+def evaluate_model(cfg, params, batch_stats, options, ds, image_ids, texts,
+                   text_to_images, image_to_texts, batch_size, context_length,
+                   distractors=None, pil=True):
+    img_f, txt_f = compute_features(
         cfg, params, batch_stats, options, ds, image_ids, texts, batch_size,
-        context_length, distractors)
-    img_pos = {img: j for j, img in enumerate(gallery_ids)}
-    txt_pos = {tid: j for j, (tid, _) in enumerate(texts)}
-
-    sims_t2i = txt_f @ img_f.T                      # [T, G]
-    gt_t2i = {txt_pos[tid]: {img_pos[i] for i in imgs if i in img_pos}
-              for tid, imgs in gt.items() if tid in txt_pos}
-    t2i = metrics_at_k(sims_t2i, gt_t2i)
-
-    gt_i2t = defaultdict(set)
-    for tid, imgs in gt.items():
-        for img in imgs:
-            if img in img_pos and tid in txt_pos:
-                gt_i2t[img_pos[img]].add(txt_pos[tid])
-    i2t = metrics_at_k(sims_t2i.T, dict(gt_i2t))
+        context_length, distractors, pil=pil)
+    sims_t2i = txt_f @ img_f.T                      # [T, G(+distractors)]
+    t2i = metrics_at_k(sims_t2i, text_to_images)
+    i2t = metrics_at_k(sims_t2i.T[: len(image_ids)], image_to_texts)
     return {"text_to_image": t2i, "image_to_text": i2t}
 
 
-def load_distractors(distractor_dir: str, resolution: int, start_id: int = 100000):
+def load_distractors(distractor_dir: str, resolution: int, start_id: int = 100000,
+                     pil: bool = True):
+    """[(id, image)] with non-colliding ids (reference evaluate.py:104-125).
+
+    With ``pil`` the image is the normalized CHW float array from the
+    reference transform; otherwise the raw uint8 square resize for the
+    on-device preprocess path.
+    """
     from PIL import Image
+
+    from nans_clip_tpu.utils.transform import image_transform
+    t = image_transform(resolution)
     out = []
     exts = {".jpg", ".jpeg", ".png", ".webp"}
     for i, name in enumerate(sorted(os.listdir(distractor_dir))):
@@ -193,9 +241,13 @@ def load_distractors(distractor_dir: str, resolution: int, start_id: int = 10000
         if os.path.splitext(name)[1].lower() not in exts or not os.path.isfile(p):
             continue
         try:
-            img = Image.open(p).convert("RGB").resize((resolution, resolution),
-                                                      Image.BICUBIC)
-            out.append((start_id + i, np.asarray(img, np.uint8)))
+            img = Image.open(p)
+            if pil:
+                out.append((start_id + i, t(img)))
+            else:
+                arr = np.asarray(img.convert("RGB").resize(
+                    (resolution, resolution), Image.BICUBIC), np.uint8)
+                out.append((start_id + i, arr))
         except Exception:
             continue
     return out
@@ -204,20 +256,22 @@ def load_distractors(distractor_dir: str, resolution: int, start_id: int = 10000
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
+    pil = args.image_transform == "pil"
     cfg, params, batch_stats, options = load_eval_model(
         args.vision_model, args.text_model, args.resume, args.precision)
-    image_ids, texts, gt, ds = load_split(args.data)
-    logging.info("split: %d images, %d texts, %d gt entries",
-                 len(image_ids), len(texts), len(gt))
+    image_ids, texts, text_to_images, image_to_texts, ds = load_split(args.data)
+    logging.info("split: %d images, %d texts, %d t2i gt entries",
+                 len(image_ids), len(texts), len(text_to_images))
     distractors = None
     if args.distractor_dir:
         distractors = load_distractors(args.distractor_dir,
-                                       cfg.vision.image_resolution)
+                                       cfg.vision.image_resolution, pil=pil)
         logging.info("added %d distractors to the gallery", len(distractors))
 
-    results = {"zeroshot": evaluate_model(cfg, params, batch_stats, options, ds,
-                                          image_ids, texts, gt, args.batch_size,
-                                          args.context_length, distractors)}
+    results = {"zeroshot": evaluate_model(
+        cfg, params, batch_stats, options, ds, image_ids, texts,
+        text_to_images, image_to_texts, args.batch_size, args.context_length,
+        distractors, pil=pil)}
 
     if args.lora:
         from nans_clip_tpu.models.lora import init_lora, load_lora, merge_lora
@@ -234,17 +288,24 @@ def main(argv=None):
         alpha = (args.lora_alpha if args.lora_alpha is not None
                  else meta.get("alpha", 16.0))  # alpha=0 ablation is valid
         merged = merge_lora(params, adapters, alpha=alpha)
-        results["lora"] = evaluate_model(cfg, merged, batch_stats, options, ds,
-                                         image_ids, texts, gt, args.batch_size,
-                                         args.context_length, distractors)
+        results["lora"] = evaluate_model(
+            cfg, merged, batch_stats, options, ds, image_ids, texts,
+            text_to_images, image_to_texts, args.batch_size,
+            args.context_length, distractors, pil=pil)
 
     for name, res in results.items():
         for direction, m in res.items():
             logging.info("%s %s | " + " | ".join(f"{k} {v:.1f}" for k, v in m.items()),
                          name, direction)
     if args.output:
+        n_dis = len(distractors) if distractors else 0
+        out = dict(results)
+        out["num_domain_images"] = len(image_ids)
+        out["num_distractors"] = n_dis
+        out["num_total_images"] = len(image_ids) + n_dis
+        out["num_texts"] = len(texts)
         with open(args.output, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(out, f, indent=1)
         logging.info("results dumped to %s", args.output)
     return results
 

@@ -37,23 +37,23 @@ def cvinw_templates() -> Dict[str, List[str]]:
 
 
 def templates_for_dataset(dataset: str) -> List[str]:
-    """Per-dataset template table (reference zeroshot_evaluation.py:235-247)."""
+    """Per-dataset template table — EXACTLY the reference's
+    (zeroshot_evaluation.py:235-247): exact-match keys, every other dataset
+    (including "imagenet" — the published ImageNet-CN 48.3 top-1 was
+    produced this way) falls back to the 183-prompt cvinw ``openai`` set,
+    NOT the 80-prompt ``imagenet_templates`` table (which the reference
+    ships but never routes)."""
     cv = cvinw_templates()
     table = {
-        "imagenet": imagenet_templates(),
-        "imagenet-1k": imagenet_templates(),
-        "oxford-flower-102": cv["flower"],
-        "food-101": cv["food"],
         "fgvc-aircraft-2013b-variants102": cv["aircraft"],
+        "food-101": cv["food"],
+        "oxford-flower-102": cv["flower"],
         "eurosat_clip": cv["eurosat"],
         "resisc45_clip": cv["eurosat"],
         "country211": cv["country211"],
         "openai": cv["openai"],
     }
-    key = dataset.lower()
-    if key in table:
-        return table[key]
-    return cv["openai"]
+    return table.get(dataset, cv["openai"])
 
 
 def apply_template(template: str, classname: str) -> str:

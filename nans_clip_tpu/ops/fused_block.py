@@ -753,6 +753,25 @@ def fits_fused_mlp_oneshot(seq: int, width: int) -> bool:
             and width <= MLP_ONESHOT_WIDE_WIDTH)
 
 
+def mlp_oneshot_direct_ok(seq: int, width: int) -> bool:
+    """Direct-call admission to the one-shot kernel at SUB-LANE widths
+    (w % 128 != 0), which the ROUTING gates refuse (models fall back to
+    XLA — the r3 lane-alignment rule: Mosaic rejects the tile>1
+    [T,S,W]->[T*S,W] flatten). A direct call still runs one-shot: the
+    tile pickers return 1 at sub-lane widths, so the rejected cast never
+    exists, and the tile=1 cell (incl. in-kernel dropout fwd+bwd at W=64)
+    is chip-validated (tests/test_tpu_dropout.py). Covers BOTH one-shot
+    tiers — classic and wide-short-seq — because the tiled fallbacks
+    assert on dropout and their chunk picker has no sub-lane support.
+    Shared by ``_mlp_dispatch`` and the regression test so the two can't
+    drift."""
+    if width % 128 == 0:
+        return False
+    return ((width <= MAX_FUSED_MLP_WIDTH and seq <= MAX_FUSED_SEQ)
+            or (width <= MLP_ONESHOT_WIDE_WIDTH
+                and seq <= MLP_ONESHOT_WIDE_SEQ))
+
+
 def _reference_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, act: str,
                    eps: float, post_ln: bool):
     from nans_clip_tpu.ops.activations import ACT2FN
@@ -1088,19 +1107,8 @@ def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, seed, act, eps,
     fwd rule (they must agree: the one-shot kernel's fc weights exceed VMEM
     at widths the tiled variant exists for)."""
     w = x.shape[-1]
-    oneshot = fits_fused_mlp_oneshot(x.shape[1], w)
-    if (not oneshot and w % 128 and w <= MAX_FUSED_MLP_WIDTH
-            and x.shape[1] <= MAX_FUSED_SEQ):
-        # Sub-lane widths fail the ROUTING gates (models fall back to XLA
-        # — the r3 lane-alignment rule: Mosaic rejects the tile>1
-        # [T,S,W]->[T*S,W] flatten), but a DIRECT call still runs the
-        # one-shot kernel: the tile pickers return 1 at w % 128 != 0, so
-        # the rejected cast never exists, and the tile=1 cell (incl.
-        # in-kernel dropout fwd+bwd at W=64) is chip-validated
-        # (tests/test_tpu_dropout.py). Without this, the r3 gate change
-        # silently demoted direct sub-lane calls into the dropout-less
-        # tiled branch below.
-        oneshot = True
+    oneshot = (fits_fused_mlp_oneshot(x.shape[1], w)
+               or mlp_oneshot_direct_ok(x.shape[1], w))
     if not oneshot:
         assert hid_drop == 0.0, "tiled MLP kernel has no dropout support"
         i = w1.shape[-1]

@@ -88,8 +88,14 @@ def convert_split(lmdb_dir: str, out_dir: str | None = None) -> dict:
 
     pairs = LMDBReader(pairs_dir)
     num_samples = pairs.get(b"num_samples")
-    assert num_samples is not None, "pairs env missing num_samples key"
-    n_pairs = int(num_samples)
+    if num_samples is not None:
+        n_pairs = int(num_samples)
+    else:
+        # splits written WITHOUT the meta key: the fork's evaluate.py can
+        # only read these (its range(txn.stat()['entries']) loop,
+        # evaluate.py:57-59, would otherwise run one past the data and
+        # pickle.loads(None) on the meta key) — every entry is a pair
+        n_pairs = pairs.entries
     with NPackWriter(os.path.join(out_dir, "pairs.npack")) as w:
         for i in range(n_pairs):
             raw = pairs.get(str(i).encode("utf-8"))

@@ -30,6 +30,27 @@ torch.cuda.is_available = lambda: False
 torch.Tensor.cuda = lambda self, *a, **k: self
 torch.nn.Module.cuda = lambda self, *a, **k: self
 
+
+def _cpu_device(v):
+    return (isinstance(v, int)
+            or (isinstance(v, (str, torch.device)) and "cuda" in str(v)))
+
+
+_tensor_to = torch.Tensor.to
+
+
+def _to_cpu(self, *a, **k):
+    # the zero-shot script moves tensors with .to(args.gpu) where gpu=0
+    # (zeroshot_evaluation.py:112,135-136) — remap device args to CPU
+    if a and _cpu_device(a[0]):
+        a = ("cpu",) + a[1:]
+    if _cpu_device(k.get("device")):
+        k["device"] = "cpu"
+    return _tensor_to(self, *a, **k)
+
+
+torch.Tensor.to = _to_cpu
+
 if __name__ == "__main__":
     script = sys.argv[1]
     sys.argv = [script] + sys.argv[2:]

@@ -137,9 +137,17 @@ def test_sub_lane_direct_call_keeps_oneshot_and_dropout():
     dropout-less tiled branch. Regression: the r3 gate change made a
     W=64 dropout call die on the tiled branch's assert (caught by the
     on-chip tests/test_tpu_dropout.py MLP legs)."""
-    from nans_clip_tpu.ops.fused_block import fits_fused_mlp_oneshot
+    from nans_clip_tpu.ops.fused_block import (fits_fused_mlp_oneshot,
+                                               mlp_oneshot_direct_ok)
     x, *args = _args(7, 52, 64, 256)
     assert not fits_fused_mlp_oneshot(52, 64)   # routing still says XLA
+    assert mlp_oneshot_direct_ok(52, 64)        # the dispatch's admission
+    # the WIDE sub-lane tier is admitted too (ADVICE r3: a direct call at
+    # 768 < w, w % 128 != 0, short seq used to fall into the tiled branch
+    # where dropout asserts and mlp_chunk_size can return None)
+    assert mlp_oneshot_direct_ok(52, 960)
+    assert not mlp_oneshot_direct_ok(52, 1920)  # beyond the wide tier
+    assert not mlp_oneshot_direct_ok(52, 128)   # lane-aligned: not direct
     # eval path: one-shot branch, oracle-exact
     ref = _reference_mlp(x, *args, act="quick_gelu", eps=1e-5, post_ln=False)
     out = fused_mlp_block(x, *args, "quick_gelu", 1e-5, False, INTERPRET)
@@ -155,3 +163,10 @@ def test_sub_lane_direct_call_keeps_oneshot_and_dropout():
                                       INTERPRET, 0.3, jnp.int32(11)),
         x, *args)
     assert out_d.shape == x.shape
+    # WIDE sub-lane direct call with dropout: same dispatch-level check
+    xw, *argsw = _args(2, 52, 960, 3840)
+    out_w = jax.eval_shape(
+        lambda x, *a: fused_mlp_block(x, *a, "quick_gelu", 1e-5, False,
+                                      INTERPRET, 0.3, jnp.int32(11)),
+        xw, *argsw)
+    assert out_w.shape == xw.shape

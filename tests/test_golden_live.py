@@ -30,6 +30,11 @@ from tests.conftest import requires_reference  # noqa: E402
 
 GOLDEN_CKPT = os.environ.get("NANS_GOLDEN_CKPT")
 GOLDEN_MUGE = os.environ.get("NANS_GOLDEN_MUGE")
+GOLDEN_FLICKR = os.environ.get("NANS_GOLDEN_FLICKR")        # Flickr30K-CN dir
+GOLDEN_COCOCN = os.environ.get("NANS_GOLDEN_COCOCN")        # COCO-CN dir
+GOLDEN_IMAGENET = os.environ.get("NANS_GOLDEN_IMAGENET")    # ImageFolder val
+GOLDEN_SONG = os.environ.get("NANS_GOLDEN_SONG")            # fork valid split
+GOLDEN_SONG_LORA = os.environ.get("NANS_GOLDEN_SONG_LORA")  # adapter .npz
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +65,43 @@ def test_pokemon_int8_tracks_full_precision():
 def test_muge_zeroshot_mr_within_0p2():
     from nans_clip_tpu.eval.golden import check_muge
     result = check_muge(GOLDEN_CKPT, GOLDEN_MUGE)
+    assert result["ok"], result
+
+
+@pytest.mark.skipif(not (GOLDEN_CKPT and GOLDEN_FLICKR),
+                    reason="published checkpoint / Flickr30K-CN test set "
+                    "not available; set NANS_GOLDEN_CKPT + NANS_GOLDEN_FLICKR")
+def test_flickr30k_zeroshot_both_directions_within_0p2():
+    from nans_clip_tpu.eval.golden import check_retrieval
+    result = check_retrieval("flickr30k-cn", GOLDEN_CKPT, GOLDEN_FLICKR)
+    assert result["ok"], result
+
+
+@pytest.mark.skipif(not (GOLDEN_CKPT and GOLDEN_COCOCN),
+                    reason="published checkpoint / COCO-CN test set not "
+                    "available; set NANS_GOLDEN_CKPT + NANS_GOLDEN_COCOCN")
+def test_cococn_zeroshot_both_directions_within_0p2():
+    from nans_clip_tpu.eval.golden import check_retrieval
+    result = check_retrieval("coco-cn", GOLDEN_CKPT, GOLDEN_COCOCN)
+    assert result["ok"], result
+
+
+@pytest.mark.skipif(not (GOLDEN_CKPT and GOLDEN_IMAGENET),
+                    reason="published checkpoint / ImageNet-CN val folder "
+                    "not available; set NANS_GOLDEN_CKPT + NANS_GOLDEN_IMAGENET")
+def test_imagenet_zeroshot_top1_within_0p2():
+    from nans_clip_tpu.eval.golden import check_imagenet
+    result = check_imagenet(GOLDEN_CKPT, GOLDEN_IMAGENET)
+    assert result["ok"], result
+
+
+@pytest.mark.skipif(not (GOLDEN_CKPT and GOLDEN_SONG and GOLDEN_SONG_LORA),
+                    reason="published checkpoint / fork Southern-Song "
+                    "artifacts not available; set NANS_GOLDEN_CKPT + "
+                    "NANS_GOLDEN_SONG + NANS_GOLDEN_SONG_LORA")
+def test_lora_song_before_after_r1():
+    from nans_clip_tpu.eval.golden import check_lora_song
+    result = check_lora_song(GOLDEN_CKPT, GOLDEN_SONG, GOLDEN_SONG_LORA)
     assert result["ok"], result
 
 
@@ -146,6 +188,98 @@ def test_muge_harness_runs_end_to_end(tiny_ckpt, tmp_path):
     s = result["scores"]
     assert set(s) >= {"mean_recall", "r1", "r5", "r10"}
     assert 0.0 <= s["r10"] <= 100.0
+    assert isinstance(result["ok"], bool)
+
+
+def _write_split(root, split, n, rs):
+    with open(root / f"{split}_imgs.tsv", "w") as f:
+        for i in range(n):
+            buf = io.BytesIO()
+            from PIL import Image
+            Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                buf, format="JPEG")
+            f.write(f"{i}\t{base64.urlsafe_b64encode(buf.getvalue()).decode()}\n")
+    with open(root / f"{split}_texts.jsonl", "w") as f:
+        for t in range(n):
+            f.write(json.dumps({"text_id": t, "text": f"金牌双向文本{t}",
+                                "image_ids": [t]}, ensure_ascii=False) + "\n")
+
+
+@requires_reference
+def test_flickr_harness_runs_both_directions(tiny_ckpt, tmp_path):
+    """Synthetic test-split -> check_retrieval flows BOTH directions (t2i
+    via evaluation, i2t via the _tr mirror) and gates each MR."""
+    from nans_clip_tpu.eval.golden import check_retrieval
+
+    root = tmp_path / "flickr"
+    root.mkdir()
+    _write_split(root, "test", 12, np.random.RandomState(3))
+    result = check_retrieval("flickr30k-cn", tiny_ckpt, str(root),
+                             work_dir=str(tmp_path / "work"), batch_size=4)
+    assert result["check"] == "flickr30k-cn_zeroshot_retrieval"
+    assert set(result["directions"]) == {"t2i", "i2t"}
+    for d in result["directions"].values():
+        assert 0.0 <= d["scores"]["r10"] <= 100.0
+        assert d["golden_mr"] == pytest.approx(
+            (d["golden"]["r1"] + d["golden"]["r5"] + d["golden"]["r10"]) / 3)
+    assert isinstance(result["ok"], bool)
+
+
+@requires_reference
+def test_imagenet_harness_runs(tiny_ckpt, tmp_path):
+    """check_imagenet flows on a 2-class ImageFolder with a label file
+    (the full 1000-class list would be CPU-prohibitive here); the dataset
+    key still routes the reference's 183-prompt openai template set."""
+    from PIL import Image
+
+    from nans_clip_tpu.eval.golden import check_imagenet
+
+    data = tmp_path / "val"
+    rs = np.random.RandomState(2)
+    for cls in ("n01", "n02"):
+        (data / cls).mkdir(parents=True)
+        Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            data / cls / "x.jpg")
+    labels = tmp_path / "labels.txt"
+    labels.write_text("鲤鱼\n金鱼\n", encoding="utf8")
+    result = check_imagenet(tiny_ckpt, str(data), str(labels),
+                            work_dir=str(tmp_path / "w"), batch_size=2)
+    assert result["check"] == "imagenet_zeroshot_top1"
+    assert 0.0 <= result["top1"] <= 100.0
+    assert not result["ok"]  # random weights can't hit 48.3 +- 0.2
+
+
+@requires_reference
+def test_lora_song_harness_runs(tiny_ckpt, tmp_path):
+    """check_lora_song flows end-to-end: npack split + random adapter ->
+    zeroshot AND merged eval -> R@1 gates."""
+    import jax
+
+    from nans_clip_tpu.data import PairDataset
+    from nans_clip_tpu.eval.golden import LORA_SONG_GOLDEN, check_lora_song
+    from nans_clip_tpu.eval.model_io import load_eval_model
+    from nans_clip_tpu.models.lora import init_lora, save_lora
+    from nans_clip_tpu.preprocess.build_dataset import build_split
+
+    root = tmp_path / "song"
+    root.mkdir()
+    _write_split(root, "valid", 4, np.random.RandomState(4))
+    build_split(str(root), "valid")
+
+    _, params, _, _ = load_eval_model(
+        "ViT-B-16", "RoBERTa-wwm-ext-base-chinese", tiny_ckpt, "fp32")
+    adapters = init_lora(jax.random.PRNGKey(0), params, rank=4)
+    lora_path = str(tmp_path / "adapter.npz")
+    save_lora(lora_path, adapters, {"rank": 4, "alpha": 16.0})
+
+    result = check_lora_song(tiny_ckpt, str(root / "valid"), lora_path,
+                             batch_size=4)
+    assert result["check"] == "lora_song_r1"
+    assert set(result["got"]) == {"zeroshot", "lora"}
+    for mode in result["got"].values():
+        for v in mode.values():
+            assert 0.0 <= v <= 100.0
+    assert result["golden"] == LORA_SONG_GOLDEN
     assert isinstance(result["ok"], bool)
 
 

@@ -53,6 +53,10 @@ def test_imagefolder_run(tiny_model, tmp_path):
     assert 0.0 <= acc <= 1.0
     assert len(preds) == 6
     assert len(preds[0]) == 2
+    # reference run() dumps SOFTMAXED rows (zeroshot_evaluation.py:141)
+    for row in preds:
+        assert sum(row) == pytest.approx(1.0, abs=1e-5)
+        assert all(v >= 0 for v in row)
 
 
 def test_retrieval_suite_end_to_end(tiny_model, tmp_path):
@@ -73,10 +77,11 @@ def test_retrieval_suite_end_to_end(tiny_model, tmp_path):
                                 "image_ids": [t]}, ensure_ascii=False) + "\n")
     build_split(str(tmp_path), "val")
 
-    image_ids, texts, gt, ds = load_split(str(tmp_path / "val"))
+    image_ids, texts, t2i_gt, i2t_gt, ds = load_split(str(tmp_path / "val"))
     assert len(image_ids) == 6 and len(texts) == 6
-    res = evaluate_model(TINY, tiny_model, {}, OPTS, ds, image_ids, texts, gt,
-                         batch_size=4, context_length=52)
+    assert all(isinstance(t, str) for t in texts)  # queries are raw strings
+    res = evaluate_model(TINY, tiny_model, {}, OPTS, ds, image_ids, texts,
+                         t2i_gt, i2t_gt, batch_size=4, context_length=52)
     for direction in ("text_to_image", "image_to_text"):
         m = res[direction]
         assert set(m) == {"R@1", "R@5", "R@10", "NDCG@1", "NDCG@5", "NDCG@10",
