@@ -15,6 +15,7 @@
 // Build: g++ -O3 -shared -fPIC npack.cpp -o libnpack.so -ljpeg -pthread
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -198,6 +199,205 @@ static int decode_one(const uint8_t* data, size_t len, int out_h, int out_w,
     }
   }
   return 1;
+}
+
+// ---------------------------------------------------------------------------
+// PIL-exact bicubic resample (Pillow src/libImaging/Resample.c semantics):
+// separable two-pass (horizontal first, uint8 intermediate), Keys a=-0.5
+// kernel with support scaling on downscale (antialias), coefficients
+// normalized in double then fixed-point INT32 at PRECISION_BITS, clip8
+// rounding. Byte-identical to Image.resize((ow,oh), Image.BICUBIC) on RGB
+// (verified exhaustively in tests/test_native_decode.py) — the serving
+// daemon's fast path must feed the model the same pixels evaluation saw.
+// ---------------------------------------------------------------------------
+
+static const int kPrecisionBits = 32 - 8 - 2;
+
+static inline uint8_t pil_clip8(int in) {
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return (uint8_t)(in >> kPrecisionBits);
+}
+
+static inline double bicubic_filter(double x) {
+  const double a = -0.5;
+  if (x < 0.0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1;
+  if (x < 2.0) return (((x - 5) * x + 8) * x - 4) * a;
+  return 0.0;
+}
+
+// Pillow precompute_coeffs for the full box [0, inSize): per output index,
+// INT32 fixed-point kernel taps + (xmin, xmax) bounds. Returns ksize.
+static int pil_coeffs(int in_size, int out_size, std::vector<int>* kk,
+                      std::vector<int>* bounds) {
+  const double support_base = 2.0;  // bicubic
+  double scale = (double)in_size / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = support_base * filterscale;
+  int ksize = (int)ceil(support) * 2 + 1;
+  std::vector<double> prekk((size_t)out_size * ksize);
+  kk->assign((size_t)out_size * ksize, 0);
+  bounds->assign((size_t)out_size * 2, 0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    double ww = 0.0;
+    double ss = 1.0 / filterscale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = &prekk[(size_t)xx * ksize];
+    int x = 0;
+    for (; x < xmax; ++x) {
+      double w = bicubic_filter((x + xmin - center + 0.5) * ss);
+      k[x] = w;
+      ww += w;
+    }
+    for (x = 0; x < xmax; ++x)
+      if (ww != 0.0) k[x] /= ww;
+    for (; x < ksize; ++x) k[x] = 0;
+    (*bounds)[xx * 2 + 0] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax;
+  }
+  for (size_t i = 0; i < prekk.size(); ++i)
+    (*kk)[i] = (int)(prekk[i] < 0 ? -0.5 + prekk[i] * (1 << kPrecisionBits)
+                                  : 0.5 + prekk[i] * (1 << kPrecisionBits));
+  return ksize;
+}
+
+// src [h, w, 3] u8 -> dst [out_h, out_w, 3] u8, Pillow-bit-exact.
+void npack_resize_bicubic(const uint8_t* src, int h, int w, uint8_t* dst,
+                          int out_h, int out_w) {
+  std::vector<int> kkx, bx, kky, by;
+  int ksx = pil_coeffs(w, out_w, &kkx, &bx);
+  int ksy = pil_coeffs(h, out_h, &kky, &by);
+  // horizontal pass into a [h, out_w, 3] uint8 temp (Pillow quantizes the
+  // intermediate through clip8 too — float temps would NOT be bit-exact)
+  std::vector<uint8_t> tmp((size_t)h * out_w * 3);
+  for (int yy = 0; yy < h; ++yy) {
+    const uint8_t* row = src + (size_t)yy * w * 3;
+    uint8_t* orow = tmp.data() + (size_t)yy * out_w * 3;
+    for (int xx = 0; xx < out_w; ++xx) {
+      int xmin = bx[xx * 2], xmax = bx[xx * 2 + 1];
+      const int* k = &kkx[(size_t)xx * ksx];
+      int s0 = 1 << (kPrecisionBits - 1), s1 = s0, s2 = s0;
+      for (int x = 0; x < xmax; ++x) {
+        const uint8_t* p = row + (size_t)(x + xmin) * 3;
+        s0 += p[0] * k[x];
+        s1 += p[1] * k[x];
+        s2 += p[2] * k[x];
+      }
+      orow[xx * 3 + 0] = pil_clip8(s0);
+      orow[xx * 3 + 1] = pil_clip8(s1);
+      orow[xx * 3 + 2] = pil_clip8(s2);
+    }
+  }
+  for (int yy = 0; yy < out_h; ++yy) {
+    int ymin = by[yy * 2], ymax = by[yy * 2 + 1];
+    const int* k = &kky[(size_t)yy * ksy];
+    uint8_t* orow = dst + (size_t)yy * out_w * 3;
+    for (int xx = 0; xx < out_w; ++xx) {
+      int s0 = 1 << (kPrecisionBits - 1), s1 = s0, s2 = s0;
+      for (int y = 0; y < ymax; ++y) {
+        const uint8_t* p = tmp.data() + ((size_t)(y + ymin) * out_w + xx) * 3;
+        s0 += p[0] * k[y];
+        s1 += p[1] * k[y];
+        s2 += p[2] * k[y];
+      }
+      orow[xx * 3 + 0] = pil_clip8(s0);
+      orow[xx * 3 + 1] = pil_clip8(s1);
+      orow[xx * 3 + 2] = pil_clip8(s2);
+    }
+  }
+}
+
+// Full (no DCT scaling) decode + PIL-exact bicubic resize — the eval/serving
+// transform's semantics (utils/transform.py image_transform: resize BEFORE
+// RGB conversion; for grayscale sources L-resize-then-replicate equals
+// replicate-then-per-channel-resize, so decoding straight to RGB matches).
+// Unusual color spaces (CMYK etc.) return 0 so callers fall back to PIL.
+static int decode_one_pil(const uint8_t* data, size_t len, int out_h,
+                          int out_w, uint8_t* dst, int dct_scale) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  std::vector<uint8_t> buf;  // before setjmp: see decode_one
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return 0; }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  if (cinfo.jpeg_color_space != JCS_RGB &&
+      cinfo.jpeg_color_space != JCS_YCbCr &&
+      cinfo.jpeg_color_space != JCS_GRAYSCALE) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  if (dct_scale) {
+    // PIL draft-mode analog: decode at the smallest 1/1..1/8 DCT scale
+    // still >= the target — near-free downscale for large sources, NOT
+    // bit-exact with the full-decode path (opt-in, tolerance documented
+    // in tests/test_native_decode.py)
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = 1;
+    for (int denom = 8; denom >= 1; --denom) {
+      if ((int)(cinfo.image_width / denom) >= out_w &&
+          (int)(cinfo.image_height / denom) >= out_h) {
+        cinfo.scale_denom = denom;
+        break;
+      }
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  if (w <= 0 || h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  buf.resize((size_t)w * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf.data() + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  // corrupt-data warnings (e.g. "Premature end of JPEG file") make libjpeg
+  // pad missing scanlines instead of failing; PIL raises on those files, so
+  // report failure and let the caller's strict PIL fallback decide
+  const long warnings = cinfo.err->num_warnings;
+  jpeg_destroy_decompress(&cinfo);
+  if (warnings > 0) return 0;
+  npack_resize_bicubic(buf.data(), h, w, dst, out_h, out_w);
+  return 1;
+}
+
+// Batch decode+bicubic from raw buffers (the serving daemon's image path).
+// dct_scale=0: bit-exact with the PIL eval transform; 1: draft-mode speed.
+void npack_decode_jpeg_pil(const uint8_t** datas, const uint64_t* lens, int n,
+                           int out_h, int out_w, int num_threads,
+                           int dct_scale, uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+      ok[i] = decode_one_pil(datas[i], lens[i], out_h, out_w, dst, dct_scale);
+      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
 }
 
 // Decode a batch in parallel. offsets/lengths index into the pack's mmap by

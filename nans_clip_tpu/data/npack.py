@@ -41,14 +41,24 @@ def _build_native() -> bool:
         return False
 
 
+def _lib_stale() -> bool:
+    try:
+        return (os.path.getmtime(os.path.join(_CSRC, "npack.cpp"))
+                > os.path.getmtime(_LIB_PATH))
+    except OSError:
+        return True
+
+
 def get_native_lib() -> Optional[ctypes.CDLL]:
-    """Load (building on first use) the native npack library, or None."""
+    """Load (building on first use, rebuilding when csrc is newer) the
+    native npack library, or None."""
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH) and not _build_native():
-        return None
+    if (not os.path.exists(_LIB_PATH) or _lib_stale()) and not _build_native():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -71,8 +81,82 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+    if not hasattr(lib, "npack_decode_jpeg_pil"):  # pre-r4 .so on disk
+        if not _build_native():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+    lib.npack_resize_bicubic.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+    lib.npack_decode_jpeg_pil.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return _lib
+
+
+def resize_bicubic(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """PIL-bit-exact bicubic resize of a [H, W, 3] uint8 array (the eval
+    transform's Image.BICUBIC semantics) through the native kernel; PIL
+    fallback when the library can't build."""
+    lib = get_native_lib()
+    arr = np.ascontiguousarray(arr, np.uint8)
+    assert arr.ndim == 3 and arr.shape[2] == 3, arr.shape
+    if lib is None:
+        from PIL import Image
+        img = Image.fromarray(arr).resize((out_w, out_h), Image.BICUBIC)
+        return np.asarray(img, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    lib.npack_resize_bicubic(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr.shape[0], arr.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w)
+    return out
+
+
+def decode_jpeg_pil_batch(buffers, size: int, num_threads: int = 4,
+                          dct_scale: bool = False) -> Tuple[np.ndarray,
+                                                            np.ndarray]:
+    """Threaded full decode + PIL-exact bicubic square resize from raw JPEG
+    byte strings: (out [N, size, size, 3] u8, ok [N] u8). The serving
+    daemon's fast image path (the reference pays PIL for the same work,
+    training/data.py:110-111). Failed/unsupported records (corrupt data,
+    CMYK sources) get ok=0 so callers can fall back to PIL per image.
+
+    ``dct_scale`` opts into libjpeg 1/1..1/8 DCT scaling before the bicubic
+    pass (PIL draft-mode analog) — near-free downscale of large sources,
+    NOT bit-exact with the eval transform (measured feature-level drift in
+    tests/test_native_decode.py)."""
+    lib = get_native_lib()
+    n = len(buffers)
+    out = np.zeros((n, size, size, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    if n == 0:
+        return out, ok
+    if lib is None:
+        import io as _io
+
+        from PIL import Image
+        for i, b in enumerate(buffers):
+            try:
+                img = Image.open(_io.BytesIO(b))
+                if dct_scale:
+                    img.draft("RGB", (size, size))
+                img = img.resize((size, size), Image.BICUBIC).convert("RGB")
+                out[i] = np.asarray(img, np.uint8)
+                ok[i] = 1
+            except Exception:
+                pass
+        return out, ok
+    bufs = [bytes(b) for b in buffers]
+    datas = (ctypes.c_char_p * n)(*bufs)
+    lens = (ctypes.c_uint64 * n)(*[len(b) for b in bufs])
+    lib.npack_decode_jpeg_pil(
+        datas, lens, n, size, size, num_threads, int(dct_scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, ok
 
 
 class NPackWriter:
