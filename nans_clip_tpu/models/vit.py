@@ -259,6 +259,17 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
     # (attn + MLP in one pallas_call, ops/layer_kernel.py) removes the
     # hidden-state HBM round trip between the sub-blocks and halves the
     # launches. Training keeps the split (per-sub-block custom_vjps).
+    # Whole-LAYER training backward (ops/layer_bwd.py, r4): one combined
+    # attn+MLP bwd pallas_call per layer keeps the inter-sub-block dx in
+    # VMEM. Routed by the measured LAYER_BWD_ROUTE gate (NANS_LAYER_BWD
+    # overrides for drives); forward stays the shipping two kernels.
+    use_layer_train = False
+    if use_fused and use_fused_mlp and not options.deterministic:
+        from nans_clip_tpu.ops.layer_bwd import route_layer_bwd
+        use_layer_train = route_layer_bwd(x.shape[1], cfg.width, heads,
+                                          4 * cfg.width,
+                                          jnp.dtype(x.dtype).itemsize)
+
     use_layer = False
     if use_fused and use_fused_mlp and options.deterministic:
         from nans_clip_tpu.ops.layer_kernel import (fused_layer_block,
@@ -272,6 +283,14 @@ def vit_features(params: dict, images: jax.Array, cfg: VisionConfig,
                                 4 * cfg.width, jnp.dtype(x.dtype).itemsize)
 
     def block(x, lp):
+        if use_layer_train:
+            from nans_clip_tpu.ops.layer_bwd import fused_layer_train
+            return fused_layer_train(
+                x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"], lp["attn"]["wo"],
+                lp["attn"]["bo"], lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"], lp["mlp"]["w2"],
+                lp["mlp"]["b2"], heads, "quick_gelu", 1e-5, fused_interpret)
         if use_layer:
             return fused_layer_block(
                 x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],

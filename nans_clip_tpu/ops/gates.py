@@ -155,6 +155,15 @@ VMEM_MLP_FULLGRAD_WIDE = 110 * MiB
 ATTN_FULLGRAD_WIDE_BUDGET = 90 * MiB
 ATTN_FULLGRAD_WIDE_MAX_SEQ = 320
 
+#: Whole-LAYER training backward (layer_bwd.py, r4): both sub-blocks'
+#: weights + fp32 accumulators + the combined live set in one cell
+#: (~65MB at ViT-B S=197) under the VMEM_TOWER pin. The r2 arithmetic
+#: dismissal ("23+42MB > 64MB pin") only ruled out the 64MB pin.
+LAYER_FULLGRAD_BUDGET = 96 * MiB
+#: Routing default for the combined layer bwd — set by the r4
+#: same-process full-step drive (see the Gate record below).
+LAYER_BWD_ROUTE = False
+
 LAYER_CELL_BUDGET = 48 * MiB
 LAYER_TILE_CAP = 8
 #: Route the whole-layer kernel only when the tile reaches this (row-fill
@@ -338,6 +347,14 @@ PROVENANCE = (
          "samples/s); S=197 tile=1 LOSES 0.963x (4032 vs 4188 img/s)"),
     Gate("LAYER_MAX_SEQ", "layer_kernel.fits_layer", "r2", "VMEM math",
          "one-shot shapes only; long seqs route the sub-block kernels"),
+    Gate("LAYER_FULLGRAD_BUDGET", "layer_bwd.fits_layer_bwd_fullgrad",
+         "r4", "VMEM math",
+         "combined attn+MLP bwd cell ~65MB at ViT-B S=197 under the "
+         "110MB VMEM_TOWER pin (the r2 arithmetic only ruled out 64MB)"),
+    Gate("LAYER_BWD_ROUTE", "layer_bwd.route_layer_bwd", "r4",
+         "pending measurement",
+         "same-process ViT-B bs512 full-step drive vs the 763.6 pairs/s "
+         "two-kernel floor decides the default"),
     Gate("TOWER_BUDGET", "tower_kernel.tower_batch_tile", "r2",
          "VMEM math", "100MB under the 110MB pin"),
     Gate("TOWER_TILE_CAP", "tower_kernel.tower_batch_tile", "r2",

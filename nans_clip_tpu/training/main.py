@@ -82,11 +82,44 @@ def build_model(args):
     return cfg, params, batch_stats, train_options
 
 
+# The reference's 4 published ModelScope teachers (training/main.py:253-259).
+# The two CN-CLIP-family ones ARE CN-CLIP architectures — their snapshots
+# load through the same layout-auto-detecting .pt path as any checkpoint
+# (pass the downloaded weight file via --teacher-weight-path). TEAM and
+# RLEG are different architectures (TEAM's image_model / RLEG's
+# encode_image are not CLIP towers) with no in-tree graph — refused with
+# a pointer rather than silently mis-loaded.
+MODELSCOPE_TEACHERS = {
+    "damo/multi-modal_clip-vit-huge-patch14_zh":
+        "ViT-H-14@RoBERTa-wwm-ext-large-chinese",
+    "damo/multi-modal_clip-vit-large-patch14_zh":
+        "ViT-L-14@RoBERTa-wwm-ext-base-chinese",
+}
+OUT_OF_FAMILY_TEACHERS = {
+    "damo/multi-modal_team-vit-large-patch14_multi-modal-similarity",
+    "damo/multi-modal_rleg-vit-large-patch14",
+}
+
+
+def resolve_teacher_config(name: str):
+    """Registry struct for a teacher name: CN-CLIP struct names pass
+    through; the reference's ModelScope teacher ids map to their CN-CLIP
+    architecture; TEAM/RLEG raise (out-of-family, see MODELSCOPE_TEACHERS)."""
+    if name in OUT_OF_FAMILY_TEACHERS:
+        raise NotImplementedError(
+            f"teacher {name!r} is not a CN-CLIP architecture (TEAM/RLEG "
+            "remap a non-CLIP image encoder, reference training/"
+            "main.py:253-259); only the CN-CLIP-family teachers are "
+            "supported — use damo/multi-modal_clip-vit-{huge,large}-"
+            "patch14_zh or any registry struct name")
+    return load_config(MODELSCOPE_TEACHERS.get(name, name))
+
+
 def build_teacher(args):
     if not args.distillation:
         return None
     assert args.teacher_model_name, "--distillation needs --teacher-model-name"
-    t_cfg = load_config(args.teacher_model_name)
+    t_cfg = resolve_teacher_config(args.teacher_model_name)
     t_params, t_stats = init_clip(jax.random.PRNGKey(0), t_cfg)
     if args.teacher_weight_path:
         sd = load_torch_state_dict(args.teacher_weight_path)
