@@ -352,9 +352,13 @@ PROVENANCE = (
          "combined attn+MLP bwd cell ~65MB at ViT-B S=197 under the "
          "110MB VMEM_TOWER pin (the r2 arithmetic only ruled out 64MB)"),
     Gate("LAYER_BWD_ROUTE", "layer_bwd.route_layer_bwd", "r4",
-         "pending measurement",
-         "same-process ViT-B bs512 full-step drive vs the 763.6 pairs/s "
-         "two-kernel floor decides the default"),
+         "measured A/B",
+         "MEASURED NEGATIVE: same-process ViT-B bs512 steps-per-call-4 "
+         "full-step drive 701.2 (combined) vs 761.7/761.2 pairs/s "
+         "(two-kernel arms) = 0.92x, losses bit-identical — the combined "
+         "cell's ~65MB residency starves Mosaic's cross-grid weight "
+         "double-buffering of more than the saved dx round trip buys; "
+         "kernel stays a tested opt-in (NANS_LAYER_BWD=1)"),
     Gate("TOWER_BUDGET", "tower_kernel.tower_batch_tile", "r2",
          "VMEM math", "100MB under the 110MB pin"),
     Gate("TOWER_TILE_CAP", "tower_kernel.tower_batch_tile", "r2",
