@@ -101,6 +101,94 @@ def _tower_kernel_q(x_ref, kb_ref, s1_ref, b1_ref, wqkv_ref, sqkv_ref,
         o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
+def _tower_kernel_q_dma(x_ref, kb_ref, s1_ref, b1_ref, bqkv_ref, bo_ref,
+                        s2_ref, b2_ref, bm1_ref, bm2_ref,
+                        sqkv_ref, so_ref, sm1_ref, sm2_ref,
+                        nqkv_ref, no_ref, nm1_ref, nm2_ref,
+                        qkv_hbm, wo_hbm, w1_hbm, w2_hbm,
+                        o_ref, xs_ref, i8_qkv, i8_wo, i8_w1, i8_w2,
+                        bf_qkv, bf_wo, bf_w1, bf_w2, sems,
+                        *, heads: int, eps: float, act: str, post_ln: bool,
+                        masked: bool, n_layers: int, batch: int):
+    """int8 weight streaming with the dequant moved OFF the critical path
+    (r3 VERDICT next #7): the int8 blocks are DMA'd manually from HBM
+    into a 3-deep VMEM ring and dequantized into double-buffered
+    compute-dtype scratch ONE LAYER AHEAD — the dequant VPU work for
+    layer l+1 sits in the same instruction stream as layer l's MXU math
+    (independent buffers), where Mosaic can interleave it, instead of
+    between the DMA wait and the matmuls like the in-line variant
+    (_tower_kernel_q). The 3-slot int8 ring makes the write-after-read
+    distance two full layers, so the async store into a slot cannot race
+    the dequant that read it. Costs VMEM: 3x int8 + 2x dequantized weight
+    sets — fits W<=1024; at W=1280 that is ~138MB, beyond the chip's VMEM
+    (the ViT-H capacity negative recorded in PARITY.md).
+
+    ``sqkv..sm2`` are THIS layer's scale rows (only read at l==0 for the
+    prologue dequant); ``nqkv..nm2`` are the l+1 rows (index map clamped,
+    never read at the last layer)."""
+    l = pl.program_id(1)
+    rows, w = xs_ref.shape
+
+    i8 = (i8_qkv, i8_wo, i8_w1, i8_w2)
+    hbm = (qkv_hbm, wo_hbm, w1_hbm, w2_hbm)
+    bf = (bf_qkv, bf_wo, bf_w1, bf_w2)
+
+    def dma(layer, slot):
+        for k in range(4):
+            pltpu.make_async_copy(hbm[k].at[layer], i8[k].at[slot],
+                                  sems.at[slot, k]).start()
+
+    def wait(slot):
+        for k in range(4):
+            pltpu.make_async_copy(i8[k].at[slot], i8[k].at[slot],
+                                  sems.at[slot, k]).wait()
+
+    def dequant(slot3, slot2, scale_refs):
+        for k, sref in zip(range(4), scale_refs):
+            s = sref[0].astype(jnp.float32)
+            bf[k][slot2] = (i8[k][slot3].astype(jnp.float32)
+                            * s).astype(bf[k].dtype)
+
+    @pl.when(l == 0)
+    def _():
+        xs_ref[:] = x_ref[:].reshape(rows, w)
+        dma(0, 0)
+        wait(0)
+        dequant(0, 0, (sqkv_ref, so_ref, sm1_ref, sm2_ref))
+        if n_layers > 1:
+            dma(1, 1)
+
+    x = xs_ref[:]
+    kb = kb_ref[:] if masked else None
+    out = encoder_layer_math(
+        x, kb, s1_ref[0], b1_ref[0], bf_qkv[l % 2], bqkv_ref[0],
+        bf_wo[l % 2], bo_ref[0], s2_ref[0], b2_ref[0], bf_w1[l % 2],
+        bm1_ref[0], bf_w2[l % 2], bm2_ref[0], heads=heads, eps=eps,
+        act=act, post_ln=post_ln, batch=batch)
+    xs_ref[:] = out.astype(x.dtype)
+
+    # prepare layer l+1 while layer l computes: wait its DMA (issued one
+    # step ago; at l==0 the prologue just started it — the wait lands in
+    # the prologue cost), dequant into the other compute buffer, then
+    # start the DMA for layer l+2 into the ring slot freed two steps ago
+    @pl.when(l + 1 < n_layers)
+    def _():
+        wait((l + 1) % 3)
+
+    @pl.when(l + 1 < n_layers)
+    def _():
+        dequant((l + 1) % 3, (l + 1) % 2,
+                (nqkv_ref, no_ref, nm1_ref, nm2_ref))
+
+    @pl.when(l + 2 < n_layers)
+    def _():
+        dma(l + 2, (l + 2) % 3)
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
 def tower_batch_tile(b: int, s: int, w: int, inter: int,
                      esize: int = 2, quant: bool = False) -> int:
     """Samples per tower cell. The grid is (B/tile, L): within one batch
@@ -132,6 +220,24 @@ def tower_batch_tile(b: int, s: int, w: int, inter: int,
     return int(max(t, 0))
 
 
+def tower_qdma_tile(b: int, s: int, w: int, inter: int,
+                    esize: int = 2) -> int:
+    """Batch tile for the dequant-ahead int8 kernel: 3x int8 ring + 2x
+    dequantized weight sets resident. 0 when the cell cannot exist —
+    W=1280's ~138MB weight residency alone exceeds VMEM (the ViT-H
+    capacity negative, PARITY.md int8 section)."""
+    if w % 128 or w > 1024:
+        return 0
+    total = 4 * w * w + 2 * w * inter
+    weights = 3 * total + 2 * total * esize
+    per = s * (3 * w * 4 + inter * 4 + w * (4 * esize + 4))
+    t = (TOWER_BUDGET - weights) // per
+    t = min(t, TOWER_TILE_CAP, b)
+    while t > 1 and b % t:
+        t -= 1
+    return int(max(t, 0))
+
+
 def fits_tower(b: int, s: int, w: int, inter: int, esize: int = 2,
                quant: bool = False) -> bool:
     """Route the tower kernel only while weight re-streaming stays
@@ -146,7 +252,7 @@ def fits_tower(b: int, s: int, w: int, inter: int, esize: int = 2,
 def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
                 ln2_scale, ln2_bias, w1, b1, w2, b2, heads: int,
                 eps: float, act: str, post_ln: bool,
-                interpret: bool = False):
+                interpret: bool = False, quant_dma: bool = False):
     """Run the full L-layer encoder on [B, S, W] activations.
 
     All parameter arrays are layer-stacked ([L, ...]); ln1 is the
@@ -189,6 +295,62 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
     lyr = lambda *shape: pl.BlockSpec((1,) + shape,
                                       lambda bt, l: (l,) + (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
+    if quant and quant_dma:
+        # dequant-ahead variant (opt-in, see _tower_kernel_q_dma): small
+        # per-layer params via the automatic pipeline, the four int8
+        # weights manually DMA'd from HBM
+        dtile = tower_qdma_tile(b, s, w, inter,
+                                jnp.dtype(x.dtype).itemsize)
+        assert dtile >= 1 and b % dtile == 0, (
+            f"qdma cell does not exist at b={b} s={s} w={w} (W=1280's "
+            "3x-int8 + 2x-deq residency exceeds VMEM — PARITY.md)")
+        tile = dtile
+        L_last = L - 1
+        lyr_n = lambda *shape: pl.BlockSpec(
+            (1,) + shape,
+            lambda bt, l: (jnp.minimum(l + 1, L_last),) + (0,) * len(shape),
+            memory_space=pltpu.VMEM)
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        i8s = lambda *shape: pltpu.VMEM(shape, jnp.int8)
+        bfs = lambda *shape: pltpu.VMEM(shape, x.dtype)
+        return pl.pallas_call(
+            functools.partial(_tower_kernel_q_dma, heads=heads, eps=eps,
+                              act=act, post_ln=post_ln, masked=masked,
+                              n_layers=L, batch=tile),
+            grid=(b // tile, L),
+            in_specs=[
+                bat(tile, s, w),
+                (bat(tile, 1, s) if masked else
+                 pl.BlockSpec((1, 1, s), lambda bt, l: (0, 0, 0),
+                              memory_space=pltpu.VMEM)),
+                lyr(1, w), lyr(1, w),                  # ln1
+                lyr(1, 3 * w), lyr(1, w),              # bqkv, bo
+                lyr(1, w), lyr(1, w),                  # ln2
+                lyr(1, inter), lyr(1, w),              # b1, b2
+                lyr(1, 3 * w), lyr(1, w),              # scales (layer l)
+                lyr(1, inter), lyr(1, w),
+                lyr_n(1, 3 * w), lyr_n(1, w),          # scales (layer l+1)
+                lyr_n(1, inter), lyr_n(1, w),
+                any_spec, any_spec, any_spec, any_spec,  # int8 weights, HBM
+            ],
+            out_specs=bat(tile, s, w),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tile * s, w), x.dtype),
+                i8s(3, w, 3 * w), i8s(3, w, w),
+                i8s(3, w, inter), i8s(3, inter, w),
+                bfs(2, w, 3 * w), bfs(2, w, w),
+                bfs(2, w, inter), bfs(2, inter, w),
+                pltpu.SemaphoreType.DMA((3, 4)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_TOWER),
+            interpret=interpret,
+        )(x, key_bias, r3(ln1_scale), r3(ln1_bias), r3(bqkv), r3(bo),
+          r3(ln2_scale), r3(ln2_bias), r3(b1), r3(b2),
+          wqkv["scale"], wo["scale"], w1["scale"], w2["scale"],
+          wqkv["scale"], wo["scale"], w1["scale"], w2["scale"],
+          wqkv["int8"], wo["int8"], w1["int8"], w2["int8"])
     if quant:
         # each weight spec is followed by its [L, 1, out] scale-row spec
         kernel, wspecs, wargs = _tower_kernel_q, [

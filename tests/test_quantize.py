@@ -301,3 +301,44 @@ def test_towers_for_mode():
     assert towers_for_mode("int8-text") == ("text",)
     with pytest.raises(ValueError, match="unknown quantize mode"):
         towers_for_mode("int4")
+
+
+@pytest.mark.parametrize("post_ln,act,masked", [
+    (False, "quick_gelu", False),   # ViT-like pre-LN
+    (True, "gelu", True),           # BERT-like post-LN
+])
+def test_quant_tower_dma_variant_matches(post_ln, act, masked):
+    """Dequant-ahead manual-DMA variant (r4, _tower_kernel_q_dma): same
+    math, dequant moved off the critical path — must equal the in-line
+    quant kernel / dequantized oracle bit-for-tolerance."""
+    B, S, W, I, heads = 2, 12, 128, 512, 4
+    rs = np.random.RandomState(13)
+    x = jnp.asarray(rs.randn(B, S, W), jnp.float32)
+    p = _stacked(3, W, I, seed=6)
+    key_bias = None
+    if masked:
+        mask = np.ones((B, S), np.float32)
+        mask[:, S - 3:] = 0.0
+        key_bias = jnp.asarray((1.0 - mask) * -10000.0).reshape(B, 1, S)
+    qw = {k: quantize_weight(p[k]) for k in ("wqkv", "wo", "w1", "w2")}
+    out = fused_tower(x, key_bias, p["ln1_s"], p["ln1_b"], qw["wqkv"],
+                      p["bqkv"], qw["wo"], p["bo"], p["ln2_s"], p["ln2_b"],
+                      qw["w1"], p["b1"], qw["w2"], p["b2"], heads, 1e-5,
+                      act, post_ln, interpret=INTERPRET, quant_dma=True)
+    pd = dict(p)
+    for k in ("wqkv", "wo", "w1", "w2"):
+        pd[k] = dequantize_weight(qw[k], jnp.float32)
+    ref = _oracle(x, pd, heads, 1e-5, act, post_ln,
+                  key_bias=None if key_bias is None
+                  else key_bias.reshape(B, S))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_quant_tower_dma_gate():
+    """The qdma cell cannot exist at W=1280 (3x int8 + 2x dequantized
+    residency ~138MB > VMEM) — the documented ViT-H capacity negative."""
+    from nans_clip_tpu.ops.tower_kernel import tower_qdma_tile
+    assert tower_qdma_tile(1, 257, 1280, 5120) == 0
+    assert tower_qdma_tile(1, 197, 768, 3072) >= 1
+    assert tower_qdma_tile(1, 257, 1024, 4096) >= 1
