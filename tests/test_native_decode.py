@@ -154,6 +154,15 @@ def test_server_native_and_pil_paths_identical():
                         native_decode=False).encode_images(images)
     np.testing.assert_array_equal(f_native, f_pil)
 
+    # --fast-decode flows end-to-end too (not bit-exact; features of the
+    # same images must stay close, PNG still falls back to PIL)
+    f_fast = ClipService(cfg, params, batch_stats, opts, max_batch=4,
+                         dynamic_batching=False,
+                         fast_decode=True).encode_images(images)
+    assert f_fast.shape == f_native.shape
+    np.testing.assert_allclose(f_fast, f_native, atol=0.2)
+    np.testing.assert_array_equal(f_fast[1], f_native[1])  # PNG: PIL path
+
     with pytest.raises(ValueError, match="images\\[0\\]"):
         ClipService(cfg, params, batch_stats, opts, max_batch=4,
                     dynamic_batching=False).encode_images(["%%%notb64"])
