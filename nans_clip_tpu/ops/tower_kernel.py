@@ -310,7 +310,7 @@ def fused_tower(x, key_bias, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
             (1,) + shape,
             lambda bt, l: (jnp.minimum(l + 1, L_last),) + (0,) * len(shape),
             memory_space=pltpu.VMEM)
-        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
         i8s = lambda *shape: pltpu.VMEM(shape, jnp.int8)
         bfs = lambda *shape: pltpu.VMEM(shape, x.dtype)
         return pl.pallas_call(
