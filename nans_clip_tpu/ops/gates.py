@@ -364,10 +364,12 @@ PROVENANCE = (
     Gate("(tower qdma probe)", "tower_kernel.fused_tower(quant_dma)", "r4",
          "measured A/B",
          "MEASURED NEGATIVE: dequant-ahead manual-DMA int8 tower at "
-         "ViT-B image batch-1 0.929 ms vs 0.769 inline (0.83x, outputs "
-         "bit-identical) — manual DMA forfeits Mosaic's automatic "
-         "prefetch; W=1280 cell impossible (3x int8 + 2x deq ~138MB > "
-         "VMEM). Tested opt-in only; int8 routing stays per-tower text"),
+         "ViT-B image batch-1 0.929 ms vs 0.769 inline (0.83x) and at "
+         "the text-large shape 1.361 vs 0.934 (0.69x), outputs "
+         "bit-identical — manual DMA forfeits Mosaic's automatic "
+         "prefetch, worst exactly where DMA dominates; W=1280 cell "
+         "impossible (3x int8 + 2x deq ~138MB > VMEM). Tested opt-in "
+         "only; int8 routing stays per-tower text"),
     Gate("TOWER_TILE_CAP", "tower_kernel.tower_batch_tile", "r2",
          "measured A/B", "serving-batch kernel; tiles beyond 32 never "
          "routed (TOWER_MAX_RESTREAMS gates first)"),
