@@ -109,6 +109,22 @@ def test_dct_scale_mode_bounded_drift():
     assert d.mean() < 3.0 and d.max() < 64, (d.mean(), d.max())
 
 
+def test_decompression_bomb_refused():
+    """A crafted SOF claiming 60000x60000 must come back ok=0 (the PIL
+    MAX_IMAGE_PIXELS analog in csrc) instead of allocating 10.8 GB; the
+    server's PIL fallback then raises DecompressionBombError -> 400."""
+    rs = np.random.RandomState(14)
+    b = bytearray(_jpeg_bytes(rs.randint(0, 256, (32, 32, 3), np.uint8)))
+    i = b.find(b"\xff\xc0")
+    assert i > 0
+    b[i + 5:i + 7] = (60000).to_bytes(2, "big")
+    b[i + 7:i + 9] = (60000).to_bytes(2, "big")
+    if get_native_lib() is None:
+        pytest.skip("native lib unavailable")
+    out, ok = decode_jpeg_pil_batch([bytes(b)], 64)
+    assert ok.tolist() == [0]
+
+
 def test_png_is_refused_by_native_path():
     """PNG bytes must come back ok=0 (the server falls back to PIL), not
     garbage."""
