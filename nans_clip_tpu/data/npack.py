@@ -285,6 +285,18 @@ class NPackReader:
                 ok[i] = 0
         return out, ok.astype(bool)
 
+    def decode_jpeg_batch_pil(self, keys: np.ndarray, size: int,
+                              num_threads: int = 8) -> Tuple[np.ndarray,
+                                                             np.ndarray]:
+        """Decode JPEGs for ``keys`` with the PIL-BIT-EXACT full-decode +
+        bicubic path (r4): the eval-transform semantics at native speed.
+        Missing keys come back ok=0 (zero image) like decode_jpeg_batch;
+        the training loader keeps ``decode_jpeg_batch`` (DCT-scaled +
+        bilinear — faster, loader semantics)."""
+        bufs = [self.get(int(k)) or b"" for k in np.asarray(keys).tolist()]
+        out, ok = decode_jpeg_pil_batch(bufs, size, num_threads)
+        return out, ok.astype(bool)
+
     def close(self):
         if self._lib is not None and self._handle:
             self._lib.npack_close(self._handle)

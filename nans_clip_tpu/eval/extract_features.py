@@ -49,10 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--precision", default="bf16")
     p.add_argument("--num-threads", type=int, default=8)
     p.add_argument("--image-transform", choices=["pil", "native"], default="pil",
-                   help="pil = host PIL bicubic resize, numerically identical "
-                        "to the reference eval transform (clip/utils.py:179-186) "
-                        "— use for score parity; native = C++ decode pool + "
-                        "device resize, faster for large-scale extraction")
+                   help="both are numerically faithful to the reference "
+                        "eval transform (clip/utils.py:179-186): pil = "
+                        "host PIL decode+bicubic; native = the threaded "
+                        "C++ pool with the PIL-BIT-EXACT bicubic kernel "
+                        "(r4) — same pixels, faster at scale (normalize "
+                        "runs on device)")
     # serialized-artifact backends — the extract_features_{onnx,tensorrt}
     # analogs (reference eval/extract_features_onnx.py:121-138,
     # extract_features_tensorrt.py:11): "stablehlo" runs towers from
@@ -168,8 +170,12 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
 
     def decode_batch(chunk):
         if not pil:
-            raw, ok = reader.decode_jpeg_batch(chunk, resolution,
-                                               args.num_threads)
+            # r4: the native path uses the PIL-BIT-EXACT full-decode +
+            # bicubic kernel (csrc), so "native" now means the same
+            # pixels as the pil path at threaded-C speed; only the
+            # normalize runs on device instead of host
+            raw, ok = reader.decode_jpeg_batch_pil(chunk, resolution,
+                                                   args.num_threads)
             if not ok.all():
                 # fail like the pil path does on a corrupt file — a zero
                 # image would silently pollute the feature jsonl and every

@@ -161,8 +161,10 @@ def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
 
     def decode_batch(chunk):
         if not pil:
-            raw, _ = ds.imgs.decode_jpeg_batch(np.asarray(chunk, np.uint64),
-                                               resolution)
+            # PIL-bit-exact native decode (r4) — same pixels as the pil
+            # path, threaded-C speed; normalize runs on device
+            raw, _ = ds.imgs.decode_jpeg_batch_pil(
+                np.asarray(chunk, np.uint64), resolution)
             return raw
         # reference-exact path: PIL decode + bicubic square resize +
         # normalize (evaluate.py:71 via load_from_name's preprocess)

@@ -182,3 +182,48 @@ def test_server_native_and_pil_paths_identical():
     with pytest.raises(ValueError, match="images\\[0\\]"):
         ClipService(cfg, params, batch_stats, opts, max_batch=4,
                     dynamic_batching=False).encode_images(["%%%notb64"])
+
+
+def test_npack_reader_pil_exact_batch(tmp_path):
+    """NPackReader.decode_jpeg_batch_pil (r4): pack-keyed decode with the
+    PIL-bit-exact path — byte-equal to per-key PIL, missing keys ok=0.
+    This is what makes `--image-transform native` in the eval stack
+    produce the SAME pixels as the pil mode."""
+    from PIL import Image
+
+    from nans_clip_tpu.data.npack import NPackReader, NPackWriter
+
+    rs = np.random.RandomState(15)
+    path = str(tmp_path / "imgs.npack")
+    arrs = {k: rs.randint(0, 256, (40 + 7 * k, 60, 3), np.uint8)
+            for k in (1, 2, 5)}
+    with NPackWriter(path) as w:
+        for k, a in arrs.items():
+            w.put(k, _jpeg_bytes(a))
+    r = NPackReader(path)
+    out, ok = r.decode_jpeg_batch_pil(np.asarray([1, 5, 99, 2], np.uint64), 48)
+    assert ok.tolist() == [True, True, False, True]
+    for i, k in ((0, 1), (1, 5), (3, 2)):
+        pil = np.asarray(Image.open(io.BytesIO(r.get(k))).resize(
+            (48, 48), Image.BICUBIC).convert("RGB"), np.uint8)
+        np.testing.assert_array_equal(out[i], pil, err_msg=f"key {k}")
+    assert out[2].sum() == 0
+    r.close()
+
+
+def test_device_normalize_matches_host_transform():
+    """With the native decode already at target resolution, the on-device
+    preprocess reduces to normalize; it must match the host transform's
+    normalize so native-mode eval features equal pil-mode ones."""
+    import jax
+
+    from nans_clip_tpu.data import preprocess_images
+    from nans_clip_tpu.utils.transform import image_transform
+    from PIL import Image
+
+    rs = np.random.RandomState(16)
+    arr = rs.randint(0, 256, (64, 64, 3), np.uint8)
+    host = image_transform(64)(Image.fromarray(arr))
+    dev = np.asarray(preprocess_images(jax.random.PRNGKey(0), arr[None],
+                                       64, augment=False))[0]
+    np.testing.assert_allclose(dev, host, atol=1e-6)
