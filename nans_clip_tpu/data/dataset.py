@@ -95,7 +95,8 @@ class DataLoader:
                  shuffle: bool = True, seed: int = 123, epoch: int = 0,
                  process_index: int = 0, process_count: int = 1,
                  tokenizer: Optional[Tokenizer] = None,
-                 num_threads: int = 8, prefetch: int = 2):
+                 num_threads: int = 8, prefetch: int = 2,
+                 exact_decode: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.global_batch_size = batch_size * process_count
@@ -115,6 +116,11 @@ class DataLoader:
             self._fast_tok = get_fast_tokenizer()
         self.num_threads = num_threads
         self.prefetch = prefetch
+        # exact_decode: full decode + PIL-bit-exact bicubic (the eval
+        # transform's pixels) instead of the DCT-scaled bilinear fast path
+        # — for byte-level parity with the reference's non-augment train
+        # transform (training/data.py:85-90) at some host-decode cost
+        self.exact_decode = exact_decode
 
         self.padded_len = pad_len(len(dataset), self.global_batch_size)
         self.num_batches = self.padded_len // self.global_batch_size
@@ -153,7 +159,9 @@ class DataLoader:
         image_ids = np.asarray([p[0] for p in pairs], np.int64)
         text_ids = np.asarray([p[1] for p in pairs], np.int64)
         raw_texts = [preprocess_text(p[2]) for p in pairs]
-        images, ok = self.ds.imgs.decode_jpeg_batch(
+        decode = (self.ds.imgs.decode_jpeg_batch_pil if self.exact_decode
+                  else self.ds.imgs.decode_jpeg_batch)
+        images, ok = decode(
             image_ids.astype(np.uint64), self.decode_size, self.num_threads)
         # Corrupt/missing JPEGs: resample the whole pair (image AND caption,
         # keeping the pairing consistent) from a deterministically shifted
@@ -175,7 +183,7 @@ class DataLoader:
                 p = self.ds.get_pair(int(idx[j]))
                 image_ids[j], text_ids[j] = p[0], p[1]
                 raw_texts[j] = preprocess_text(p[2])
-            re_imgs, re_ok = self.ds.imgs.decode_jpeg_batch(
+            re_imgs, re_ok = decode(
                 image_ids[bad].astype(np.uint64), self.decode_size,
                 self.num_threads)
             images[bad] = re_imgs

@@ -194,7 +194,7 @@ def main(argv=None):
         train_ds, batch_size=global_micro // proc_cnt, decode_size=resolution,
         context_length=args.context_length, shuffle=True, seed=args.seed,
         process_index=proc_idx, process_count=proc_cnt,
-        num_threads=args.num_workers)
+        num_threads=args.num_workers, exact_decode=args.exact_decode)
     val_loader = None
     if args.val_data:
         val_ds = PairDataset(args.val_data)
@@ -202,7 +202,8 @@ def main(argv=None):
             val_ds, batch_size=args.valid_batch_size * data_size // proc_cnt,
             decode_size=resolution, context_length=args.context_length,
             shuffle=True, seed=args.seed, process_index=proc_idx,
-            process_count=proc_cnt, num_threads=args.valid_num_workers)
+            process_count=proc_cnt, num_threads=args.valid_num_workers,
+            exact_decode=args.exact_decode)
 
     num_batches = train_loader.num_batches
     steps_per_epoch = num_batches // args.accum_freq

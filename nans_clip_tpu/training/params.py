@@ -82,6 +82,11 @@ def parse_args(argv=None):
     p.add_argument("--freeze-vision", action="store_true")
     p.add_argument("--grad-checkpointing", action="store_true")
     p.add_argument("--use-augment", action="store_true")
+    p.add_argument("--exact-decode", action="store_true",
+                   help="decode training images with the PIL-bit-exact "
+                        "bicubic path (the reference's non-augment "
+                        "transform pixels, training/data.py:85-90) "
+                        "instead of the DCT-scaled bilinear fast decode")
     p.add_argument("--use-bn-sync", action="store_true", help="no-op: always synced on TPU")
     p.add_argument("--use-flash-attention", action="store_true",
                    help="no-op: Pallas fused attention is the default on TPU")

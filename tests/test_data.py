@@ -202,3 +202,36 @@ def test_loader_mid_epoch_skip(dataset_dir):
     # a fresh epoch resets the offset only if set_epoch says so
     loader.set_epoch(3)
     assert len(list(loader)) == loader.num_batches
+
+
+def test_loader_exact_decode_matches_pil(tmp_path):
+    """DataLoader(exact_decode=True) yields the eval transform's exact
+    pixels (PIL full decode + bicubic) — the reference's non-augment
+    train-transform parity mode (--exact-decode)."""
+    import io as _io
+
+    from PIL import Image
+
+    from nans_clip_tpu.data import DataLoader, PairDataset
+    from nans_clip_tpu.data.npack import NPackWriter, encode_pair
+
+    rs = np.random.RandomState(21)
+    jpegs = {}
+    with NPackWriter(str(tmp_path / "imgs.npack")) as wi, \
+            NPackWriter(str(tmp_path / "pairs.npack")) as wp:
+        for i in range(4):
+            arr = rs.randint(0, 256, (50 + 9 * i, 70, 3), np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+            jpegs[i] = buf.getvalue()
+            wi.put(i, jpegs[i])
+            wp.put(i, encode_pair(i, i, f"样本{i}"))
+    ds = PairDataset(str(tmp_path))
+    loader = DataLoader(ds, batch_size=4, decode_size=48, shuffle=False,
+                        exact_decode=True)
+    batch = next(iter(loader))
+    for j in range(4):
+        iid = int(batch.image_ids[j])
+        pil = np.asarray(Image.open(_io.BytesIO(jpegs[iid])).resize(
+            (48, 48), Image.BICUBIC).convert("RGB"), np.uint8)
+        np.testing.assert_array_equal(batch.images[j], pil)
