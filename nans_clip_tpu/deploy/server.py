@@ -106,6 +106,19 @@ class ClipService:
         self._queue: collections.deque = collections.deque()
         self._qcond = threading.Condition()
         self._dispatcher: Optional[threading.Thread] = None
+        # observability counters (GET /stats — the Triton-metrics analog);
+        # guarded by _stats_lock: the HTTP threads and the dispatcher both
+        # write them
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": {"text": 0, "image": 0},
+            "samples": {"text": 0, "image": 0},
+            "device_dispatches": 0,
+            "device_ms_total": 0.0,
+            "coalesced_requests": 0,   # requests that rode a shared dispatch
+            "decode_fallbacks": 0,     # images that fell back to PIL
+            "errors": 0,
+        }
         if engine_dir is not None:
             self._load_engines(engine_dir)
 
@@ -189,6 +202,9 @@ class ClipService:
         return self._fns[key], bs
 
     def _run(self, tower: str, x: np.ndarray) -> np.ndarray:
+        with self._stats_lock:
+            self.stats["requests"][tower] += 1
+            self.stats["samples"][tower] += int(x.shape[0])
         if x.shape[0] == 0:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         if not self.dynamic_batching:
@@ -234,6 +250,9 @@ class ClipService:
             try:
                 xs = (batch[0].x if len(batch) == 1
                       else np.concatenate([it.x for it in batch]))
+                if len(batch) > 1:
+                    with self._stats_lock:
+                        self.stats["coalesced_requests"] += len(batch)
                 feats = self._run_device(tower, xs)
                 ofs = 0
                 for it in batch:
@@ -247,8 +266,10 @@ class ClipService:
                     it.done.set()
 
     def _run_device(self, tower: str, x: np.ndarray) -> np.ndarray:
+        import time as _time
         n = x.shape[0]
         out: List[np.ndarray] = []
+        t0 = _time.perf_counter()
         with self._lock:
             fn, bs = self._tower_fn(tower, n)
             for i in range(0, n, bs):
@@ -260,6 +281,10 @@ class ClipService:
                                          chunk.dtype)])
                 feats = np.asarray(fn(jnp.asarray(chunk)), np.float32)
                 out.append(feats[:bs - pad])
+                with self._stats_lock:
+                    self.stats["device_dispatches"] += 1
+        with self._stats_lock:
+            self.stats["device_ms_total"] += (_time.perf_counter() - t0) * 1e3
         feats = np.concatenate(out)
         # both backends normalize in-graph (compile_tower normalize_out
         # defaults True); this re-normalization is a numerical no-op kept
@@ -306,6 +331,9 @@ class ClipService:
             x = (x - np.asarray(OPENAI_MEAN, np.float32)) \
                 / np.asarray(OPENAI_STD, np.float32)
             bad = np.nonzero(ok == 0)[0]
+            if len(bad):
+                with self._stats_lock:
+                    self.stats["decode_fallbacks"] += int(len(bad))
         else:
             x = np.zeros((len(raws), res, res, 3), np.float32)
             bad = range(len(raws))
@@ -358,6 +386,13 @@ def make_handler(service: ClipService):
                                  if service._engine_batch else "jit",
                                  "dynamic_batching":
                                  service.dynamic_batching})
+            elif self.path == "/stats":
+                # Triton-metrics analog: request/sample counts per tower,
+                # device dispatches + total device-side ms, coalesced
+                # request count, PIL decode fallbacks, handler errors
+                with service._stats_lock:
+                    snap = json.loads(json.dumps(service.stats))
+                self._send(200, snap)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -379,6 +414,8 @@ def make_handler(service: ClipService):
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
+                with service._stats_lock:
+                    service.stats["errors"] += 1
                 self._send(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive 500
                 logger.exception("request failed")

@@ -383,3 +383,25 @@ def test_http_concurrent_requests_roundtrip(server, service):
     for i in range(6):
         np.testing.assert_allclose(results[i], service.encode_texts([texts[i]]),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_stats_endpoint(server, service):
+    """GET /stats (Triton-metrics analog): counters move with traffic."""
+    with urllib.request.urlopen(server + "/stats") as r:
+        before = json.loads(r.read())
+    for key in ("requests", "samples", "device_dispatches",
+                "device_ms_total", "coalesced_requests",
+                "decode_fallbacks", "errors"):
+        assert key in before, key
+    _post(server, "/encode_text", {"texts": ["统计端点", "第二条"]})
+    try:
+        _post(server, "/encode_text", {"bad_key": []})
+    except Exception:
+        pass  # 400 expected
+    with urllib.request.urlopen(server + "/stats") as r:
+        after = json.loads(r.read())
+    assert after["requests"]["text"] == before["requests"]["text"] + 1
+    assert after["samples"]["text"] == before["samples"]["text"] + 2
+    assert after["device_dispatches"] > before["device_dispatches"]
+    assert after["device_ms_total"] > before["device_ms_total"]
+    assert after["errors"] == before["errors"] + 1
