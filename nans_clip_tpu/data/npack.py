@@ -81,17 +81,53 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
-    if not hasattr(lib, "npack_decode_jpeg_pil"):  # pre-r4 .so on disk
-        if not _build_native():
-            return None
-        lib = ctypes.CDLL(_LIB_PATH)
-    lib.npack_resize_bicubic.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
-    lib.npack_decode_jpeg_pil.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+    if not hasattr(lib, "npack_decode_jpeg_pil"):
+        # pre-r4 .so with a FRESH mtime (the stale check above catches the
+        # normal case before anything is dlopen'd). Re-CDLL of the SAME
+        # path would return the already-loaded handle (glibc caches by
+        # path), and rebuilding over a dlopen'd file rewrites mapped
+        # pages — so build to a side path and load THAT; on failure keep
+        # the old lib (its entry points still work) and let the r4
+        # wrappers fall back to PIL via their own hasattr checks.
+        side = _LIB_PATH + ".r4"
+        try:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC",
+                            os.path.join(_CSRC, "npack.cpp"), "-o", side,
+                            "-ljpeg", "-pthread"],
+                           check=True, capture_output=True)
+            lib = ctypes.CDLL(side)
+            lib.npack_open.restype = ctypes.c_void_p
+            lib.npack_open.argtypes = [ctypes.c_char_p]
+            lib.npack_close.argtypes = [ctypes.c_void_p]
+            lib.npack_count.restype = ctypes.c_uint64
+            lib.npack_count.argtypes = [ctypes.c_void_p]
+            lib.npack_get.restype = ctypes.c_int
+            lib.npack_get.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_uint64)]
+            lib.npack_get_at.restype = ctypes.c_int
+            lib.npack_get_at.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_uint64)]
+            lib.npack_decode_jpeg_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8)]
+        except Exception:
+            pass  # old lib stays usable for its own surface
+    if hasattr(lib, "npack_decode_jpeg_pil"):
+        lib.npack_resize_bicubic.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        lib.npack_decode_jpeg_pil.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return _lib
 
@@ -103,7 +139,7 @@ def resize_bicubic(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     lib = get_native_lib()
     arr = np.ascontiguousarray(arr, np.uint8)
     assert arr.ndim == 3 and arr.shape[2] == 3, arr.shape
-    if lib is None:
+    if lib is None or not hasattr(lib, "npack_resize_bicubic"):
         from PIL import Image
         img = Image.fromarray(arr).resize((out_w, out_h), Image.BICUBIC)
         return np.asarray(img, np.uint8)
@@ -134,7 +170,7 @@ def decode_jpeg_pil_batch(buffers, size: int, num_threads: int = 4,
     ok = np.zeros((n,), np.uint8)
     if n == 0:
         return out, ok
-    if lib is None:
+    if lib is None or not hasattr(lib, "npack_decode_jpeg_pil"):
         import io as _io
 
         from PIL import Image

@@ -269,9 +269,12 @@ class ClipService:
         import time as _time
         n = x.shape[0]
         out: List[np.ndarray] = []
-        t0 = _time.perf_counter()
         with self._lock:
             fn, bs = self._tower_fn(tower, n)
+            # timed region starts AFTER lock acquisition and tower
+            # resolution: a first-use jit compile (minutes on this stack)
+            # or lock wait would otherwise poison device_ms_total
+            t0 = _time.perf_counter()
             for i in range(0, n, bs):
                 chunk = x[i:i + bs]
                 pad = bs - chunk.shape[0]
@@ -283,8 +286,9 @@ class ClipService:
                 out.append(feats[:bs - pad])
                 with self._stats_lock:
                     self.stats["device_dispatches"] += 1
+            dt_ms = (_time.perf_counter() - t0) * 1e3
         with self._stats_lock:
-            self.stats["device_ms_total"] += (_time.perf_counter() - t0) * 1e3
+            self.stats["device_ms_total"] += dt_ms
         feats = np.concatenate(out)
         # both backends normalize in-graph (compile_tower normalize_out
         # defaults True); this re-normalization is a numerical no-op kept
@@ -418,6 +422,8 @@ def make_handler(service: ClipService):
                     service.stats["errors"] += 1
                 self._send(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive 500
+                with service._stats_lock:
+                    service.stats["errors"] += 1
                 logger.exception("request failed")
                 self._send(500, {"error": str(e)})
 

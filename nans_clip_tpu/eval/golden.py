@@ -63,8 +63,9 @@ MUGE_MR_TOL = 0.2
 # tables (reference Results.md:27-82, official test sets; the deployment
 # docs' backend-parity protocol uses the same ±0.2 MR tolerance)
 RETRIEVAL_GOLDEN = {
-    "muge": {"split": "valid",
-             "t2i": {"r1": 52.1, "r5": 76.7, "r10": 84.4}},
+    "muge": {"split": "valid",     # MUGE publishes its MR (71.1) directly
+             "t2i": {"r1": 52.1, "r5": 76.7, "r10": 84.4,
+                     "mean_recall": 71.1}},
     "flickr30k-cn": {"split": "test",
                      "t2i": {"r1": 62.7, "r5": 86.9, "r10": 92.8},
                      "i2t": {"r1": 74.6, "r5": 93.5, "r10": 97.1}},
@@ -75,8 +76,11 @@ RETRIEVAL_GOLDEN = {
 
 
 def _golden_mr(row: dict) -> float:
-    """Flickr/COCO tables publish only R@K; the MR gate value is their mean
-    (the reference's evaluation.py mean_recall definition)."""
+    """The PUBLISHED MR when the table prints one (MUGE); Flickr/COCO
+    tables publish only R@K, so the gate value is their mean (the
+    reference's evaluation.py mean_recall definition)."""
+    if "mean_recall" in row:
+        return row["mean_recall"]
     return (row["r1"] + row["r5"] + row["r10"]) / 3.0
 
 # Results.md:94 — CN-CLIP ViT-B/16 zero-shot ImageNet-CN top-1 (ELEVATER

@@ -163,8 +163,16 @@ def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
         if not pil:
             # PIL-bit-exact native decode (r4) — same pixels as the pil
             # path, threaded-C speed; normalize runs on device
-            raw, _ = ds.imgs.decode_jpeg_batch_pil(
+            raw, ok = ds.imgs.decode_jpeg_batch_pil(
                 np.asarray(chunk, np.uint64), resolution)
+            if not ok.all():
+                # fail like the pil path does on a corrupt file — a zero
+                # image would silently sit in the ranked gallery and skew
+                # every metric (same contract as extract_features)
+                bad = np.asarray(chunk)[~np.asarray(ok, bool)]
+                raise RuntimeError(
+                    f"JPEG decode failed for image_ids {bad[:8].tolist()};"
+                    " rebuild the dataset or drop the corrupt records")
             return raw
         # reference-exact path: PIL decode + bicubic square resize +
         # normalize (evaluate.py:71 via load_from_name's preprocess)
