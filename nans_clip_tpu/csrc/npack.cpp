@@ -356,10 +356,13 @@ static int decode_one_pil(const uint8_t* data, size_t len, int out_h,
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
-  // decompression-bomb guard (PIL's MAX_IMAGE_PIXELS analog): a crafted
-  // header claiming huge dimensions would otherwise make this serving
-  // path allocate w*h*3 bytes before any pixel is validated
-  if (w <= 0 || h <= 0 || (uint64_t)w * (uint64_t)h > 178956970ULL) {
+  // decompression-bomb guard at PIL's ERROR threshold (2x
+  // MAX_IMAGE_PIXELS — PIL only WARNS below that and still decodes, so
+  // a lower native cap would refuse images the pil path processes,
+  // breaking the advertised pil/native equivalence): a crafted header
+  // claiming huge dimensions would otherwise make this serving path
+  // allocate w*h*3 bytes before any pixel is validated
+  if (w <= 0 || h <= 0 || (uint64_t)w * (uint64_t)h > 357913940ULL) {
     jpeg_destroy_decompress(&cinfo);
     return 0;
   }

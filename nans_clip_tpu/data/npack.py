@@ -31,13 +31,24 @@ _lib = None
 _lib_tried = False
 
 
-def _build_native() -> bool:
+def _build_native(out_path: str = _LIB_PATH) -> bool:
+    """Compile to a temp file and os.rename into place: rebuilding the
+    .so IN PLACE would rewrite pages mapped by other live processes
+    (SIGBUS in a running daemon) and race concurrent process starts into
+    CDLL-ing a half-written file; rename swaps the directory entry
+    atomically while old inodes stay mapped."""
     src = os.path.join(_CSRC, "npack.cpp")
+    tmp = f"{out_path}.build.{os.getpid()}"
     try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH,
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp,
                         "-ljpeg", "-pthread"], check=True, capture_output=True)
+        os.replace(tmp, out_path)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -49,20 +60,9 @@ def _lib_stale() -> bool:
         return True
 
 
-def get_native_lib() -> Optional[ctypes.CDLL]:
-    """Load (building on first use, rebuilding when csrc is newer) the
-    native npack library, or None."""
-    global _lib, _lib_tried
-    if _lib is not None or _lib_tried:
-        return _lib
-    _lib_tried = True
-    if (not os.path.exists(_LIB_PATH) or _lib_stale()) and not _build_native():
-        if not os.path.exists(_LIB_PATH):
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
+def _declare_base(lib: ctypes.CDLL) -> None:
+    """restype/argtypes for the pre-r4 entry points (one copy: the main
+    and the side-path loads must not drift)."""
     lib.npack_open.restype = ctypes.c_void_p
     lib.npack_open.argtypes = [ctypes.c_char_p]
     lib.npack_close.argtypes = [ctypes.c_void_p]
@@ -81,44 +81,37 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+
+
+def get_native_lib() -> Optional[ctypes.CDLL]:
+    """Load (building on first use, rebuilding when csrc is newer) the
+    native npack library, or None."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if (not os.path.exists(_LIB_PATH) or _lib_stale()) and not _build_native():
+        if not os.path.exists(_LIB_PATH):
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    _declare_base(lib)
     if not hasattr(lib, "npack_decode_jpeg_pil"):
         # pre-r4 .so with a FRESH mtime (the stale check above catches the
         # normal case before anything is dlopen'd). Re-CDLL of the SAME
         # path would return the already-loaded handle (glibc caches by
-        # path), and rebuilding over a dlopen'd file rewrites mapped
-        # pages — so build to a side path and load THAT; on failure keep
+        # path), so build to a side path and load THAT; on failure keep
         # the old lib (its entry points still work) and let the r4
         # wrappers fall back to PIL via their own hasattr checks.
         side = _LIB_PATH + ".r4"
-        try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC",
-                            os.path.join(_CSRC, "npack.cpp"), "-o", side,
-                            "-ljpeg", "-pthread"],
-                           check=True, capture_output=True)
-            lib = ctypes.CDLL(side)
-            lib.npack_open.restype = ctypes.c_void_p
-            lib.npack_open.argtypes = [ctypes.c_char_p]
-            lib.npack_close.argtypes = [ctypes.c_void_p]
-            lib.npack_count.restype = ctypes.c_uint64
-            lib.npack_count.argtypes = [ctypes.c_void_p]
-            lib.npack_get.restype = ctypes.c_int
-            lib.npack_get.argtypes = [
-                ctypes.c_void_p, ctypes.c_uint64,
-                ctypes.POINTER(ctypes.c_void_p),
-                ctypes.POINTER(ctypes.c_uint64)]
-            lib.npack_get_at.restype = ctypes.c_int
-            lib.npack_get_at.argtypes = [
-                ctypes.c_void_p, ctypes.c_uint64,
-                ctypes.POINTER(ctypes.c_uint64),
-                ctypes.POINTER(ctypes.c_void_p),
-                ctypes.POINTER(ctypes.c_uint64)]
-            lib.npack_decode_jpeg_batch.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_uint8)]
-        except Exception:
-            pass  # old lib stays usable for its own surface
+        if _build_native(side):
+            try:
+                lib = ctypes.CDLL(side)
+                _declare_base(lib)
+            except OSError:
+                pass  # old lib stays usable for its own surface
     if hasattr(lib, "npack_decode_jpeg_pil"):
         lib.npack_resize_bicubic.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,

@@ -229,11 +229,11 @@ def _layer_fwd(x, s1, b1, wqkv, bqkv, wo, bo, s2, b2, w1, b1m, w2, b2m,
                                eps=eps, interpret=interpret)
     y = fused_mlp_block(xm, s2, b2, w1, b1m, w2, b2m, act, eps, False,
                         interpret)
-    return y, (x, xm, s1, b1, wqkv, bqkv, wo, s2, b2, w1, b1m, w2, b2m)
+    return y, (x, xm, s1, b1, wqkv, bqkv, wo, bo, s2, b2, w1, b1m, w2, b2m)
 
 
 def _layer_bwd(heads, act, eps, interpret, res, g):
-    x, xm, s1, b1, wqkv, bqkv, wo, s2, b2, w1, b1m, w2, b2m = res
+    x, xm, s1, b1, wqkv, bqkv, wo, bo, s2, b2, w1, b1m, w2, b2m = res
     (dx, dwqkv, dbqkv, dwo, dbo, dsc1, dbi1, dw1, db1, dw2, db2, dsc2,
      dbi2) = fused_layer_block_bwd_fullgrad(
         x, s1, b1, wqkv, bqkv, wo, xm, s2, b2, w1, b1m, w2, b2m, g,
@@ -244,7 +244,7 @@ def _layer_bwd(heads, act, eps, interpret, res, g):
             dwqkv.astype(wqkv.dtype),
             dbqkv.reshape(-1).astype(bqkv.dtype),
             dwo.astype(wo.dtype),
-            dbo.reshape(-1).astype(wo.dtype),
+            dbo.reshape(-1).astype(bo.dtype),
             dsc2.reshape(-1).astype(s2.dtype),
             dbi2.reshape(-1).astype(b2.dtype),
             dw1.astype(w1.dtype),

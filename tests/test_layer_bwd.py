@@ -85,15 +85,23 @@ def test_layer_bwd_batch_grid_accumulates():
         assert err < 2e-3 * mag
 
 
-def test_layer_bwd_gates():
+def test_layer_bwd_gates(monkeypatch):
     # the ViT-B training cell fits the VMEM_TOWER-class budget
     assert fits_layer_bwd_fullgrad(197, 768, 12, 3072, 2)
     # fp32 (tests / --precision fp32) pushes it out or not — esize-aware
     assert isinstance(fits_layer_bwd_fullgrad(197, 768, 12, 3072, 4), bool)
-    # unrouted by default until the measured drive flips LAYER_BWD_ROUTE
-    import os
-    assert "NANS_LAYER_BWD" not in os.environ or \
-        os.environ["NANS_LAYER_BWD"] != "1"
+    # unrouted by default (gate tested with the ambient env CLEARED — a
+    # developer's NANS_LAYER_BWD=1 between drives must not fail the suite)
+    monkeypatch.delenv("NANS_LAYER_BWD", raising=False)
     from nans_clip_tpu.ops import gates
-    if not gates.LAYER_BWD_ROUTE:
+    assert not gates.LAYER_BWD_ROUTE  # r4 drive: measured negative
+    assert not route_layer_bwd(197, 768, 12, 3072, 2)
+    # env opt-in on CPU still refuses (backend gate)
+    monkeypatch.setenv("NANS_LAYER_BWD", "1")
+    import jax
+    if jax.default_backend() != "tpu":
         assert not route_layer_bwd(197, 768, 12, 3072, 2)
+    # env force-off wins over everything
+    monkeypatch.setenv("NANS_LAYER_BWD", "0")
+    monkeypatch.setattr(gates, "LAYER_BWD_ROUTE", True)
+    assert not route_layer_bwd(197, 768, 12, 3072, 2)
