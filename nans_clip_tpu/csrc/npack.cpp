@@ -356,13 +356,13 @@ static int decode_one_pil(const uint8_t* data, size_t len, int out_h,
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
-  // decompression-bomb guard at PIL's ERROR threshold (2x
-  // MAX_IMAGE_PIXELS — PIL only WARNS below that and still decodes, so
-  // a lower native cap would refuse images the pil path processes,
-  // breaking the advertised pil/native equivalence): a crafted header
-  // claiming huge dimensions would otherwise make this serving path
-  // allocate w*h*3 bytes before any pixel is validated
-  if (w <= 0 || h <= 0 || (uint64_t)w * (uint64_t)h > 357913940ULL) {
+  // decompression-bomb guard at PIL's ERROR threshold: Pillow raises
+  // DecompressionBombError for pixels > 2 * MAX_IMAGE_PIXELS(89478485)
+  // = 178,956,970 and only WARNS between 1x and 2x — so this exact cap
+  // keeps pil/native behavioral equivalence (both refuse the same
+  // images) while bounding the pre-validation w*h*3 allocation a
+  // crafted header could otherwise force
+  if (w <= 0 || h <= 0 || (uint64_t)w * (uint64_t)h > 178956970ULL) {
     jpeg_destroy_decompress(&cinfo);
     return 0;
   }
@@ -394,6 +394,36 @@ void npack_decode_jpeg_pil(const uint8_t** datas, const uint64_t* lens, int n,
       if (i >= n) break;
       uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
       ok[i] = decode_one_pil(datas[i], lens[i], out_h, out_w, dst, dct_scale);
+      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Pack-keyed batch decode through the PIL-exact path (reads the mmap
+// directly — no per-key Python copies). Missing keys: ok=0, zero image.
+void npack_decode_jpeg_batch_pil(const NPack* p, const uint64_t* keys, int n,
+                                 int out_h, int out_w, int num_threads,
+                                 int dct_scale, uint8_t* out, uint8_t* ok) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* ptr;
+      uint64_t len;
+      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+      if (npack_get(p, keys[i], &ptr, &len)) {
+        ok[i] = decode_one_pil(ptr, len, out_h, out_w, dst, dct_scale);
+      } else {
+        ok[i] = 0;
+      }
       if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
     }
   };

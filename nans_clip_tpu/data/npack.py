@@ -121,6 +121,11 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+        lib.npack_decode_jpeg_batch_pil.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return _lib
 
@@ -321,7 +326,22 @@ class NPackReader:
         bicubic path (r4): the eval-transform semantics at native speed.
         Missing keys come back ok=0 (zero image) like decode_jpeg_batch;
         the training loader keeps ``decode_jpeg_batch`` (DCT-scaled +
-        bilinear — faster, loader semantics)."""
+        bilinear — faster, loader semantics). The C entry reads the
+        pack's mmap directly (no per-key Python copies)."""
+        lib = get_native_lib()
+        if (lib is not None and self._handle
+                and hasattr(lib, "npack_decode_jpeg_batch_pil")):
+            keys = np.ascontiguousarray(keys, np.uint64)
+            n = len(keys)
+            out = np.empty((n, size, size, 3), np.uint8)
+            ok = np.empty((n,), np.uint8)
+            lib.npack_decode_jpeg_batch_pil(
+                self._handle,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+                size, size, num_threads, 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            return out, ok.astype(bool)
         bufs = [self.get(int(k)) or b"" for k in np.asarray(keys).tolist()]
         out, ok = decode_jpeg_pil_batch(bufs, size, num_threads)
         return out, ok.astype(bool)

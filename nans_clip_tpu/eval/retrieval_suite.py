@@ -255,8 +255,12 @@ def load_distractors(distractor_dir: str, resolution: int, start_id: int = 10000
             if pil:
                 out.append((start_id + i, t(img)))
             else:
-                arr = np.asarray(img.convert("RGB").resize(
-                    (resolution, resolution), Image.BICUBIC), np.uint8)
+                # resize BEFORE RGB conversion — the reference/pil order
+                # (non-RGB distractors would otherwise get different
+                # pixels in native mode)
+                arr = np.asarray(img.resize(
+                    (resolution, resolution),
+                    Image.BICUBIC).convert("RGB"), np.uint8)
                 out.append((start_id + i, arr))
         except Exception:
             continue

@@ -116,8 +116,11 @@ def run(cfg, params, batch_stats, options, classifier, datapath,
     resolution = cfg.vision.image_resolution
 
     def load_one(path):
-        img = Image.open(path).convert("RGB").resize(
-            (resolution, resolution), Image.BICUBIC)
+        # resize BEFORE RGB conversion — the reference transform's order
+        # (clip/utils.py:179-186); the other order shifts pixels for
+        # grayscale/palette sources
+        img = Image.open(path).resize(
+            (resolution, resolution), Image.BICUBIC).convert("RGB")
         return np.asarray(img)
 
     def img_forward(p, bs_, x):
