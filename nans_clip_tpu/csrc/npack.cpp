@@ -22,6 +22,7 @@
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <functional>
 #include <thread>
 #include <unistd.h>
 #include <vector>
@@ -201,6 +202,30 @@ static int decode_one(const uint8_t* data, size_t len, int out_h, int out_w,
   return 1;
 }
 
+// Shared decode-pool scaffold: run fn(i) for i in [0, n) over a thread
+// pool (ONE copy — the four batch decode entry points below must not
+// drift in their threading/cleanup behavior again). std::function, not a
+// template: templates are illegal inside this extern "C" block, and the
+// per-item indirection cost is noise next to a JPEG decode.
+static void run_pool(int n, int num_threads,
+                     const std::function<void(int)>& fn) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      fn(i);
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // PIL-exact bicubic resample (Pillow src/libImaging/Resample.c semantics):
 // separable two-pass (horizontal first, uint8 intermediate), Keys a=-0.5
@@ -339,6 +364,16 @@ static int decode_one_pil(const uint8_t* data, size_t len, int out_h,
     return 0;
   }
   cinfo.out_color_space = JCS_RGB;
+  // decompression-bomb guard on the ORIGINAL claimed dimensions, checked
+  // BEFORE any DCT scaling — Pillow raises DecompressionBombError at
+  // open time for pixels > 2 * MAX_IMAGE_PIXELS(89478485) = 178,956,970,
+  // so checking post-scale dims would accept (in dct_scale mode) images
+  // the PIL path refuses
+  if ((uint64_t)cinfo.image_width * (uint64_t)cinfo.image_height
+      > 178956970ULL) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
   if (dct_scale) {
     // PIL draft-mode analog: decode at the smallest 1/1..1/8 DCT scale
     // still >= the target — near-free downscale for large sources, NOT
@@ -356,13 +391,7 @@ static int decode_one_pil(const uint8_t* data, size_t len, int out_h,
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
-  // decompression-bomb guard at PIL's ERROR threshold: Pillow raises
-  // DecompressionBombError for pixels > 2 * MAX_IMAGE_PIXELS(89478485)
-  // = 178,956,970 and only WARNS between 1x and 2x — so this exact cap
-  // keeps pil/native behavioral equivalence (both refuse the same
-  // images) while bounding the pre-validation w*h*3 allocation a
-  // crafted header could otherwise force
-  if (w <= 0 || h <= 0 || (uint64_t)w * (uint64_t)h > 178956970ULL) {
+  if (w <= 0 || h <= 0) {
     jpeg_destroy_decompress(&cinfo);
     return 0;
   }
@@ -387,23 +416,11 @@ static int decode_one_pil(const uint8_t* data, size_t len, int out_h,
 void npack_decode_jpeg_pil(const uint8_t** datas, const uint64_t* lens, int n,
                            int out_h, int out_w, int num_threads,
                            int dct_scale, uint8_t* out, uint8_t* ok) {
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
-      ok[i] = decode_one_pil(datas[i], lens[i], out_h, out_w, dst, dct_scale);
-      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
-    }
-  };
-  if (num_threads <= 1) {
-    worker();
-    return;
-  }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
-  for (auto& th : threads) th.join();
+  run_pool(n, num_threads, [&](int i) {
+    uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+    ok[i] = decode_one_pil(datas[i], lens[i], out_h, out_w, dst, dct_scale);
+    if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+  });
 }
 
 // Pack-keyed batch decode through the PIL-exact path (reads the mmap
@@ -411,29 +428,17 @@ void npack_decode_jpeg_pil(const uint8_t** datas, const uint64_t* lens, int n,
 void npack_decode_jpeg_batch_pil(const NPack* p, const uint64_t* keys, int n,
                                  int out_h, int out_w, int num_threads,
                                  int dct_scale, uint8_t* out, uint8_t* ok) {
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      const uint8_t* ptr;
-      uint64_t len;
-      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
-      if (npack_get(p, keys[i], &ptr, &len)) {
-        ok[i] = decode_one_pil(ptr, len, out_h, out_w, dst, dct_scale);
-      } else {
-        ok[i] = 0;
-      }
-      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+  run_pool(n, num_threads, [&](int i) {
+    const uint8_t* ptr;
+    uint64_t len;
+    uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+    if (npack_get(p, keys[i], &ptr, &len)) {
+      ok[i] = decode_one_pil(ptr, len, out_h, out_w, dst, dct_scale);
+    } else {
+      ok[i] = 0;
     }
-  };
-  if (num_threads <= 1) {
-    worker();
-    return;
-  }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
-  for (auto& th : threads) th.join();
+    if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+  });
 }
 
 // Decode a batch in parallel. offsets/lengths index into the pack's mmap by
@@ -441,49 +446,28 @@ void npack_decode_jpeg_batch_pil(const NPack* p, const uint64_t* keys, int n,
 void npack_decode_jpeg_batch(const NPack* p, const uint64_t* keys, int n,
                              int out_h, int out_w, int num_threads,
                              uint8_t* out, uint8_t* ok) {
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      const uint8_t* ptr;
-      uint64_t len;
-      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
-      if (npack_get(p, keys[i], &ptr, &len)) {
-        ok[i] = decode_one(ptr, len, out_h, out_w, dst);
-      } else {
-        ok[i] = 0;
-      }
-      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+  run_pool(n, num_threads, [&](int i) {
+    const uint8_t* ptr;
+    uint64_t len;
+    uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+    if (npack_get(p, keys[i], &ptr, &len)) {
+      ok[i] = decode_one(ptr, len, out_h, out_w, dst);
+    } else {
+      ok[i] = 0;
     }
-  };
-  if (num_threads <= 1) {
-    worker();
-    return;
-  }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
-  for (auto& th : threads) th.join();
+    if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+  });
 }
 
 // Standalone (non-pack) batch decode from raw buffers.
 void npack_decode_jpeg_raw(const uint8_t** datas, const uint64_t* lens, int n,
                            int out_h, int out_w, int num_threads,
                            uint8_t* out, uint8_t* ok) {
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
-      ok[i] = decode_one(datas[i], lens[i], out_h, out_w, dst);
-      if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
-    }
-  };
-  std::vector<std::thread> threads;
-  int t_n = num_threads <= 1 ? 1 : num_threads;
-  for (int t = 0; t < t_n; ++t) threads.emplace_back(worker);
-  for (auto& th : threads) th.join();
+  run_pool(n, num_threads, [&](int i) {
+    uint8_t* dst = out + (size_t)i * out_h * out_w * 3;
+    ok[i] = decode_one(datas[i], lens[i], out_h, out_w, dst);
+    if (!ok[i]) memset(dst, 0, (size_t)out_h * out_w * 3);
+  });
 }
 
 }  // extern "C"

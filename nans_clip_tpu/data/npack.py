@@ -108,9 +108,10 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         side = _LIB_PATH + ".r4"
         if _build_native(side):
             try:
-                lib = ctypes.CDLL(side)
-                _declare_base(lib)
-            except OSError:
+                side_lib = ctypes.CDLL(side)
+                _declare_base(side_lib)
+                lib = side_lib
+            except Exception:
                 pass  # old lib stays usable for its own surface
     if hasattr(lib, "npack_decode_jpeg_pil"):
         lib.npack_resize_bicubic.argtypes = [
