@@ -363,7 +363,7 @@ class ClipService:
         return logits_per_image, e / e.sum(-1, keepdims=True)
 
 
-def make_handler(service: ClipService):
+def make_handler(service: ClipService, max_body_bytes: int = 256 << 20):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -403,6 +403,12 @@ def make_handler(service: ClipService):
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > max_body_bytes:
+                    # bound host memory before reading: an unbounded body
+                    # would buffer arbitrarily on this single-core host
+                    self._send(413, {"error": f"request body {length} B "
+                                              f"exceeds {max_body_bytes} B"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/encode_text":
                     feats = service.encode_texts(req["texts"])
@@ -431,9 +437,10 @@ def make_handler(service: ClipService):
 
 
 def make_server(service: ClipService, host: str = "127.0.0.1",
-                port: int = 8000):
+                port: int = 8000, max_body_bytes: int = 256 << 20):
     from http.server import ThreadingHTTPServer
-    return ThreadingHTTPServer((host, port), make_handler(service))
+    return ThreadingHTTPServer((host, port),
+                               make_handler(service, max_body_bytes))
 
 
 def main(argv=None):
@@ -468,6 +475,8 @@ def main(argv=None):
     p.add_argument("--context-length", type=int, default=52)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-body-mb", type=int, default=256,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--tiny-model", action="store_true",
                    help="2-layer debug config (configs.tiny_config)")
     args = p.parse_args(argv)
@@ -493,7 +502,8 @@ def main(argv=None):
                           native_decode=not args.pil_decode,
                           decode_threads=args.decode_threads,
                           fast_decode=args.fast_decode)
-    srv = make_server(service, args.host, args.port)
+    srv = make_server(service, args.host, args.port,
+                      max_body_bytes=args.max_body_mb << 20)
     logging.basicConfig(level=logging.INFO)
     logger.info("serving %s on %s:%d (%s backend)", cfg.name, args.host,
                 args.port, "engine" if args.engine_dir else "jit")

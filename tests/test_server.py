@@ -405,3 +405,38 @@ def test_stats_endpoint(server, service):
     assert after["device_dispatches"] > before["device_dispatches"]
     assert after["device_ms_total"] > before["device_ms_total"]
     assert after["errors"] == before["errors"] + 1
+
+
+def test_oversized_body_rejected_413():
+    """Bodies over the cap are refused BEFORE buffering (bounded host
+    memory on the single-core serving host)."""
+    import urllib.error
+
+    from nans_clip_tpu.configs import tiny_config
+    from nans_clip_tpu.deploy.server import ClipService, make_server
+    from nans_clip_tpu.models import ModelOptions
+    from nans_clip_tpu.models.clip import init_clip
+
+    cfg = tiny_config()
+    params, batch_stats = init_clip(jax.random.PRNGKey(0), cfg)
+    svc = ClipService(cfg, params, batch_stats,
+                      ModelOptions(attn_impl="xla"), max_batch=2,
+                      dynamic_batching=False)
+    srv = make_server(svc, "127.0.0.1", 0, max_body_bytes=1024)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = json.dumps({"texts": ["x" * 4096]}).encode()
+        req = urllib.request.Request(
+            url + "/encode_text", body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+        # small request still fine
+        out = _post(url, "/encode_text", {"texts": ["ok"]})
+        assert len(out["features"]) == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
