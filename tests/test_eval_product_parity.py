@@ -284,7 +284,7 @@ def fork_eval_run(tmp_path_factory):
         "--output", our_path])
     with open(our_path) as f:
         ours = json.load(f)
-    return {"ref": ref, "ours": ours}
+    return {"ref": ref, "ours": ours, "ckpt": ckpt}
 
 
 def test_fork_eval_pool_counts(fork_eval_run):
@@ -293,6 +293,40 @@ def test_fork_eval_pool_counts(fork_eval_run):
     assert ref["num_distractors"] == ours["num_distractors"] == 3
     assert ref["num_total_images"] == ours["num_total_images"] == 11
     assert ref["num_texts"] == ours["num_texts"] == 8  # 9 ids, 1 dup string
+
+
+def test_fork_eval_crashes_on_meta_keyed_split(fork_eval_run, tmp_path):
+    """Substantiates the fixture-design claim above: the fork's OWN
+    evaluate.py cannot read splits carrying the builder's ``num_samples``
+    meta key — its range(txn.stat()['entries']) loop (evaluate.py:57-59)
+    runs one past the data and pickle.loads(None) on the meta key. (Our
+    retrieval_suite and lmdb_to_npack handle both layouts.)"""
+    from nans_clip_tpu.data import lmdb_store as L
+
+    split = str(tmp_path / "meta_split")
+    env_p = L.open(os.path.join(split, "pairs"))
+    tp = env_p.begin(write=True)
+    tp.put(b"0", pickle.dumps((0, 0, "有元数据键的配对")))
+    tp.put(b"num_samples", b"1")        # the builder's meta key
+    tp.commit()
+    env_p.close()
+    env_i = L.open(os.path.join(split, "imgs"))
+    ti = env_i.begin(write=True)
+    import base64 as _b64
+    ti.put(b"0", _b64.b64encode(_jpeg(np.random.RandomState(1))).decode().encode())
+    ti.commit()
+    env_i.close()
+
+    predir = os.path.dirname(fork_eval_run["ckpt"])
+    cmd = [sys.executable, RUN_REF,
+           os.path.join(REFERENCE, "evaluate.py"),
+           "--mode", "zeroshot", "--data_dir", split,
+           "--pretrained", predir]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd=str(tmp_path))
+    assert out.returncode != 0
+    assert "pickle" in out.stderr or "NoneType" in out.stderr, \
+        out.stderr[-1500:]
 
 
 def test_fork_eval_metric_parity(fork_eval_run):
