@@ -405,7 +405,11 @@ def make_handler(service: ClipService, max_body_bytes: int = 256 << 20):
                 length = int(self.headers.get("Content-Length", 0))
                 if length > max_body_bytes:
                     # bound host memory before reading: an unbounded body
-                    # would buffer arbitrarily on this single-core host
+                    # would buffer arbitrarily on this single-core host.
+                    # The unread body stays on the socket, so the
+                    # keep-alive connection must close or the next
+                    # request would parse from mid-body.
+                    self.close_connection = True
                     self._send(413, {"error": f"request body {length} B "
                                               f"exceeds {max_body_bytes} B"})
                     return
