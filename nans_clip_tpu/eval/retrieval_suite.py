@@ -160,30 +160,44 @@ def compute_features(cfg, params, batch_stats, options, ds, image_ids, texts,
     img_fn, txt_fn = jax.jit(img_fwd), jax.jit(txt_fwd)
 
     def decode_batch(chunk):
+        import io
+
+        from PIL import Image
+
         if not pil:
             # PIL-bit-exact native decode (r4) — same pixels as the pil
             # path, threaded-C speed; normalize runs on device
             raw, ok = ds.imgs.decode_jpeg_batch_pil(
                 np.asarray(chunk, np.uint64), resolution)
             if not ok.all():
-                # fail like the pil path does on a corrupt file — a zero
-                # image would silently sit in the ranked gallery and skew
-                # every metric (same contract as extract_features)
-                bad = np.asarray(chunk)[~np.asarray(ok, bool)]
-                raise RuntimeError(
-                    f"JPEG decode failed for image_ids {bad[:8].tolist()};"
-                    " rebuild the dataset or drop the corrupt records")
+                # the native decoder only handles baseline RGB/grayscale
+                # JPEG; CMYK JPEGs and any libjpeg-warned stream are
+                # rejected (ok=0) but are valid images the reference
+                # evaluates fine — fall back to PIL per image (same policy
+                # as deploy/server._decode_batch) and only fail on bytes
+                # PIL cannot decode either
+                okb = np.asarray(ok, bool)
+                for j in np.flatnonzero(~okb):
+                    k = int(np.asarray(chunk)[j])
+                    try:
+                        img = Image.open(io.BytesIO(ds.imgs.get(k)))
+                        raw[j] = np.asarray(
+                            img.convert("RGB").resize(
+                                (resolution, resolution), Image.BICUBIC),
+                            np.uint8)
+                    except Exception as e:
+                        raise RuntimeError(
+                            f"image_id {k} is undecodable (native and PIL"
+                            f" both failed: {e}); rebuild the dataset or"
+                            " drop the corrupt record") from e
             return raw
-        # reference-exact path: PIL decode + bicubic square resize +
-        # normalize (evaluate.py:71 via load_from_name's preprocess)
-        import io
-
-        from PIL import Image
-
+        # reference-exact path: evaluate.py:71 converts to RGB FIRST, then
+        # applies the preprocess transform (resize + normalize)
         from nans_clip_tpu.utils.transform import image_transform
         t = image_transform(resolution)
-        return np.stack([t(Image.open(io.BytesIO(ds.imgs.get(int(k)))))
-                         for k in chunk])
+        return np.stack(
+            [t(Image.open(io.BytesIO(ds.imgs.get(int(k)))).convert("RGB"))
+             for k in chunk])
 
     feats = []
     for i in range(0, len(image_ids), batch_size):
@@ -251,16 +265,15 @@ def load_distractors(distractor_dir: str, resolution: int, start_id: int = 10000
         if os.path.splitext(name)[1].lower() not in exts or not os.path.isfile(p):
             continue
         try:
-            img = Image.open(p)
+            # evaluate.py:120 converts to RGB BEFORE the preprocess
+            # transform; palette/CMYK distractors (plausible in a
+            # .png/.webp dir) resample differently the other way round
+            img = Image.open(p).convert("RGB")
             if pil:
                 out.append((start_id + i, t(img)))
             else:
-                # resize BEFORE RGB conversion — the reference/pil order
-                # (non-RGB distractors would otherwise get different
-                # pixels in native mode)
                 arr = np.asarray(img.resize(
-                    (resolution, resolution),
-                    Image.BICUBIC).convert("RGB"), np.uint8)
+                    (resolution, resolution), Image.BICUBIC), np.uint8)
                 out.append((start_id + i, arr))
         except Exception:
             continue

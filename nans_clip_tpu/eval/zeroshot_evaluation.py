@@ -116,11 +116,15 @@ def run(cfg, params, batch_stats, options, classifier, datapath,
     resolution = cfg.vision.image_resolution
 
     def load_one(path):
-        # resize BEFORE RGB conversion — the reference transform's order
-        # (clip/utils.py:179-186); the other order shifts pixels for
-        # grayscale/palette sources
-        img = Image.open(path).resize(
-            (resolution, resolution), Image.BICUBIC).convert("RGB")
+        # RGB conversion BEFORE resize: the reference loads via torchvision
+        # ImageFolder's default_loader, which does Image.open().convert('RGB')
+        # and only THEN applies the transform's Resize (eval/data.py:155 +
+        # torchvision pil_loader). Resizing first would NEAREST-resample
+        # palette PNGs and mis-interpolate CMYK JPEGs. (extract_features
+        # keeps resize-first — there the reference applies the bare
+        # transform to an already-decoded RGB-unconverted image.)
+        img = Image.open(path).convert("RGB").resize(
+            (resolution, resolution), Image.BICUBIC)
         return np.asarray(img)
 
     def img_forward(p, bs_, x):

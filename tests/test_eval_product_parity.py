@@ -123,6 +123,7 @@ def test_template_tables_match_reference():
 
 VISION, TEXT = "ViT-B-16", "RBT3-chinese"
 N_CLASSES, PER_CLASS = 3, 2
+TOTAL_IMAGES = N_CLASSES * PER_CLASS + 2  # + palette PNG + CMYK JPEG
 
 
 @pytest.fixture(scope="module")
@@ -138,6 +139,16 @@ def zeroshot_run(tmp_path_factory):
         for j in range(PER_CLASS):
             Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
                 os.path.join(cdir, f"img{j}.jpg"), quality=92)
+    # non-RGB sources: ImageFolder's default_loader converts to RGB BEFORE
+    # the transform's Resize; resize-first NEAREST-resamples palette PNGs
+    # and mis-interpolates CMYK JPEGs (advisor r4) — these rows diverge from
+    # the reference unless load_one follows the loader's order
+    Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE).save(
+        os.path.join(data, "class_a", "palette.png"))
+    Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).convert(
+        "CMYK").save(os.path.join(data, "class_b", "cmyk_img.jpg"),
+                     quality=92)
     labels = os.path.join(root, "labels.txt")
     with open(labels, "w", encoding="utf8") as f:
         f.write("青瓷碗\n山水画卷\n宋代官帽\n")
@@ -185,8 +196,7 @@ def test_zeroshot_elevater_json_parity(zeroshot_run):
         assert ours[key] == ref[key], key
     ref_pred = np.asarray(ref["predictions"][0], np.float64)
     our_pred = np.asarray(ours["predictions"][0], np.float64)
-    assert ref_pred.shape == our_pred.shape == (N_CLASSES * PER_CLASS,
-                                                N_CLASSES)
+    assert ref_pred.shape == our_pred.shape == (TOTAL_IMAGES, N_CLASSES)
     # softmaxed rows
     np.testing.assert_allclose(ref_pred.sum(-1), 1.0, atol=1e-4)
     np.testing.assert_allclose(our_pred, ref_pred, atol=2e-2)
@@ -247,6 +257,10 @@ def fork_eval_run(tmp_path_factory):
     for i in range(3):
         Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).save(
             os.path.join(distract, f"d{i}.jpg"), quality=92)
+    # palette-mode PNG distractor: evaluate.py:120 converts to RGB BEFORE
+    # preprocess; resize-first would NEAREST-resample it (advisor r4)
+    Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE).save(os.path.join(distract, "d3.png"))
     with open(os.path.join(distract, "notes.txt"), "w") as f:
         f.write("not an image")  # enumerate()d but skipped by both sides
 
@@ -290,8 +304,8 @@ def fork_eval_run(tmp_path_factory):
 def test_fork_eval_pool_counts(fork_eval_run):
     ref, ours = fork_eval_run["ref"], fork_eval_run["ours"]
     assert ref["num_domain_images"] == ours["num_domain_images"] == 8
-    assert ref["num_distractors"] == ours["num_distractors"] == 3
-    assert ref["num_total_images"] == ours["num_total_images"] == 11
+    assert ref["num_distractors"] == ours["num_distractors"] == 4
+    assert ref["num_total_images"] == ours["num_total_images"] == 12
     assert ref["num_texts"] == ours["num_texts"] == 8  # 9 ids, 1 dup string
 
 

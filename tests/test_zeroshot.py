@@ -87,3 +87,38 @@ def test_retrieval_suite_end_to_end(tiny_model, tmp_path):
         assert set(m) == {"R@1", "R@5", "R@10", "NDCG@1", "NDCG@5", "NDCG@10",
                           "mAP", "MR"}
         assert m["R@10"] == 100.0  # gallery of 6 < 10: every query must hit
+
+
+def test_retrieval_suite_native_cmyk_fallback(tiny_model, tmp_path):
+    """Native mode must not abort on valid non-baseline-RGB JPEGs: the C
+    decoder rejects CMYK (ok=0), and the suite falls back to PIL per image
+    (advisor r4) — features must match the pil mode on a mixed split."""
+    import base64
+    from PIL import Image
+    from nans_clip_tpu.eval.retrieval_suite import compute_features
+    from nans_clip_tpu.preprocess.build_dataset import build_split
+
+    rs = np.random.RandomState(3)
+    with open(tmp_path / "val_imgs.tsv", "w") as f:
+        for i in range(4):
+            buf = io.BytesIO()
+            img = Image.fromarray(
+                rs.randint(0, 255, (40, 40, 3), dtype=np.uint8))
+            if i == 2:  # valid CMYK JPEG in an otherwise RGB split
+                img = img.convert("CMYK")
+            img.save(buf, format="JPEG", quality=92)
+            f.write(f"{i}\t{base64.urlsafe_b64encode(buf.getvalue()).decode()}\n")
+    with open(tmp_path / "val_texts.jsonl", "w", encoding="utf-8") as f:
+        for t in range(4):
+            f.write(json.dumps({"text_id": t, "text": f"第{t}卷",
+                                "image_ids": [t]}, ensure_ascii=False) + "\n")
+    build_split(str(tmp_path), "val")
+
+    image_ids, texts, _, _, ds = load_split(str(tmp_path / "val"))
+    kw = dict(batch_size=4, context_length=52)
+    img_n, txt_n = compute_features(TINY, tiny_model, {}, OPTS, ds,
+                                    image_ids, texts, pil=False, **kw)
+    img_p, txt_p = compute_features(TINY, tiny_model, {}, OPTS, ds,
+                                    image_ids, texts, pil=True, **kw)
+    np.testing.assert_allclose(img_n, img_p, atol=1e-5)
+    np.testing.assert_allclose(txt_n, txt_p, atol=1e-5)
