@@ -65,6 +65,46 @@ def test_demo_cli_query(gallery_dir, capsys, monkeypatch):
     assert len(set(ids)) == 4
 
 
+def test_demo_gradio_branch(gallery_dir, monkeypatch):
+    """The gradio branch (reference demo.py:95-212 analog) has never run
+    in-container (gradio absent) — execute it against a stub: Interface
+    construction, component wiring, and the text_search callback end to
+    end (launch() drives one query through the gallery)."""
+    import sys
+    import types
+
+    _fake_load(monkeypatch)
+    ran = {}
+
+    gr = types.ModuleType("gradio")
+
+    class _Component:
+        def __init__(self, label=None):
+            self.label = label
+
+    class _Interface:
+        def __init__(self, fn=None, inputs=None, outputs=None, title=None):
+            assert callable(fn) and inputs is not None and outputs is not None
+            ran["title"] = title
+            self._fn = fn
+
+        def launch(self, server_port=None):
+            ran["port"] = server_port
+            ran["results"] = self._fn("示例文本第2条")
+
+    gr.Interface, gr.Textbox, gr.Gallery = _Interface, _Component, _Component
+    monkeypatch.setitem(sys.modules, "gradio", gr)
+
+    demo_mod.main(["--data", gallery_dir, "--resume", "unused",
+                   "--topk", "3", "--batch-size", "4", "--port", "7777"])
+    assert ran["port"] == 7777 and ran["title"]
+    assert len(ran["results"]) == 3
+    from PIL import Image
+    for img, label in ran["results"]:
+        assert isinstance(img, Image.Image)
+        assert "(" in label  # "id (score)" caption format
+
+
 @pytest.mark.parametrize("mode", ["int8", "int8-text"])
 def test_demo_cli_quantized(gallery_dir, capsys, monkeypatch, mode):
     """--quantize runs the whole demo path on int8 params; with a tiny
