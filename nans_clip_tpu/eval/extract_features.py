@@ -65,6 +65,8 @@ def parse_args(argv=None):
                    default="jit")
     p.add_argument("--image-artifact", default=None)
     p.add_argument("--text-artifact", default=None)
+    p.add_argument("--tiny-model", action="store_true",
+                   help="2-layer debug config (configs.tiny_config)")
     return p.parse_args(argv)
 
 
@@ -222,8 +224,13 @@ def extract_image_features(args, cfg, params, batch_stats, options, out_path):
 
 def main(argv=None):
     args = parse_args(argv)
+    cfg_override = None
+    if args.tiny_model:
+        from nans_clip_tpu.configs import tiny_config
+        cfg_override = tiny_config()
     cfg, params, batch_stats, options = load_eval_model(
-        args.vision_model, args.text_model, args.resume, args.precision)
+        args.vision_model, args.text_model, args.resume, args.precision,
+        cfg=cfg_override)
 
     if args.extract_text_feats:
         out = args.text_feat_output_path or f"{args.text_data[:-6]}.txt_feat.jsonl"

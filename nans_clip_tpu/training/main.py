@@ -71,8 +71,18 @@ def build_model(args):
                                  deterministic=False,
                                  tp=args.tp, pp=args.pp,
                                  pp_microbatches=args.pp_microbatches)
-    params, batch_stats = init_clip(jax.random.PRNGKey(args.seed), cfg)
-    if args.clip_weight_path or args.bert_weight_path:
+    merge = args.clip_weight_path or args.bert_weight_path
+    try:
+        # pretrained merge happens host-side anyway (np.asarray below) —
+        # init on the host to avoid creating the tree device-side and
+        # pulling it back (~700 MB for ViT-B over a tunneled TPU); the
+        # mesh sharding commits it to devices right after build_model
+        cpu = jax.local_devices(backend="cpu")[0] if merge else None
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu):
+        params, batch_stats = init_clip(jax.random.PRNGKey(args.seed), cfg)
+    if merge:
         clip_sd = load_torch_state_dict(args.clip_weight_path) if args.clip_weight_path else None
         bert_sd = load_torch_state_dict(args.bert_weight_path) if args.bert_weight_path else None
         params = jax.tree.map(np.asarray, params)

@@ -220,7 +220,8 @@ def shard_train_state(state: TrainState, mesh, fsdp: bool = False,
         state, mesh, fsdp=fsdp, fsdp_min_size=fsdp_min_size))
 
 
-def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
+def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats,
+                constrain: bool = True):
     """Both-tower features, optionally scanning accum_freq microbatches with
     remat (full-negative grad accumulation)."""
     img_rng, txt_rng = jax.random.split(rng)
@@ -251,6 +252,18 @@ def _encode_all(params, cfg, options, images, texts, rng, tcfg, batch_stats):
     assert micro * m == b, f"batch {b} not divisible by accum_freq {m}"
     im = images.reshape(m, micro, *images.shape[1:])
     tx = texts.reshape(m, micro, *texts.shape[1:])
+    if constrain:
+        # keep the microbatch stacks batch-sharded over 'data': without the
+        # pin, the partitioner sometimes routes the remat'd scan body's
+        # tiny re-slices through replicate-then-reshard ("involuntary full
+        # rematerialization" SPMD warnings on pure-DP + FSDP meshes)
+        from jax.sharding import PartitionSpec as P
+
+        from nans_clip_tpu.parallel.mesh import DATA_AXIS
+        spec_i = P(None, DATA_AXIS, *([None] * (im.ndim - 2)))
+        spec_t = P(None, DATA_AXIS, *([None] * (tx.ndim - 2)))
+        im = jax.lax.with_sharding_constraint(im, spec_i)
+        tx = jax.lax.with_sharding_constraint(tx, spec_t)
 
     def enc(stats, mb):
         j, im_j, tx_j = mb
@@ -304,7 +317,9 @@ def make_train_step(cfg: CLIPConfig, tcfg: TrainConfig, options: ModelOptions,
 
         def loss_fn(params):
             img_f, txt_f, new_stats = _encode_all(params, cfg, options, images,
-                                                  texts, rng, tcfg, state.batch_stats)
+                                                  texts, rng, tcfg,
+                                                  state.batch_stats,
+                                                  constrain=constrain)
             img_n, txt_n = normalize(img_f), normalize(txt_f)
             scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
             loss, metrics = clip_loss(img_n, txt_n, scale,
