@@ -254,9 +254,13 @@ SCALES = {
                  per_class_valid=2, steps=200, batch_size=16, lr=2e-3,
                  warmup=5, precision="fp32", attn="xla", eval_batch=16,
                  engine_batch=8, steps_per_call=2),
-    # flagship on the real chip: ViT-B-16 + RoBERTa-base from scratch
+    # flagship on the real chip: ViT-B-16 + RoBERTa-base from scratch.
+    # per_class_train sized so 200 steps = 4 epochs: every epoch boundary
+    # costs a full orbax state save, which on the tunneled chip pulls the
+    # ~2.2 GB fp32 train state to the host (~3 min each — instant on a
+    # real TPU-VM host)
     "chip": dict(vision="ViT-B-16", text="RoBERTa-wwm-ext-base-chinese",
-                 tiny=False, resolution=224, per_class_train=64,
+                 tiny=False, resolution=224, per_class_train=400,
                  per_class_valid=4, steps=200, batch_size=64, lr=1e-4,
                  warmup=20, precision="bf16", attn="auto", eval_batch=32,
                  engine_batch=8, steps_per_call=4),
@@ -311,8 +315,14 @@ def main(argv=None):
     done("init_checkpoint", path=init_ckpt)
 
     stage("train")
+    import shutil
+
     from nans_clip_tpu.training.main import main as train_main
     logs = os.path.join(workdir, "logs")
+    # the drill owns its workdir: wipe any previous run's checkpoints so
+    # the trainer's auto-resume cannot silently continue a stale/preempted
+    # run instead of training from the init checkpoint
+    shutil.rmtree(logs, ignore_errors=True)
     train_argv = [
         "--train-data", os.path.join(workdir, "train"),
         "--clip-weight-path", init_ckpt,  # init from the saved step-0 .pt
@@ -330,6 +340,12 @@ def main(argv=None):
     if args.platform:
         train_argv += ["--platform", args.platform]
     state = train_main(train_argv)
+    # a preempted/signalled trainer returns early after a preemption save —
+    # a drill that then evaluated the partial model would pass or fail on
+    # noise; demand the full run
+    assert int(state.step) >= steps, (
+        f"training stopped early at step {int(state.step)}/{steps}"
+        " (preempted?)")
     ckpt_dir = os.path.join(logs, "drill", "checkpoints")
     with open(os.path.join(ckpt_dir, "LATEST")) as f:
         tag = f.read().strip()
