@@ -1,21 +1,23 @@
 """Text batch-1: harness-vs-product decomposition (r4 verdict #5).
 
-The published 0.518 ms text batch-1 latency carries ~0.21 ms/iter of
-tunnel RTT (speed_benchmark --inner 128). This drive separates, in ONE
-process (inner fori_loop, fp32-scalar sync):
+The published 0.518 ms text batch-1 latency carries tunnel RTT
+(speed_benchmark --inner 128 amortizes ~27-37 ms of per-dispatch round
+trip). This drive separates harness from product with a TWO-POINT
+inner-loop fit per segment — wall(N) = overhead + N * device_ms, so
+device_ms = (wall(N2) - wall(N1)) / (N2 - N1) is immune to the
+RTT-variance that makes single-subtraction estimates of near-empty
+programs go negative. Segments, all in ONE process:
 
-  rtt        — measured per-dispatch round trip (trivial jit scalar)
-  full       — encode_text batch-1, production routing (tower kernel)
-  emb        — embeddings gather + pos/type add + LN (the pre-tower glue)
-  proj       — CLS pooling + text_projection matmul (the post-tower glue)
+  full — encode_text batch-1, production routing (tower kernel)
+  emb  — embeddings gather + pos/type add + LN (the pre-tower glue)
+  proj — CLS pooling + text_projection matmul (the post-tower glue)
 
-so `full - emb - proj` isolates the tower kernel's share and the glue
+`full - emb - proj` isolates the tower kernel's share, and the glue
 numbers bound what folding embeddings/projection INTO the mega-kernel
-could possibly save. (Mosaic cost of doing so, for the provenance note:
-the [21128, W] vocab gather in-kernel is either 52 scalar-indexed row
-DMAs or a one-hot [S,V]x[V,W] matmul streaming the full 32 MB table —
-both are strictly more traffic than XLA's fused gather, and the glue
-share measured here is what they'd have to beat.)
+could save. (Mosaic cost of folding, for the provenance note: the
+[21128, W] vocab gather in-kernel is either 52 scalar-indexed row DMAs
+or a one-hot [S,V]x[V,W] matmul streaming the full 32 MB table — both
+strictly more traffic than XLA's fused gather.)
 
 Usage: python benchmarks/bench_text_b1.py [text-b|text-l ...]
 """
@@ -30,8 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INNER = 128
-ITERS = 6
+INNERS = (64, 256)
+ITERS = 5
 WARMUP = 2
 
 CELLS = {
@@ -40,35 +42,34 @@ CELLS = {
 }
 
 
-def _loop(body1):
+def _loop(body1, inner):
     def run(p, x):
         def body(i, acc):
             xi = jnp.where(acc < jnp.float32(np.inf), x, x + 1)
             return acc + body1(p, xi)
-        return jax.lax.fori_loop(0, INNER, body, jnp.zeros((), jnp.float32))
+        return jax.lax.fori_loop(0, inner, body, jnp.zeros((), jnp.float32))
     return jax.jit(run)
 
 
-def drive(fn, *args):
+def _wall(fn, *args):
     for _ in range(WARMUP):
         float(fn(*args))
-    wall = []
+    walls = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
         float(fn(*args))
-        wall.append(time.perf_counter() - t0)
-    return np.mean(wall)  # seconds per dispatch of INNER calls
+        walls.append(time.perf_counter() - t0)
+    return float(np.median(walls))
 
 
-def measure_rtt():
-    one = jax.jit(lambda v: v + 1.0)
-    v = jnp.zeros((), jnp.float32)
-    float(one(v))
-    t0 = time.perf_counter()
-    n = 20
-    for _ in range(n):
-        float(one(v))
-    return (time.perf_counter() - t0) / n
+def measure(body1, p, x):
+    """(device_ms_per_call, overhead_ms_per_dispatch) via two-point fit."""
+    n1, n2 = INNERS
+    w1 = _wall(_loop(body1, n1), p, x)
+    w2 = _wall(_loop(body1, n2), p, x)
+    dev = (w2 - w1) / (n2 - n1) * 1e3
+    ovh = (w1 - n1 * dev / 1e3) * 1e3
+    return dev, ovh, w1 / n1 * 1e3
 
 
 def main():
@@ -77,9 +78,6 @@ def main():
     from nans_clip_tpu.models.bert import cast_tree
     from nans_clip_tpu.models.clip import encode_text, init_clip
     from nans_clip_tpu.ops.layernorm import layer_norm
-
-    rtt = measure_rtt()
-    print(f"measured per-dispatch RTT: {rtt * 1e3:.2f} ms", flush=True)
 
     for cell in sys.argv[1:] or list(CELLS):
         name, t4_ms = CELLS[cell]
@@ -97,11 +95,11 @@ def main():
         t[:, 12] = 102
         ids = jnp.asarray(t)
 
-        # full production path
-        full = _loop(lambda p, xi: jnp.sum(
-            encode_text(p, cfg, xi, options).astype(jnp.float32)))
+        full_dev, full_ovh, full_raw64 = measure(
+            lambda p, xi: jnp.sum(
+                encode_text(p, cfg, xi, options).astype(jnp.float32)),
+            params, ids)
 
-        # pre-tower glue: embeddings + LN (bert_features:69-75)
         def emb_fn(p, xi):
             bp = cast_tree(p["bert"], options)
             e = bp["embeddings"]
@@ -109,36 +107,26 @@ def main():
                 + e["token_type"][0][None, None, :]
             x = layer_norm(x, **e["ln"], eps=tcfg.layer_norm_eps)
             return jnp.sum(x.astype(jnp.float32))
-        emb = _loop(emb_fn)
+        emb_dev, _, _ = measure(emb_fn, params, ids)
 
-        # post-tower glue: CLS pool + projection (clip.py encode_text)
         seq = jnp.asarray(rs.randn(1, 52, tcfg.hidden_size), jnp.bfloat16)
 
         def proj_fn(p, xi):
             f = xi[:, 0, :] @ p["text_projection"].astype(xi.dtype)
             return jnp.sum(f.astype(jnp.float32))
-        proj = _loop(proj_fn)
+        proj_dev, _, _ = measure(proj_fn, params, seq)
 
-        w_full = drive(full, params, ids)
-        w_emb = drive(emb, params, ids)
-        w_proj = drive(proj, params, seq)
-
-        def per_call(w):  # RTT-corrected ms per encode
-            return (w - rtt) / INNER * 1e3
-
-        ms_full, ms_emb, ms_proj = map(per_call, (w_full, w_emb, w_proj))
-        ms_raw = w_full / INNER * 1e3  # raw = RTT amortized in, like the published table
-        glue = ms_emb + ms_proj
+        glue = max(0.0, emb_dev) + max(0.0, proj_dev)
         print(json.dumps({
             "metric": f"text_b1_decomp_{cell}",
-            "rtt_ms_per_dispatch": round(rtt * 1e3, 2),
-            "full_ms_raw": round(ms_raw, 4),
-            "full_ms_rtt_corrected": round(ms_full, 4),
-            "emb_glue_ms": round(ms_emb, 4),
-            "proj_glue_ms": round(ms_proj, 4),
-            "tower_share_ms": round(ms_full - glue, 4),
-            "glue_share_pct": round(100 * glue / ms_full, 1),
-            "vs_t4_trt_rtt_corrected": round(t4_ms / ms_full, 2),
+            "full_ms_device": round(full_dev, 4),
+            "full_ms_raw_inner64": round(full_raw64, 4),
+            "dispatch_overhead_ms": round(full_ovh, 2),
+            "emb_glue_ms_device": round(emb_dev, 4),
+            "proj_glue_ms_device": round(proj_dev, 4),
+            "tower_share_ms": round(full_dev - glue, 4),
+            "glue_share_pct": round(100 * glue / full_dev, 2),
+            "vs_t4_trt_device": round(t4_ms / full_dev, 2),
         }), flush=True)
 
 

@@ -399,6 +399,21 @@ PROVENANCE = (
          "quantize_for_serving(towers=...) is the user-facing switch; "
          "tile math reuses TOWER_* (int8 double-buffer + one dequantized "
          "copy == the bf16 double-buffer at esize=2)"),
+    Gate("(text b1 embed/proj fold)", "tower_kernel (not built)", "r5",
+         "measured A/B",
+         "MEASURED NEGATIVE by decomposition (benchmarks/bench_text_b1.py"
+         ", two-point inner-loop fit 64/256 — immune to the RTT variance "
+         "that breaks single-subtraction): full encode_text batch-1 "
+         "DEVICE time 0.266 ms (RoBERTa-base) / 0.819 (large); the "
+         "out-of-kernel glue (embedding gather+LN pre, CLS+projection "
+         "post) measures <= 0.02 ms ~ 0.1% of it — there is nothing for "
+         "the mega-kernel to recover by folding them in, and the fold "
+         "would cost 52 scalar-indexed vocab-row DMAs or a one-hot "
+         "[S,V]x[V,W] matmul streaming the full 32 MB table. The "
+         "published 0.518 ms text b1 row is ~0.25 ms harness RTT "
+         "(raw inner-64 re-measured 0.622 ms in the same process): "
+         "device-corrected text b1 is 5.8x T4-TRT (base) / 4.75x "
+         "(large), vs the conservative raw 3.0x/3.6x"),
 )
 
 
