@@ -37,8 +37,14 @@ ITERS = 5
 WARMUP = 2
 
 CELLS = {
-    "text-b": ("ViT-B-16@RoBERTa-wwm-ext-base-chinese", 1.54),
-    "text-l": ("ViT-H-14@RoBERTa-wwm-ext-large-chinese", 3.89),
+    # name: (config, tower, T4-TRT fp16 bs=1 ms from deployment_En.md)
+    "text-b": ("ViT-B-16@RoBERTa-wwm-ext-base-chinese", "text", 1.54),
+    "text-l": ("ViT-H-14@RoBERTa-wwm-ext-large-chinese", "text", 3.89),
+    # image cells: full-path device time only (no glue decomposition —
+    # the embed/proj fold question was text's; these give the
+    # device-corrected deployment rows with the same two-point method)
+    "img-b": ("ViT-B-16@RoBERTa-wwm-ext-base-chinese", "image", 3.58),
+    "img-h": ("ViT-H-14@RoBERTa-wwm-ext-large-chinese", "image", 25.88),
 }
 
 
@@ -79,8 +85,10 @@ def main():
     from nans_clip_tpu.models.clip import encode_text, init_clip
     from nans_clip_tpu.ops.layernorm import layer_norm
 
+    from nans_clip_tpu.models.clip import encode_image
+
     for cell in sys.argv[1:] or list(CELLS):
-        name, t4_ms = CELLS[cell]
+        name, tower, t4_ms = CELLS[cell]
         cfg = load_config(name)
         tcfg = cfg.text
         options = ModelOptions(attn_impl="auto", compute_dtype="bfloat16")
@@ -89,6 +97,23 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         rs = np.random.RandomState(0)
+
+        if tower == "image":
+            r = cfg.vision.image_resolution
+            img = jnp.asarray(rs.randn(1, r, r, 3), jnp.bfloat16)
+            full_dev, full_ovh, full_raw64 = measure(
+                lambda p, xi: jnp.sum(
+                    encode_image(p, cfg, xi, options).astype(jnp.float32)),
+                params, img)
+            print(json.dumps({
+                "metric": f"b1_device_{cell}",
+                "full_ms_device": round(full_dev, 4),
+                "full_ms_raw_inner64": round(full_raw64, 4),
+                "dispatch_overhead_ms": round(full_ovh, 2),
+                "vs_t4_trt_device": round(t4_ms / full_dev, 2),
+            }), flush=True)
+            continue
+
         t = np.zeros((1, 52), np.int32)
         t[:, 0] = 101
         t[:, 1:12] = rs.randint(1000, 20000, (1, 11))
