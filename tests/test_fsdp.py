@@ -114,3 +114,60 @@ def test_fsdp_train_matches_unsharded(monkeypatch):
     # are the tight equivalence check.
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-3),
                  p_fsdp, p_ref)
+
+
+def test_pure_dp_accum_compiles_without_spmd_full_remat(tmp_path):
+    """Regression guard for the r5 fix: pure-DP (data=N, model=1) + FSDP
+    + grad accumulation used to route the remat'd scan body's microbatch
+    re-slices through replicate-then-reshard — XLA logs "[SPMD]
+    Involuntary full rematerialization" warnings from C++. The
+    _encode_all microbatch sharding pin removes them; compile in a
+    subprocess and assert the warning never appears (C++ stderr is not
+    visible to capfd, hence the subprocess)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "puredp.py"
+    script.write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 8)\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from nans_clip_tpu.models import ModelOptions\n"
+        "from nans_clip_tpu.models.clip import init_clip\n"
+        "from nans_clip_tpu.parallel import (create_mesh, shard_batch,\n"
+        "                                    shard_params)\n"
+        "from nans_clip_tpu.training import (TrainConfig,\n"
+        "    create_train_state, make_train_step)\n"
+        "from nans_clip_tpu.training.trainer import (shard_train_state,\n"
+        "    train_state_shardings)\n"
+        "from tests.test_trainer import TINY\n"
+        "tcfg = TrainConfig(lr=1e-4, warmup=2, max_steps=4, accum_freq=2,\n"
+        "                   mask_ratio=0.5)\n"
+        "mesh = create_mesh(data=8, model=1)\n"
+        "opts = ModelOptions(attn_impl='xla', deterministic=False)\n"
+        "rs = np.random.RandomState(0)\n"
+        "im = jnp.asarray(rs.randn(32, 32, 32, 3), jnp.float32)\n"
+        "tx = jnp.zeros((32, 52), jnp.int32).at[:, 0].set(101)\n"
+        "with jax.set_mesh(mesh):\n"
+        "    params, _ = init_clip(jax.random.PRNGKey(0), TINY)\n"
+        "    params = shard_params(params, mesh, fsdp=True,\n"
+        "                          fsdp_min_size=1024)\n"
+        "    state = create_train_state(params, {}, tcfg)\n"
+        "    state = shard_train_state(state, mesh, fsdp=True,\n"
+        "                              fsdp_min_size=1024)\n"
+        "    sh = train_state_shardings(state, mesh, fsdp=True,\n"
+        "                               fsdp_min_size=1024)\n"
+        "    step = make_train_step(TINY, tcfg, opts, state_shardings=sh)\n"
+        "    state, m = step(state, shard_batch(im, mesh),\n"
+        "                    shard_batch(tx, mesh), jax.random.PRNGKey(0))\n"
+        "    print('LOSS', float(m['loss']))\n")
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="")
+    out = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "LOSS" in out.stdout
+    assert "Involuntary full rematerialization" not in out.stderr, \
+        out.stderr[-3000:]
