@@ -63,6 +63,13 @@ def parse_args(argv=None):
                         "tunneled hosts where each dispatch pays a fixed "
                         "RTT (~27.5 ms here) that would swamp batch-1 "
                         "numbers; the per-iter time divides it out")
+    p.add_argument("--device-time", action="store_true",
+                   help="two-point fit: also time a 4x-deeper inner loop "
+                        "and report the SLOPE as pure device ms/forward "
+                        "plus the per-dispatch overhead intercept. Immune "
+                        "to dispatch-RTT variance that --inner alone still "
+                        "amortizes into the mean (jit/aot backends; "
+                        "implies --inner >= 8)")
     return p.parse_args(argv)
 
 
@@ -101,31 +108,45 @@ def main(argv=None):
     resolution = cfg.vision.image_resolution
     rs = np.random.RandomState(0)
 
+    if args.device_time:
+        assert args.backend in ("jit", "aot"), \
+            "--device-time needs the jit/aot fori_loop backends"
+        args.inner = max(args.inner, 8)
+
     results = {}
     for bs in [int(b) for b in args.batch_sizes.split(",")]:
         images = jnp.asarray(rs.randn(bs, resolution, resolution, 3), jnp.float32)
         texts = jnp.zeros((bs, args.context_length), jnp.int32)
         texts = texts.at[:, 0].set(101).at[:, 1].set(768).at[:, 2].set(102)
 
-        def _loop(enc, cast):
+        def _loop(enc, cast, inner):
             def run(p, x):
                 def body(i, acc):
                     return acc + jnp.sum(enc(
                         p, cast(x, acc)).astype(jnp.float32))
-                return jax.lax.fori_loop(0, args.inner, body,
+                return jax.lax.fori_loop(0, inner, body,
                                          jnp.zeros((), jnp.float32))
             return jax.jit(run)
 
-        img_jit = _loop(lambda p, x: encode_image(
-            p, cfg, x, options,
-            batch_stats=batch_stats if cfg.is_resnet else None),
-            lambda x, acc: x + (acc * 1e-12).astype(x.dtype))
+        def _img_loop(inner):
+            return _loop(lambda p, x: encode_image(
+                p, cfg, x, options,
+                batch_stats=batch_stats if cfg.is_resnet else None),
+                lambda x, acc: x + (acc * 1e-12).astype(x.dtype), inner)
+
         # the acc-dependent select keeps the loop body loop-variant so XLA
         # cannot hoist the forward out of the fori_loop (ids are ints, so
         # the float perturbation trick doesn't apply)
-        txt_jit = _loop(lambda p, t: encode_text(p, cfg, t, options),
-                        lambda t, acc: jnp.where(acc < jnp.float32(np.inf),
-                                                 t, t + 1))
+        def _txt_loop(inner):
+            return _loop(lambda p, t: encode_text(p, cfg, t, options),
+                         lambda t, acc: jnp.where(
+                             acc < jnp.float32(np.inf), t, t + 1), inner)
+
+        img_jit, txt_jit = _img_loop(args.inner), _txt_loop(args.inner)
+        deep = {}
+        if args.device_time:
+            deep = {"image": _img_loop(4 * args.inner),
+                    "text": _txt_loop(4 * args.inner)}
 
         if args.backend == "engine":
             # Saved engines return the f32 feature matrix; sync by summing
@@ -151,6 +172,9 @@ def main(argv=None):
         elif args.backend == "aot":
             img_jit = img_jit.lower(params, images).compile()
             txt_jit = txt_jit.lower(params, texts).compile()
+            if args.device_time:
+                deep = {t: f.lower(params, x).compile()
+                        for (t, f), x in zip(deep.items(), (images, texts))}
 
         for tower, fn, x in (("image", img_jit, images), ("text", txt_jit, texts)):
             s = bench_fn(fn, (params, x), args.n, args.warmup)
@@ -158,10 +182,29 @@ def main(argv=None):
             s["ms_per_sample"] = s["mean"] / bs
             s["samples_per_sec"] = 1000.0 * bs / s["mean"]
             s["inner"] = args.inner
+            if args.device_time:
+                # wall(N) = overhead + N*device: the slope between the two
+                # inner depths is pure device time per forward; the
+                # intercept is the per-dispatch overhead (tunnel RTT +
+                # host glue), reported separately instead of amortized in
+                s4 = bench_fn(deep[tower], (params, x), max(3, args.n // 4),
+                              args.warmup)
+                w1 = s["median"] * args.inner
+                w4 = s4["median"]
+                dev = (w4 - w1) / (3 * args.inner)
+                s["mean_device"] = dev
+                s["ms_per_sample_device"] = dev / bs
+                s["samples_per_sec_device"] = 1000.0 * bs / dev if dev > 0 else None
+                s["dispatch_overhead_ms"] = w1 - args.inner * dev
             results[f"{tower}@bs{bs}"] = s
-            print(f"[{args.vision_model} {tower} bs={bs}] "
-                  f"mean {s['mean']:.2f} ms | p95 {s['p95']:.2f} | p99 {s['p99']:.2f} | "
-                  f"{s['ms_per_sample']:.3f} ms/sample | {s['samples_per_sec']:.0f}/s")
+            line = (f"[{args.vision_model} {tower} bs={bs}] "
+                    f"mean {s['mean']:.2f} ms | p95 {s['p95']:.2f} | "
+                    f"p99 {s['p99']:.2f} | {s['ms_per_sample']:.3f} "
+                    f"ms/sample | {s['samples_per_sec']:.0f}/s")
+            if args.device_time:
+                line += (f" | device {s['mean_device']:.3f} ms "
+                         f"(+{s['dispatch_overhead_ms']:.1f} ms/dispatch)")
+            print(line)
 
     if args.json_output:
         with open(args.json_output, "w") as f:

@@ -80,3 +80,18 @@ def test_speed_benchmark_cli(tmp_path, monkeypatch):
     assert set(results) == {"image@bs1", "text@bs1"}
     for s in results.values():
         assert np.isfinite(s["mean"])
+
+    # --device-time: two-point fit separates device ms from dispatch
+    # overhead (r5; the method behind the device-corrected deployment
+    # rows in PARITY.md)
+    for backend in ("jit", "aot"):
+        results = sb.main(["--batch-sizes", "1", "--n", "4", "--warmup", "1",
+                           "--precision", "fp32", "--device-time",
+                           "--backend", backend])
+        for s in results.values():
+            assert s["inner"] >= 8  # implied floor
+            assert np.isfinite(s["mean_device"])
+            assert np.isfinite(s["dispatch_overhead_ms"])
+            assert np.isfinite(s["ms_per_sample_device"])
+            # slope must sit at or below the RTT-amortized mean
+            assert s["mean_device"] <= s["mean"] * 1.5
