@@ -237,8 +237,10 @@ def serve_and_query(engine_dir, workdir, scale_args, img_feat_path,
         txt_diff = float(np.abs(
             served_txt - np.stack(
                 [offline_txt[r["text_id"]] for r in rows])).max())
-        health = post("/encode_text", {"texts": [rows[0]["text"]] * 1})
-        assert len(health["features"]) == 1
+        # a 1-text request against the batch-N engine exercises the
+        # daemon's pad-to-compiled-shape path
+        padded = post("/encode_text", {"texts": [rows[0]["text"]]})
+        assert len(padded["features"]) == 1
     finally:
         srv.shutdown()
         srv.server_close()
