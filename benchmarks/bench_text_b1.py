@@ -87,7 +87,8 @@ def main():
 
     from nans_clip_tpu.models.clip import encode_image
 
-    for cell in sys.argv[1:] or list(CELLS):
+    cells = [a for a in sys.argv[1:] if not a.startswith("-")]
+    for cell in cells or list(CELLS):
         name, tower, t4_ms = CELLS[cell]
         cfg = load_config(name)
         tcfg = cfg.text
@@ -99,19 +100,61 @@ def main():
         rs = np.random.RandomState(0)
 
         if tower == "image":
-            r = cfg.vision.image_resolution
+            vcfg = cfg.vision
+            r = vcfg.image_resolution
             img = jnp.asarray(rs.randn(1, r, r, 3), jnp.bfloat16)
             full_dev, full_ovh, full_raw64 = measure(
                 lambda p, xi: jnp.sum(
                     encode_image(p, cfg, xi, options).astype(jnp.float32)),
                 params, img)
-            print(json.dumps({
+            out = {
                 "metric": f"b1_device_{cell}",
                 "full_ms_device": round(full_dev, 4),
                 "full_ms_raw_inner64": round(full_raw64, 4),
                 "dispatch_overhead_ms": round(full_ovh, 2),
                 "vs_t4_trt_device": round(t4_ms / full_dev, 2),
-            }), flush=True)
+            }
+            if "--img-glue" in sys.argv:
+                # pre-tower glue: patch-embed matmul + cls/pos + ln_pre
+                # (vit.py:96-109); post: ln_post on CLS + projection. The
+                # patch-embed IS an MXU matmul, so unlike the text vocab
+                # gather a tower-kernel fold is expressible — this bounds
+                # what it could save.
+                from nans_clip_tpu.models.vit import cast_tree as vit_cast
+
+                def pre_fn(p, xi):
+                    vp = vit_cast(p["visual"], options)
+                    pch, g, w = (vcfg.patch_size, vcfg.grid_size,
+                                 vcfg.width)
+                    x = xi.reshape(1, g, pch, g, pch, 3).transpose(
+                        0, 1, 3, 2, 4, 5).reshape(1, g * g, pch * pch * 3)
+                    x = x @ vp["conv1"]["kernel"].reshape(pch * pch * 3, w)
+                    clsv = jnp.broadcast_to(
+                        vp["class_embedding"], (1, 1, w)).astype(x.dtype)
+                    x = jnp.concatenate([clsv, x], axis=1)
+                    x = x + vp["positional_embedding"].astype(x.dtype)
+                    x = layer_norm(x, **vp["ln_pre"])
+                    return jnp.sum(x.astype(jnp.float32))
+                pre_dev, _, _ = measure(pre_fn, params, img)
+
+                seq_i = jnp.asarray(
+                    rs.randn(1, vcfg.grid_size ** 2 + 1, vcfg.width),
+                    jnp.bfloat16)
+
+                def post_fn(p, xi):
+                    vp = vit_cast(p["visual"], options)
+                    x = layer_norm(xi[:, 0, :], **vp["ln_post"])
+                    return jnp.sum(
+                        (x @ vp["proj"].astype(x.dtype)).astype(jnp.float32))
+                post_dev, _, _ = measure(post_fn, params, seq_i)
+                glue_i = max(0.0, pre_dev) + max(0.0, post_dev)
+                out.update({
+                    "pre_glue_ms_device": round(pre_dev, 4),
+                    "post_glue_ms_device": round(post_dev, 4),
+                    "tower_share_ms": round(full_dev - glue_i, 4),
+                    "glue_share_pct": round(100 * glue_i / full_dev, 2),
+                })
+            print(json.dumps(out), flush=True)
             continue
 
         t = np.zeros((1, 52), np.int32)

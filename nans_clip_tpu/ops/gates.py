@@ -414,6 +414,17 @@ PROVENANCE = (
          "(raw inner-64 re-measured 0.622 ms in the same process): "
          "device-corrected text b1 is 5.8x T4-TRT (base) / 4.75x "
          "(large), vs the conservative raw 3.0x/3.6x"),
+    Gate("(img b1 patch-embed fold)", "tower_kernel (not built)", "r5",
+         "measured A/B",
+         "BOUNDED NEGATIVE (same two-point method, --img-glue): ViT-B "
+         "image b1 device 0.268 ms of which pre-tower glue (patch-embed "
+         "matmul + cls/pos + ln_pre) is 0.017 ms and post (ln_post+proj) "
+         "~0 — 6.5% total. A tower-kernel fold still executes the "
+         "patch-embed matmul; what it can actually remove is the "
+         "[1,197,W] inter-kernel HBM round trip (~0.3 MB ~ 0.4 us at "
+         "819 GB/s) plus one async-dispatch boundary — an upper bound "
+         "well under 0.01 ms (<4%), not worth the Mosaic relayout of "
+         "the [R,R,3]->[S,ppx3] transpose in-kernel"),
 )
 
 
